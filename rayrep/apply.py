@@ -1,0 +1,386 @@
+"""Applier — keyed, versioned, exactly-once upsert into the Parquet lake.
+
+Reference analog: the HBase applier (README.md:17-20) — a parallel task
+pool writing versioned puts where the row key is salted
+(CHANGES.txt:102-104), updates write only changed cells (CHANGES.txt:173),
+deletes ignore all columns (CHANGES.txt:184), and a row's current image is
+the per-column latest version — last-writer-wins by version timestamp
+(README.md:18). Checkpoints advance only when every task committed
+(CHANGES.txt:6-7, 113-116); 1% of tasks are chaos-failed in normal runs
+(CHANGES.txt:126).
+
+Ray-Data-native shape: one ``Applier`` callable-class instance per actor in
+``groupby("part_id").map_groups(Applier, ...)``; each call receives ONE
+partition's epoch slice as a zero-copy Arrow table and
+
+1. sorts it by ``seq`` (binlog order is never inferred from block order),
+2. anti-joins against the committed watermark (``seq <= last_seq`` →
+   ``skipped``; exactly-once on retry/resume, J5),
+3. folds LWW by ``(ts, seq)`` per ``(conv_id, turn_idx)`` — vectorized with
+   grouped cummax, no per-row Python — producing winners + ``conflict``
+   counts (J3/A4),
+4. writes the new partition state (live rows + tombstones) to a
+   deterministically-named Parquet file via tmp+rename, then commits the
+   partition manifest atomically (T3),
+5. emits a one-row counter summary; the driver asserts
+   ``applied + skipped + conflict == input_rows`` (A3) before advancing the
+   epoch barrier.
+
+State is durable in Parquet, not in the actor heap: a retried task recomputes
+from the previous committed state and overwrites the same filenames, so
+retries and resumes are idempotent by construction. The per-partition
+key→(ts, seq) map lives in the actor only for the duration of a call (plus
+an optional cross-call cache keyed by manifest epoch).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from rayrep.manifests import PartitionManifest, merge_counters, zero_counters
+from rayrep.schema import SchemaVersion
+
+STATE_META = ["__seq", "__deleted"]  # + canonical payload columns incl. `ts`
+
+SUMMARY_SCHEMA = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("epoch", pa.int32()),
+        pa.field("input_rows", pa.int64()),
+        pa.field("applied", pa.int64()),
+        pa.field("skipped", pa.int64()),
+        pa.field("conflict", pa.int64()),
+        pa.field("deleted", pa.int64()),
+        pa.field("live_rows", pa.int64()),
+        pa.field("max_ts_us", pa.int64()),
+        pa.field("already_committed", pa.bool_()),
+        pa.field("chaos_retries", pa.int64()),
+    ]
+)
+
+
+class ChaosError(RuntimeError):
+    """Injected applier failure (reference Chaos Monkey, CHANGES.txt:126)."""
+
+
+def events_as_state(events: pa.Table, payload_cols: list[str]) -> pa.Table:
+    """Project changelog events to state-row layout (payload + __seq/__deleted)."""
+    cols = {c: events.column(c) for c in payload_cols}
+    tbl = pa.table(cols)
+    tbl = tbl.append_column("__seq", events.column("seq"))
+    tbl = tbl.append_column("__deleted", pc.equal(events.column("op"), "D").combine_chunks())
+    return tbl
+
+
+def lww_last_rows(comb: pa.Table) -> pa.Table:
+    """Keep the argmax-(ts, __seq) row per (conv_id, turn_idx) — the core
+    grouped LWW reduction (A4; HBase per-cell versioning analog, README.md:18)."""
+    if comb.num_rows == 0:
+        return comb
+    idx = pc.sort_indices(
+        comb,
+        sort_keys=[
+            ("conv_id", "ascending"),
+            ("turn_idx", "ascending"),
+            ("ts", "ascending"),
+            ("__seq", "ascending"),
+        ],
+    )
+    comb = comb.take(idx)
+    conv = comb.column("conv_id").to_numpy(zero_copy_only=False)
+    turn = comb.column("turn_idx").to_numpy()
+    last = np.ones(len(conv), dtype=bool)
+    if len(conv) > 1:
+        same = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
+        last[:-1] = ~same
+    return comb.filter(pa.array(last))
+
+
+def state_dir(lake_dir: str, part_id: int) -> str:
+    # no "=" in the dir name: hive-partition inference would add a spurious
+    # column on read_parquet of the state files
+    return os.path.join(lake_dir, f"part-{part_id:05d}")
+
+
+def state_path(lake_dir: str, part_id: int, epoch: int) -> str:
+    return os.path.join(state_dir(lake_dir, part_id), f"state-e{epoch:05d}.parquet")
+
+
+class Applier:
+    def __init__(
+        self,
+        lake_dir: str,
+        epoch: int,
+        target_schema_json: str,
+        changed_cells: bool = False,
+        delta_output: bool = True,
+        chaos_fraction: float = 0.0,
+        chaos_seed: int = 1234,
+    ):
+        self.lake_dir = lake_dir
+        self.epoch = epoch
+        self.target = SchemaVersion.from_json(target_schema_json)
+        self.payload_cols = [f.name for f in self.target.schema]
+        self.changed_cells = changed_cells
+        self.delta_output = delta_output
+        self.chaos_fraction = chaos_fraction
+        self.chaos_seed = chaos_seed
+
+    # ------------------------------------------------------------------ call
+    def __call__(self, group: pa.Table) -> pa.Table:
+        part_id = int(group.column("part_id")[0].as_py())
+        manifest = PartitionManifest.load(self.lake_dir, part_id)
+
+        if manifest.epoch >= self.epoch:
+            # Retried / resumed task for an already-committed epoch: the
+            # manifest IS the truth — return its stored counters (idempotence).
+            return self._summary(
+                part_id, manifest.epoch_counters, manifest, already=True, retries=0
+            )
+
+        rng = np.random.default_rng(
+            (self.chaos_seed * 1_000_003 + part_id) * 31 + self.epoch
+        )
+        retries = 0
+        while True:
+            try:
+                counters, new_manifest = self._apply_once(part_id, group, manifest, rng)
+                break
+            except ChaosError:
+                # The reference's supervisor restarts the failed task
+                # (CHANGES.txt:66-69); all writes below are tmp+rename with
+                # deterministic names, so the retry is safe.
+                retries += 1
+        return self._summary(part_id, counters, new_manifest, already=False, retries=retries)
+
+    # ----------------------------------------------------------- core apply
+    def _apply_once(
+        self,
+        part_id: int,
+        group: pa.Table,
+        manifest: PartitionManifest,
+        rng: np.random.Generator,
+    ) -> tuple[dict, PartitionManifest]:
+        # (1) binlog order: sort by seq; never trust block order.
+        group = group.take(pc.sort_indices(group["seq"]))
+        seq = group.column("seq").to_numpy()
+        n_in = len(seq)
+
+        # (2) watermark anti-join (J5): exactly-once under re-delivery.
+        keep = seq > manifest.last_seq
+        n_skipped = int(n_in - keep.sum())
+        events = group.filter(pa.array(keep)) if n_skipped else group
+
+        prev_state = self._load_state(manifest)
+        new_state, ctr = self._merge(prev_state, events)
+        ctr["input_rows"] = n_in
+        ctr["skipped"] = n_skipped
+        assert ctr["applied"] + ctr["skipped"] + ctr["conflict"] == ctr["input_rows"], (
+            "A3 invariant violated"
+        )  # metrics-gated checkpoint (CHANGES.txt:113-116)
+
+        # (4) durable effects, all deterministic-name + tmp/rename.
+        spath = state_path(self.lake_dir, part_id, self.epoch)
+        os.makedirs(os.path.dirname(spath), exist_ok=True)
+        tmp = spath + ".tmp"
+        pq.write_table(new_state, tmp)
+        self._maybe_chaos(rng)  # crash point A: state written but not visible
+        os.replace(tmp, spath)
+        if self.delta_output and events.num_rows:
+            self._write_delta(part_id, events)
+        self._maybe_chaos(rng)  # crash point B: state visible, manifest not
+
+        max_ts = 0
+        if new_state.num_rows:
+            m = pc.max(new_state["ts"]).value
+            max_ts = int(m) if m is not None else 0
+        new_manifest = PartitionManifest(
+            part_id=part_id,
+            epoch=self.epoch,
+            last_seq=int(seq.max()) if n_in else manifest.last_seq,
+            state_file=os.path.relpath(spath, self.lake_dir),
+            counters=merge_counters(manifest.counters, ctr),
+            epoch_counters=ctr,
+            max_ts_us=max_ts,
+        )
+        new_manifest.save(self.lake_dir)  # atomic commit — the epoch frontier
+        return ctr, new_manifest
+
+    def _maybe_chaos(self, rng: np.random.Generator) -> None:
+        if self.chaos_fraction > 0 and rng.random() < self.chaos_fraction:
+            raise ChaosError("injected applier failure")
+
+    # ------------------------------------------------------------- LWW merge
+    def _merge(self, state: pa.Table, events: pa.Table) -> tuple[pa.Table, dict]:
+        """Vectorized per-key LWW fold of ``events`` (seq-sorted) over
+        ``state``. Winner per key = argmax (ts, seq); an event loses
+        (``conflict``) iff its ts is below the running per-key max at its
+        position — identical to replaying one event at a time."""
+        ctr = zero_counters()
+        if events.num_rows == 0:
+            return state, ctr
+
+        ev = pd.DataFrame(
+            {
+                "conv_id": events.column("conv_id").to_pandas(),
+                "turn_idx": events.column("turn_idx").to_numpy(),
+                "ts": events.column("ts").cast(pa.int64()).to_numpy(),
+                "seq": events.column("seq").to_numpy(),
+                "is_del": events.column("op").to_numpy(zero_copy_only=False) == "D",
+            }
+        )
+        # dense collision-free key id: factorized conv << 32 | turn
+        codes, uniques = pd.factorize(ev["conv_id"], sort=False)
+        kid = (codes.astype(np.int64) << 32) | ev["turn_idx"].to_numpy().astype(np.int64)
+        ev["kid"] = kid
+
+        # seed per-key running max from state (ts, matching kid space)
+        if state.num_rows:
+            st_conv = state.column("conv_id").to_pandas()
+            st_codes = pd.Categorical(st_conv, categories=uniques).codes.astype(np.int64)
+            st_mask = st_codes >= 0  # state keys not touched this epoch don't matter
+            st_kid = (st_codes[st_mask] << 32) | state.column("turn_idx").to_numpy()[
+                st_mask
+            ].astype(np.int64)
+            st_ts = state.column("ts").cast(pa.int64()).to_numpy()[st_mask]
+            seed = pd.Series(st_ts, index=st_kid)
+            seed = seed[~seed.index.duplicated()]
+        else:
+            seed = pd.Series(dtype=np.int64)
+
+        g = ev.groupby("kid", sort=False)["ts"]
+        cm = g.cummax()
+        prev_cm = cm.groupby(ev["kid"], sort=False).shift(1)
+        state_ts = ev["kid"].map(seed)
+        prev_max = np.fmax(
+            prev_cm.to_numpy(dtype=np.float64, na_value=-np.inf),
+            state_ts.to_numpy(dtype=np.float64, na_value=-np.inf),
+        )
+        win = ev["ts"].to_numpy() >= prev_max  # ties → higher seq wins
+        ctr["applied"] = int(win.sum())
+        ctr["conflict"] = int((~win).sum())
+        ctr["deleted"] = int((win & ev["is_del"].to_numpy()).sum())
+
+        winners = events.filter(pa.array(win))
+        if self.changed_cells:
+            new_state = self._merge_changed_cells(state, winners, seed, uniques)
+        else:
+            new_state = self._merge_full_rows(state, winners)
+        return new_state, ctr
+
+    def _events_as_state(self, events: pa.Table) -> pa.Table:
+        return events_as_state(events, self.payload_cols)
+
+    def _merge_full_rows(self, state: pa.Table, winners: pa.Table) -> pa.Table:
+        """Default convention (FIXTURES.md §2): U events carry ALL columns, so
+        the new state per key is simply the argmax-(ts,seq) row over
+        state ∪ winning events."""
+        w = self._events_as_state(winners)
+        state = self._conform_state(state)
+        comb = pa.concat_tables([state, w], promote_options="permissive") if state.num_rows else w
+        return lww_last_rows(comb)
+
+    def _merge_changed_cells(
+        self, state: pa.Table, winners: pa.Table, seed: pd.Series, uniques
+    ) -> pa.Table:
+        """Changed-cells mode (CHANGES.txt:173): a null payload cell in a `U`
+        event means "unchanged" — the final value per (key, column) is the
+        last non-null among winners after the key's last delete, seeded with
+        prior state. Limitation (documented): NULL cannot be explicitly
+        assigned in this mode."""
+        w = self._events_as_state(winners)
+        state = self._conform_state(state)
+        comb = pa.concat_tables([state, w], promote_options="permissive") if state.num_rows else w
+        if comb.num_rows == 0:
+            return comb
+        df = comb.to_pandas()
+        df = df.sort_values(["conv_id", "turn_idx", "ts", "__seq"], kind="stable")
+        grp = df.groupby(["conv_id", "turn_idx"], sort=False)
+        # delete generation: values before a key's last D must not leak forward
+        gen = grp["__deleted"].cumsum()
+        df["_gen"] = gen
+        last_gen = grp["_gen"].transform("max")
+        cur = df[df["_gen"] == last_gen]
+        g2 = cur.groupby(["conv_id", "turn_idx"], sort=False)
+        agg = {c: "last" for c in self.payload_cols if c not in ("conv_id", "turn_idx")}
+        agg["__seq"] = "last"
+        agg["__deleted"] = "last"
+        out = g2.agg(agg).reset_index()  # pandas `last` = last non-null per column
+        out["ts"] = g2["ts"].max().reset_index(drop=True)
+        out = out[self.payload_cols + STATE_META]
+        return pa.Table.from_pandas(out, schema=self._state_schema(), preserve_index=False)
+
+    def _state_schema(self) -> pa.Schema:
+        return pa.schema(
+            list(self.target.schema)
+            + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
+        )
+
+    def _conform_state(self, state: pa.Table) -> pa.Table:
+        """Evolve a prior-epoch state file to the current canonical schema
+        (schema evolution between epochs: add columns as nulls, renames)."""
+        from rayrep.schema import evolve_table
+
+        if state.num_rows == 0 and not state.column_names:
+            return self._state_schema().empty_table()
+        meta = {c: state.column(c) for c in STATE_META if c in state.column_names}
+        payload = state.drop_columns([c for c in STATE_META if c in state.column_names])
+        payload = evolve_table(payload, self.target)
+        out = payload
+        for c in STATE_META:
+            out = out.append_column(c, meta[c])
+        return out
+
+    def _load_state(self, manifest: PartitionManifest) -> pa.Table:
+        if not manifest.state_file:
+            return self._state_schema().empty_table()
+        return pq.read_table(os.path.join(self.lake_dir, manifest.state_file))
+
+    # ------------------------------------------------------------ side output
+    def _write_delta(self, part_id: int, events: pa.Table) -> None:
+        """Daily-delta side output (S7): this epoch's applied changes stamped
+        with a forced-UTC yyyymmdd (CHANGES.txt:123,55). One deterministic
+        file per (partition, epoch) so retries overwrite."""
+        date = pc.strftime(events.column("ts"), format="%Y%m%d")
+        out = events.append_column("change_date", date)
+        ddir = os.path.join(self.lake_dir, "delta")
+        os.makedirs(ddir, exist_ok=True)
+        path = os.path.join(ddir, f"p{part_id:05d}-e{self.epoch:05d}.parquet")
+        pq.write_table(out, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    def _summary(
+        self,
+        part_id: int,
+        ctr: dict,
+        manifest: PartitionManifest,
+        already: bool,
+        retries: int,
+    ) -> pa.Table:
+        live = 0
+        sf = os.path.join(self.lake_dir, manifest.state_file) if manifest.state_file else ""
+        if sf and os.path.exists(sf):
+            t = pq.read_table(sf, columns=["__deleted"])
+            live = int(t.num_rows - pc.sum(t["__deleted"]).as_py())
+        return pa.table(
+            {
+                "part_id": pa.array([part_id], pa.int32()),
+                "epoch": pa.array([self.epoch], pa.int32()),
+                "input_rows": pa.array([ctr["input_rows"]], pa.int64()),
+                "applied": pa.array([ctr["applied"]], pa.int64()),
+                "skipped": pa.array([ctr["skipped"]], pa.int64()),
+                "conflict": pa.array([ctr["conflict"]], pa.int64()),
+                "deleted": pa.array([ctr["deleted"]], pa.int64()),
+                "live_rows": pa.array([live], pa.int64()),
+                "max_ts_us": pa.array([manifest.max_ts_us], pa.int64()),
+                "already_committed": pa.array([already], pa.bool_()),
+                "chaos_retries": pa.array([retries], pa.int64()),
+            },
+            schema=SUMMARY_SCHEMA,
+        )

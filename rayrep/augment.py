@@ -1,0 +1,94 @@
+"""Event augmenter — the flagship vectorized map stage (M1–M5, M9 routing).
+
+Reference analog: EventAugmenter joins each raw row image with the active
+schema to produce typed, named AugmentedRows; it was the reference's CPU
+bottleneck until parallelized ("Parallelized the mutations generator since
+that was the CPU bottleneck", CHANGES.txt:97-98; AugmentedRow,
+CHANGES.txt:87). Our version is a columnar rewrite over zero-copy Arrow
+batches inside ``map_batches``:
+
+- classify: DDL rows are split out (driver handles them via the registry;
+  reference: query-event classifier, CHANGES.txt:117);
+- evolve: the payload columns are rewritten to the *target* canonical
+  schema version — renames applied, missing columns null-filled, types
+  cast (CHANGES.txt:57 position-scoped active schema);
+- type-normalize: timestamps to ``timestamp[us]`` (epoch-long semantics,
+  CHANGES.txt:162-163), binary stays real ``binary`` (vs the reference's
+  hexification, CHANGES.txt:161);
+- stamp: ``part_id = stable_hash(conv_id) % P`` — the md5-salt analog
+  (CHANGES.txt:102-104) that drives the single hash shuffle;
+- filter: optional table-regex hook (CHANGES.txt:41-42).
+
+Used as a callable class so schema parsing / regex compilation happens once
+per actor (``__init__``), not once per batch.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from rayrep.hashing import partition_ids
+from rayrep.schema import META_COLUMNS, SchemaVersion, evolve_table
+
+# Engine metadata carried alongside the canonical payload columns.
+AUGMENT_META = ["seq", "txn_id", "op", "schema_ver", "part_id"]
+
+
+class Augmenter:
+    def __init__(
+        self,
+        target_schema_json: str,
+        num_partitions: int,
+        table_filter_regex: str = "",
+    ):
+        self.target = SchemaVersion.from_json(target_schema_json)
+        self.num_partitions = num_partitions
+        self.table_re = re.compile(table_filter_regex) if table_filter_regex else None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # M1: route DDL rows out of the data path (handled by the registry).
+        if "op" in batch.column_names:
+            mask = pc.not_equal(batch["op"], "DDL")
+            if pc.any(pc.invert(mask)).as_py():
+                batch = batch.filter(mask)
+        # M7: table-filter hook (single logical table here, but the surface
+        # exists: a `table` column is honored when present).
+        if self.table_re is not None and "table" in batch.column_names:
+            keep = pa.array(
+                [bool(self.table_re.search(t)) for t in batch["table"].to_pylist()]
+            )
+            batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return self._empty()
+
+        meta_cols = {
+            c: batch.column(c) for c in META_COLUMNS if c != "ddl" and c in batch.column_names
+        }
+        payload = batch.drop_columns(
+            [c for c in META_COLUMNS if c in batch.column_names]
+        )
+        # M2/M3: evolve payload to the target canonical schema (vectorized).
+        payload = evolve_table(payload, self.target)
+        # M6: partition stamp (salt analog) — drives the one hash shuffle.
+        pid = pa.array(partition_ids(batch.column("conv_id"), self.num_partitions))
+        out = payload
+        for name, col in meta_cols.items():
+            out = out.append_column(name, col)
+        out = out.append_column("part_id", pid)
+        return out
+
+    def _empty(self) -> pa.Table:
+        fields = list(self.target.schema)
+        fields += [
+            pa.field("seq", pa.int64()),
+            pa.field("txn_id", pa.int64()),
+            pa.field("op", pa.string()),
+            pa.field("schema_ver", pa.int32()),
+            pa.field("part_id", pa.int32()),
+        ]
+        schema = pa.schema(fields)
+        return schema.empty_table()

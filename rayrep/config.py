@@ -1,0 +1,60 @@
+"""Engine configuration.
+
+The reference is driven by one YAML config (hosts, namespaces, delta-table
+list, table-filter regex, pGTID prefix — CHANGES.txt:86,50-54,111,41-42,12).
+Ours is one dataclass, YAML/JSON-loadable, passed to the pipeline driver.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class EngineConfig:
+    # Layout
+    changelog_dir: str = ""          # input: epoch-{e:05d}.parquet files
+    lake_dir: str = ""               # output lake root (partition state + _manifests)
+    # Partitioning (reference analog: md5-salt row-key spreading, CHANGES.txt:102-104)
+    num_partitions: int = 32
+    # Actor pool sizing for the applier stage (reference: HBase applier task
+    # pool, CHANGES.txt:137) and the augmenter (CHANGES.txt:97-98).
+    # The applier pool autoscales (1, N) so the groupby shuffle's tasks are
+    # never starved of CPUs by idle pool reservations; the augmenter runs as
+    # stateless tasks by default (its per-actor state is a parsed schema —
+    # microseconds to rebuild), set a value to force an actor pool.
+    applier_concurrency: int = 8
+    augmenter_concurrency: int | None = None
+    batch_size: int = 16384          # moderate: `text` rows are wide
+    # Ops / semantics
+    delta_output: bool = True        # daily-delta side output (CHANGES.txt:123, --delta CHANGES.txt:118)
+    delta_tables: list[str] = field(default_factory=lambda: ["transcripts"])
+    table_filter_regex: str = ""     # applier table filter (CHANGES.txt:41-42); "" = all
+    changed_cells_updates: bool = False  # U rows may carry nulls = "unchanged" (CHANGES.txt:173)
+    # Fault injection (reference Chaos Monkey: 1% task failures, CHANGES.txt:126)
+    chaos_fraction: float = 0.0
+    chaos_seed: int = 1234
+    # Checkpointing
+    state_snapshot_interval: int = 1  # snapshot partition state every k epochs
+    dry_run: bool = False            # STDOUT/JSON debug sink (CHANGES.txt:43,143)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EngineConfig":
+        return cls(**json.loads(s))
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "EngineConfig":
+        """YAML loader (reference: YAML-driven config, CHANGES.txt:86). Uses
+        a JSON superset parse if PyYAML is unavailable in the sandbox."""
+        try:
+            import yaml  # type: ignore
+
+            with open(path) as f:
+                return cls(**yaml.safe_load(f))
+        except ImportError:
+            with open(path) as f:
+                return cls(**json.load(f))

@@ -1,0 +1,96 @@
+"""Per-partition committed-offset manifests — the exactly-once frontier.
+
+Reference analog: the pseudo-GTID safe checkpoint, stored only when the
+pGTID changes and only after every applier task for it has committed
+(CHANGES.txt:6-7, 37, 113-116); position tracked in a file (ZooKeeper for
+HA, CHANGES.txt:82,74). Here each lake partition owns a JSON manifest
+`{epoch, last_seq, state_file, counters}` written via tmp+rename so the
+commit is atomic: a retried or resumed applier either sees the committed
+manifest (and skips — idempotence) or re-does the full partition-epoch
+apply against the previous state (deterministic output names → overwrite,
+never append).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+
+COUNTER_KEYS = ["input_rows", "applied", "skipped", "conflict", "deleted"]
+
+
+def zero_counters() -> dict[str, int]:
+    return {k: 0 for k in COUNTER_KEYS}
+
+
+def merge_counters(a: dict[str, int], b: dict[str, int]) -> dict[str, int]:
+    return {k: a.get(k, 0) + b.get(k, 0) for k in COUNTER_KEYS}
+
+
+@dataclass
+class PartitionManifest:
+    part_id: int
+    epoch: int = -1                     # last fully committed epoch
+    last_seq: int = -1                  # committed watermark (pGTID analog)
+    state_file: str = ""                # relative path of current state parquet
+    counters: dict[str, int] = field(default_factory=zero_counters)        # cumulative
+    epoch_counters: dict[str, int] = field(default_factory=zero_counters)  # last epoch only
+    max_ts_us: int = 0                  # for the replication-delay gauge
+
+    @staticmethod
+    def path(lake_dir: str, part_id: int) -> str:
+        return os.path.join(lake_dir, "_manifests", f"p{part_id:05d}.json")
+
+    @classmethod
+    def load(cls, lake_dir: str, part_id: int) -> "PartitionManifest":
+        p = cls.path(lake_dir, part_id)
+        if not os.path.exists(p):
+            return cls(part_id=part_id)
+        with open(p) as f:
+            return cls(**json.load(f))
+
+    def save(self, lake_dir: str) -> None:
+        p = self.path(lake_dir, self.part_id)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        atomic_write_json(p, asdict(self))
+
+
+@dataclass
+class EpochManifest:
+    """Global barrier record: epoch E is listed only after every partition
+    committed E (metrics-gated, the CHANGES.txt:113-116 analog)."""
+
+    last_epoch: int = -1
+    totals: dict[str, int] = field(default_factory=zero_counters)
+    replication_delay_s: float = 0.0
+
+    @staticmethod
+    def path(lake_dir: str) -> str:
+        return os.path.join(lake_dir, "_manifests", "epoch.json")
+
+    @classmethod
+    def load(cls, lake_dir: str) -> "EpochManifest":
+        p = cls.path(lake_dir)
+        if not os.path.exists(p):
+            return cls()
+        with open(p) as f:
+            return cls(**json.load(f))
+
+    def save(self, lake_dir: str) -> None:
+        os.makedirs(os.path.dirname(self.path(lake_dir)), exist_ok=True)
+        atomic_write_json(self.path(lake_dir), asdict(self))
+
+
+def atomic_write_json(path: str, obj) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def atomic_rename(tmp_path: str, final_path: str) -> None:
+    os.replace(tmp_path, final_path)

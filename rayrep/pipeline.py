@@ -1,0 +1,301 @@
+"""Epoch driver: read → augment → hash-shuffle by conv_id → apply → commit.
+
+Reference analog: the replicator's PipelineOrchestrator loop (SURVEY.md
+§3.1) — producer tails the binlog, the augmenter joins rows with the active
+schema (CHANGES.txt:87,97-98), the HBase applier pool writes versioned puts
+(CHANGES.txt:137), and the pGTID safe checkpoint advances only when every
+task for it committed (CHANGES.txt:6-7,113-116).
+
+Ray-Data shape per epoch (one bounded changelog slice):
+
+    read_parquet(epoch file)
+      → map_batches(Augmenter, pyarrow, zero-copy, actor pool)      # M2
+      → groupby("part_id")                                          # THE shuffle (J1)
+      → map_groups(Applier, pyarrow, actor pool)                    # S4/J3/J5
+      → tiny counter summaries → invariant check → epoch barrier    # A3/T3
+
+Exactly ONE all-to-all exchange per epoch (the hash partition by conv_id);
+everything else is map-side. The epoch loop is the checkpoint cadence:
+a killed run resumes from the global epoch manifest, and partitions that
+already committed the crashed epoch are skipped idempotently by their own
+manifests.
+
+Never calls ``ray.init``/``ray.shutdown`` — the session is owned by the
+caller (driver, tests, bench).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import ray.data as rd
+
+from rayrep.apply import Applier, events_as_state, lww_last_rows
+from rayrep.augment import Augmenter
+from rayrep.config import EngineConfig
+from rayrep.manifests import (
+    COUNTER_KEYS,
+    EpochManifest,
+    PartitionManifest,
+    atomic_write_json,
+    merge_counters,
+    zero_counters,
+)
+from rayrep.registry import SchemaRegistry
+from rayrep.schema import SchemaVersion
+
+EPOCH_RE = re.compile(r"epoch-(\d+)\.parquet$")
+
+
+def discover_epochs(changelog_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for p in sorted(glob.glob(os.path.join(changelog_dir, "epoch-*.parquet"))):
+        m = EPOCH_RE.search(p)
+        if m:
+            out.append((int(m.group(1)), p))
+    return out
+
+
+def extract_ddl_events(path: str, max_ts_us: int | None = None) -> list[tuple[int, str]]:
+    """Driver-side scan of one epoch file for DDL rows. DDL events are rare
+    (schema changes), so a pushed-down filtered read of 3 columns is cheap
+    even on huge epochs (row-group stats prune almost everything)."""
+    dset = pads.dataset(path)
+    flt = pc.field("op") == "DDL"
+    tbl = dset.to_table(columns=["seq", "ddl", "ts"], filter=flt)
+    if max_ts_us is not None and tbl.num_rows:
+        tbl = tbl.filter(pc.less_equal(tbl["ts"], pa.scalar(max_ts_us, pa.timestamp("us"))))
+    return [(s, d) for s, d in zip(tbl["seq"].to_pylist(), tbl["ddl"].to_pylist())]
+
+
+class ReplayResult(dict):
+    """Totals + per-epoch metrics from a replay run."""
+
+
+def _augment(
+    ds: rd.Dataset,
+    target_json: str,
+    num_partitions: int,
+    table_filter_regex: str = "",
+    batch_size: int = 16384,
+    concurrency: int | None = None,
+):
+    """Attach the augmenter stage. With ``concurrency=None`` it runs as
+    stateless tasks (elastic, no idle CPU reservation — an idle actor pool
+    plus another pool can starve the shuffle of CPUs and deadlock the
+    streaming executor on small machines); with an int it becomes an
+    autoscaling actor pool ``(1, N)``."""
+    kwargs = dict(
+        target_schema_json=target_json,
+        num_partitions=num_partitions,
+        table_filter_regex=table_filter_regex,
+    )
+    if concurrency is None:
+        return ds.map_batches(
+            _augment_task_fn,
+            fn_kwargs={"kwargs": kwargs},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+        )
+    return ds.map_batches(
+        Augmenter,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def _augment_task_fn(batch: pa.Table, kwargs: dict) -> pa.Table:
+    # Schema parse + regex compile cost ~µs; caching per process via lru
+    # keeps the task path as cheap as the actor path.
+    key = kwargs["target_schema_json"], kwargs["num_partitions"], kwargs["table_filter_regex"]
+    aug = _AUG_CACHE.get(key)
+    if aug is None:
+        aug = Augmenter(**kwargs)
+        _AUG_CACHE[key] = aug
+    return aug(batch)
+
+
+_AUG_CACHE: dict = {}
+
+
+def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
+    """Run (or resume) the streaming replay. ``end_epoch`` bounds the run
+    (inclusive) — the `--end-binlog-file` analog (CHANGES.txt:129); also used
+    by the resume test to simulate a mid-replay kill."""
+    epochs = discover_epochs(cfg.changelog_dir)
+    if not epochs:
+        raise FileNotFoundError(f"no epoch-*.parquet under {cfg.changelog_dir}")
+    os.makedirs(cfg.lake_dir, exist_ok=True)
+
+    registry = SchemaRegistry(persist_dir=cfg.lake_dir)
+    em = EpochManifest.load(cfg.lake_dir)
+    start = em.last_epoch + 1
+    totals = dict(em.totals)
+    per_epoch = []
+
+    for epoch, path in epochs:
+        if epoch < start:
+            continue
+        if end_epoch is not None and epoch > end_epoch:
+            break
+        t0 = time.perf_counter()
+        # M9/J2: DDL → registry (broadcast-small-side; never a shuffle).
+        registry.apply_ddl_events(extract_ddl_events(path))
+        target_json = registry.current_json()
+
+        ds = rd.read_parquet(path)
+        ds = _augment(
+            ds,
+            target_json,
+            cfg.num_partitions,
+            cfg.table_filter_regex,
+            cfg.batch_size,
+            cfg.augmenter_concurrency,
+        )
+        if cfg.dry_run:
+            # STDOUT/JSON debug sink (CHANGES.txt:43,143): no side effects.
+            for row in ds.limit(5).take_all():
+                print(json.dumps(row, default=str))
+            continue
+        summaries = (
+            ds.groupby("part_id")
+            .map_groups(
+                Applier,
+                fn_constructor_kwargs={
+                    "lake_dir": cfg.lake_dir,
+                    "epoch": epoch,
+                    "target_schema_json": target_json,
+                    "changed_cells": cfg.changed_cells_updates,
+                    "delta_output": cfg.delta_output,
+                    "chaos_fraction": cfg.chaos_fraction,
+                    "chaos_seed": cfg.chaos_seed,
+                },
+                batch_format="pyarrow",
+                concurrency=(1, cfg.applier_concurrency),
+                num_cpus=1,
+            )
+            .take_all()
+        )  # tiny: one row per touched partition
+
+        ctr = zero_counters()
+        max_ts = 0
+        chaos_retries = 0
+        for row in summaries:
+            ctr = merge_counters(ctr, {k: row[k] for k in COUNTER_KEYS})
+            max_ts = max(max_ts, row["max_ts_us"])
+            chaos_retries += row["chaos_retries"]
+        # A3: the metrics-gated barrier (CHANGES.txt:113-116) — refuse to
+        # advance the checkpoint if counters don't reconcile.
+        assert ctr["applied"] + ctr["skipped"] + ctr["conflict"] == ctr["input_rows"], (
+            f"epoch {epoch}: counter invariant violated: {ctr}"
+        )
+        totals = merge_counters(totals, ctr)
+        delay_s = max(0.0, time.time() - max_ts / 1e6) if max_ts else 0.0
+        EpochManifest(last_epoch=epoch, totals=totals, replication_delay_s=delay_s).save(
+            cfg.lake_dir
+        )
+        per_epoch.append(
+            {
+                "epoch": epoch,
+                **ctr,
+                "chaos_retries": chaos_retries,
+                "wall_s": round(time.perf_counter() - t0, 4),
+                "replication_delay_s": round(delay_s, 3),
+            }
+        )
+
+    metrics = {"totals": totals, "epochs": per_epoch, "schema_version": registry.current_version()}
+    if not cfg.dry_run:
+        atomic_write_json(os.path.join(cfg.lake_dir, "_manifests", "metrics.json"), metrics)
+    return ReplayResult(metrics)
+
+
+# --------------------------------------------------------------------- reads
+def committed_state_files(lake_dir: str) -> list[str]:
+    files = []
+    for mp in sorted(glob.glob(os.path.join(lake_dir, "_manifests", "p*.json"))):
+        with open(mp) as f:
+            m = json.load(f)
+        if m.get("state_file"):
+            files.append(os.path.join(lake_dir, m["state_file"]))
+    return files
+
+
+def final_table(lake_dir: str) -> rd.Dataset:
+    """The converged lake table as a streaming Dataset (live rows only)."""
+    files = committed_state_files(lake_dir)
+    ds = rd.read_parquet(files)
+    return ds.map_batches(
+        lambda t: t.filter(pc.invert(t["__deleted"])).drop_columns(["__seq", "__deleted"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def final_table_pandas(lake_dir: str):
+    """Small-scale convenience for tests: stable (conv_id, turn_idx) order."""
+    import pandas as pd  # noqa: F401
+
+    df = final_table(lake_dir).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
+
+
+# ------------------------------------------------------------- batch replay
+def replay_batch(
+    changelog_dir: str,
+    num_partitions: int = 32,
+    as_of_ts_us: int | None = None,
+    concurrency: int | None = None,
+    batch_size: int = 16384,
+) -> rd.Dataset:
+    """One-shot LWW convergence of a whole changelog without manifests — the
+    compaction / time-travel read path (HBase-snapshotter analog,
+    README.md:22-23: latest cell version ≤ T per row). Same operators (M2
+    augment, J1 hash partition, A4 grouped LWW), different predicate.
+    """
+    epochs = discover_epochs(changelog_dir)
+    registry = SchemaRegistry()
+    for _, path in epochs:
+        registry.apply_ddl_events(extract_ddl_events(path, max_ts_us=as_of_ts_us))
+    target_json = registry.current_json()
+    target = SchemaVersion.from_json(target_json)
+    payload_cols = [f.name for f in target.schema]
+
+    # Per-epoch files may have physically different schemas (pre-DDL files
+    # lack evolved columns) → read each file separately, normalize in the
+    # augmenter, then union. At scale each read is itself parallel over
+    # row groups; union keeps streaming.
+    parts = []
+    for _, path in epochs:
+        ds = rd.read_parquet(path)
+        ds = _augment(ds, target_json, num_partitions, "", batch_size, concurrency)
+        parts.append(ds)
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    if as_of_ts_us is not None:
+        bound = pa.scalar(as_of_ts_us, pa.timestamp("us"))
+        ds = ds.map_batches(
+            lambda t, b=bound: t.filter(pc.less_equal(t["ts"], b)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        state_rows = events_as_state(group, payload_cols)
+        out = lww_last_rows(state_rows)
+        out = out.filter(pc.invert(out["__deleted"]))
+        return out.drop_columns(["__seq", "__deleted"])
+
+    return ds.groupby("part_id").map_groups(reduce_group, batch_format="pyarrow")

@@ -1,0 +1,94 @@
+"""Active-schema registry: versioned schema state + history persistence.
+
+Reference analog: the replicator's "active schema" — a shadow schema DB
+that DDL statements are replayed onto (loadActiveSchema, CHANGES.txt:57),
+snapshotted per version into a schema-history table named like the
+namespace (CHANGES.txt:45-46). Here:
+
+- ``SchemaRegistry`` is the plain state machine (usable driver-side and in
+  tests);
+- ``SchemaRegistryActor`` is the singleton ``@ray.remote`` wrapper used by
+  the streaming pipeline (the J2 "broadcast small side" lookup: augmenter
+  actors receive the epoch's target version once via constructor args and
+  never shuffle for it);
+- every version is persisted to ``<lake>/schema_versions/v{N}.json`` so a
+  resumed run reloads history instead of re-deriving it.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import ray
+
+from rayrep.manifests import atomic_write_json
+from rayrep.schema import CANONICAL_SCHEMA_V1, SchemaVersion, apply_ddl
+
+
+class SchemaRegistry:
+    def __init__(self, persist_dir: str | None = None):
+        self.persist_dir = persist_dir
+        self.versions: dict[int, SchemaVersion] = {1: SchemaVersion(1, CANONICAL_SCHEMA_V1)}
+        self.applied_ddl_seqs: set[int] = set()
+        if persist_dir:
+            self._load_history()
+
+    # -- persistence (schema-history table analog, CHANGES.txt:45-46) -------
+    def _dir(self) -> str:
+        return os.path.join(self.persist_dir, "schema_versions")
+
+    def _load_history(self) -> None:
+        for path in sorted(glob.glob(os.path.join(self._dir(), "v*.json"))):
+            with open(path) as f:
+                sv = SchemaVersion.from_json(f.read())
+            self.versions[sv.version] = sv
+        seqs = os.path.join(self._dir(), "applied_seqs.json")
+        if os.path.exists(seqs):
+            import json
+
+            with open(seqs) as f:
+                self.applied_ddl_seqs = set(json.load(f))
+
+    def _persist(self, sv: SchemaVersion) -> None:
+        if not self.persist_dir:
+            return
+        os.makedirs(self._dir(), exist_ok=True)
+        path = os.path.join(self._dir(), f"v{sv.version:05d}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(sv.to_json())
+        os.replace(tmp, path)
+        atomic_write_json(
+            os.path.join(self._dir(), "applied_seqs.json"), sorted(self.applied_ddl_seqs)
+        )
+
+    # -- DDL application (M9) ------------------------------------------------
+    def apply_ddl_events(self, events: list[tuple[int, str]]) -> int:
+        """Apply (seq, ddl_json) events in seq order; idempotent on replayed
+        seqs (a resumed epoch re-reads its DDL rows). Returns current version."""
+        for seq, ddl_json in sorted(events):
+            if seq in self.applied_ddl_seqs:
+                continue
+            nxt = apply_ddl(self.current(), ddl_json)
+            self.versions[nxt.version] = nxt
+            self.applied_ddl_seqs.add(seq)
+            self._persist(nxt)
+        return self.current_version()
+
+    def current_version(self) -> int:
+        return max(self.versions)
+
+    def current(self) -> SchemaVersion:
+        return self.versions[self.current_version()]
+
+    def get(self, version: int) -> SchemaVersion:
+        return self.versions[version]
+
+    def current_json(self) -> str:
+        return self.current().to_json()
+
+
+# Singleton actor wrapper (T2). num_cpus=0: it is a metadata service, not a
+# compute stage — it must never reserve a slot the applier pool needs.
+SchemaRegistryActor = ray.remote(num_cpus=0)(SchemaRegistry)
