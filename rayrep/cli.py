@@ -1,0 +1,115 @@
+"""CLI entrypoint (ray-job style; mirrors the reference's flags:
+--dryrun CHANGES.txt:43, --initial-snapshot CHANGES.txt:139,
+--end-binlog-file CHANGES.txt:129, --delta on/off CHANGES.txt:118).
+
+Owns the Ray session (library code never inits Ray).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rayrep")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("gen", help="generate a deterministic synthetic changelog")
+    g.add_argument("out_dir")
+    g.add_argument("--events", type=int, default=100_000)
+    g.add_argument("--conversations", type=int, default=2000)
+    g.add_argument("--epochs", type=int, default=4)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--zipf", type=float, default=0.0)
+
+    r = sub.add_parser("replay", help="replay a changelog into a lake (resumable)")
+    r.add_argument("changelog_dir")
+    r.add_argument("lake_dir")
+    r.add_argument("--partitions", type=int, default=32)
+    r.add_argument("--appliers", type=int, default=8)
+    r.add_argument("--end-epoch", type=int, default=None,
+                   help="stop after this epoch (--end-binlog-file analog)")
+    r.add_argument("--dry-run", action="store_true")
+    r.add_argument("--no-delta", action="store_true")
+    r.add_argument("--chaos", type=float, default=0.0)
+    r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
+    t = sub.add_parser("snapshot", help="point-in-time export (snapshotter analog)")
+    t.add_argument("changelog_dir")
+    t.add_argument("out_dir")
+    t.add_argument("--ts-us", type=int, required=True)
+    t.add_argument("--partitions", type=int, default=32)
+    t.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
+    b = sub.add_parser("bootstrap", help="base table -> op='I' snapshot prefix")
+    b.add_argument("base_parquet")
+    b.add_argument("changelog_dir")
+    b.add_argument("--num-cpus", type=int, default=8)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from rayrep.gen import GenSpec, write_changelog
+
+        m = write_changelog(
+            args.out_dir,
+            GenSpec(
+                seed=args.seed,
+                n_events=args.events,
+                n_conversations=args.conversations,
+                n_epochs=args.epochs,
+                zipf_a=args.zipf,
+            ),
+        )
+        print(json.dumps({"n_events": m["n_events"], "ddl_seq": m["ddl_seq"]}))
+        return 0
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        if args.cmd == "replay":
+            from rayrep.config import EngineConfig
+            from rayrep.pipeline import replay
+
+            cfg = EngineConfig(
+                changelog_dir=args.changelog_dir,
+                lake_dir=args.lake_dir,
+                num_partitions=args.partitions,
+                applier_concurrency=args.appliers,
+                dry_run=args.dry_run,
+                delta_output=not args.no_delta,
+                chaos_fraction=args.chaos,
+            )
+            res = replay(cfg, end_epoch=args.end_epoch)
+            print(json.dumps(res))
+        elif args.cmd == "snapshot":
+            from rayrep.timetravel import snapshot_to_parquet
+
+            snapshot_to_parquet(
+                args.changelog_dir, args.ts_us, args.out_dir,
+                num_partitions=args.partitions,
+            )
+            print(json.dumps({"out_dir": args.out_dir}))
+        elif args.cmd == "bootstrap":
+            import ray.data as rd
+
+            from rayrep.bootstrap import bootstrap_snapshot
+
+            m = bootstrap_snapshot(rd.read_parquet(args.base_parquet), args.changelog_dir)
+            print(json.dumps(m))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -193,7 +193,10 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         max_ts = 0
         chaos_retries = 0
         for row in summaries:
-            ctr = merge_counters(ctr, {k: row[k] for k in COUNTER_KEYS})
+            if not row["already_committed"]:
+                # fresh applies only; a resumed epoch's committed partitions
+                # are already in their cumulative manifests
+                ctr = merge_counters(ctr, {k: row[k] for k in COUNTER_KEYS})
             max_ts = max(max_ts, row["max_ts_us"])
             chaos_retries += row["chaos_retries"]
         # A3: the metrics-gated barrier (CHANGES.txt:113-116) — refuse to
@@ -201,7 +204,9 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         assert ctr["applied"] + ctr["skipped"] + ctr["conflict"] == ctr["input_rows"], (
             f"epoch {epoch}: counter invariant violated: {ctr}"
         )
-        totals = merge_counters(totals, ctr)
+        # cumulative totals come from the atomically-committed partition
+        # manifests — robust to any crash/resume window
+        totals = aggregate_partition_counters(cfg.lake_dir)
         delay_s = max(0.0, time.time() - max_ts / 1e6) if max_ts else 0.0
         EpochManifest(last_epoch=epoch, totals=totals, replication_delay_s=delay_s).save(
             cfg.lake_dir
@@ -220,6 +225,17 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
     if not cfg.dry_run:
         atomic_write_json(os.path.join(cfg.lake_dir, "_manifests", "metrics.json"), metrics)
     return ReplayResult(metrics)
+
+
+def aggregate_partition_counters(lake_dir: str) -> dict:
+    """Global cumulative counters = sum over per-partition manifests (A1:
+    partial per-task counters merged to totals, CHANGES.txt:171-172)."""
+    totals = zero_counters()
+    for mp in glob.glob(os.path.join(lake_dir, "_manifests", "p*.json")):
+        with open(mp) as f:
+            m = json.load(f)
+        totals = merge_counters(totals, m.get("counters", {}))
+    return totals
 
 
 # --------------------------------------------------------------------- reads
@@ -249,6 +265,8 @@ def final_table_pandas(lake_dir: str):
     import pandas as pd  # noqa: F401
 
     df = final_table(lake_dir).to_pandas()
+    if df.empty:
+        return df
     return df.sort_values(["conv_id", "turn_idx"], kind="stable").reset_index(drop=True)
 
 

@@ -1,0 +1,242 @@
+"""Scenario fixtures from FIXTURES.md §4: resume, chaos, time-travel,
+delete/resurrect, ts ties, skew, redelivery (exactly-once)."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayrep.config import EngineConfig
+from rayrep.gen import GenSpec, generate_changelog, write_changelog
+from rayrep.pipeline import final_table_pandas, replay
+from rayrep.schema import CHANGELOG_SCHEMA
+from rayrep.timetravel import as_of
+
+from .oracle import replay_oracle
+from .test_replay import assert_frames_equal
+
+SPEC = GenSpec(seed=7, n_conversations=40, max_turns=6, n_events=800, n_epochs=4, zipf_a=1.1)
+
+
+def ev(seq, op, conv, turn, text=None, ts=0, role="user", tool=None, schema_ver=1, ddl=None):
+    from rayrep.gen import T0_US
+
+    return {
+        "seq": seq, "txn_id": 0, "op": op, "schema_ver": schema_ver,
+        "conv_id": conv, "turn_idx": turn, "role": None if op == "D" else role,
+        "text": None if op == "D" else text, "tool": tool,
+        "ts": T0_US + ts, "ddl": ddl,
+    }
+
+
+def write_epochs(d, *epoch_rows):
+    os.makedirs(d, exist_ok=True)
+    for e, rows in enumerate(epoch_rows):
+        tbl = pa.Table.from_pylist(rows, schema=CHANGELOG_SCHEMA)
+        pq.write_table(tbl, os.path.join(d, f"epoch-{e:05d}.parquet"))
+
+
+def run(d, lake, **kw):
+    cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=4,
+                       applier_concurrency=2, **kw)
+    return cfg, replay(cfg)
+
+
+# ---------------------------------------------------------------- exactly-once
+def test_redelivered_events_are_skipped(tmp_path):
+    """At-least-once delivery: epoch 1 re-contains epoch 0's events; the
+    seq watermark must skip them (J5; pGTID safe-checkpoint analog)."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    e0 = [ev(0, "I", "a", 0, "v0", ts=0), ev(1, "I", "b", 0, "w0", ts=0)]
+    e1 = [ev(0, "I", "a", 0, "v0", ts=0), ev(1, "I", "b", 0, "w0", ts=0),
+          ev(2, "U", "a", 0, "v1", ts=5)]
+    write_epochs(d, e0, e1)
+    _, res = run(d, lake)
+    t = res["totals"]
+    assert t["skipped"] == 2 and t["applied"] == 3 and t["input_rows"] == 5
+    got = final_table_pandas(lake)
+    assert got[got.conv_id == "a"]["text"].iloc[0] == "v1"
+
+
+def test_resume_after_partition_commit_but_before_epoch_commit(tmp_path):
+    """Crash window between the last partition manifest and the global epoch
+    manifest: on restart the epoch re-runs and every partition reports
+    already_committed — final state and cumulative counters unchanged."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, SPEC)
+    cfg, res1 = run(d, lake)
+    oracle_df, oracle_ctr = replay_oracle(generate_changelog(SPEC))
+    # simulate the crash: epoch manifest regresses to epoch 1
+    epath = os.path.join(lake, "_manifests", "epoch.json")
+    with open(epath) as f:
+        em = json.load(f)
+    ctr_after_1 = {k: sum(e[k] for e in res1["epochs"][:2]) for k in em["totals"]}
+    em["last_epoch"] = 1
+    em["totals"] = ctr_after_1
+    with open(epath, "w") as f:
+        json.dump(em, f)
+    _, res2 = run(d, lake)
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    assert res2["totals"] == {k: oracle_ctr[k] for k in res2["totals"]}
+
+
+# --------------------------------------------------------------------- chaos
+def test_chaos_monkey_preserves_correctness(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, SPEC)
+    _, res = run(d, lake, chaos_fraction=0.2, chaos_seed=99)
+    retries = sum(e["chaos_retries"] for e in res["epochs"])
+    assert retries > 0, "chaos must have fired at 20%"
+    oracle_df, _ = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+
+
+# --------------------------------------------------------------- time travel
+def test_time_travel_matches_truncated_oracle(tmp_path):
+    d = str(tmp_path / "cl")
+    write_changelog(d, SPEC)
+    full = generate_changelog(SPEC)
+    cut = int(np.quantile(full["ts"].cast(pa.int64()).to_numpy(), 0.6))
+    oracle_df, _ = replay_oracle(full, as_of_ts_us=cut)
+    got = (
+        as_of(d, cut, num_partitions=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"], kind="stable")
+        .reset_index(drop=True)
+    )
+    assert_frames_equal(got, oracle_df)
+
+
+# ------------------------------------------------------- LWW edge semantics
+def test_delete_then_resurrect(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    rows = [ev(0, "I", "a", 0, "born", ts=0), ev(1, "D", "a", 0, ts=10),
+            ev(2, "I", "a", 0, "reborn", ts=20)]
+    write_epochs(d, rows)
+    _, res = run(d, lake)
+    got = final_table_pandas(lake)
+    assert list(got["text"]) == ["reborn"]
+    assert res["totals"]["deleted"] == 1
+
+
+def test_tombstone_masks_older_reinsert(tmp_path):
+    """HBase semantics: a put with a version OLDER than the delete marker
+    stays masked — the tombstone's (ts, seq) participates in LWW."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    rows = [ev(0, "I", "a", 0, "born", ts=0), ev(1, "D", "a", 0, ts=100),
+            ev(2, "I", "a", 0, "stale-reborn", ts=50)]
+    write_epochs(d, rows)
+    _, res = run(d, lake)
+    assert len(final_table_pandas(lake)) == 0
+    assert res["totals"]["conflict"] == 1
+
+
+def test_ts_tie_broken_by_seq(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    rows = [ev(0, "I", "a", 0, "first", ts=5), ev(1, "U", "a", 0, "second", ts=5)]
+    write_epochs(d, rows)
+    _, _ = run(d, lake)
+    assert list(final_table_pandas(lake)["text"]) == ["second"]
+
+
+def test_delete_on_absent_key_is_noop_tombstone(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    rows = [ev(0, "D", "zz", 9, ts=5), ev(1, "I", "a", 0, "x", ts=6)]
+    write_epochs(d, rows)
+    _, res = run(d, lake)
+    assert list(final_table_pandas(lake)["text"]) == ["x"]
+    assert res["totals"]["applied"] == 2
+
+
+# --------------------------------------------------------- schema evolution
+def test_rename_column_evolution(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    rename = json.dumps({"action": "rename_column", "from": "role", "to": "speaker"})
+    e0 = [ev(0, "I", "a", 0, "x", ts=0, role="user")]
+    e1 = [ev(1, "DDL", None, None, ddl=rename, schema_ver=2, ts=1)]
+    # post-rename event: payload arrives under the NEW name
+    t2 = ev(2, "U", "a", 0, "y", ts=2, schema_ver=2)
+    e1.append(t2)
+    write_epochs(d, e0, e1)
+    # rewrite epoch 1 with `speaker` instead of `role`
+    p1 = os.path.join(d, "epoch-00001.parquet")
+    t = pq.read_table(p1).rename_columns(
+        ["speaker" if c == "role" else c for c in pq.read_table(p1).column_names]
+    )
+    pq.write_table(t, p1)
+    _, res = run(d, lake)
+    got = final_table_pandas(lake)
+    assert "speaker" in got.columns and "role" not in got.columns
+    assert list(got["text"]) == ["y"]
+    assert res["schema_version"] == 2
+
+
+def test_add_column_backfills_null(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    add = json.dumps({"action": "add_column", "name": "tool", "type": "string"})
+    e0 = [ev(0, "I", "a", 0, "pre", ts=0)]
+    e1 = [ev(1, "DDL", None, None, ddl=add, schema_ver=2, ts=1),
+          ev(2, "I", "b", 0, "post", ts=2, tool="search", schema_ver=2)]
+    write_epochs(d, e0, e1)
+    # epoch 0 physically lacks `tool`
+    p0 = os.path.join(d, "epoch-00000.parquet")
+    pq.write_table(pq.read_table(p0).drop_columns(["tool"]), p0)
+    _, _ = run(d, lake)
+    got = final_table_pandas(lake).set_index("conv_id")
+    assert got.loc["a", "tool"] is None or pd.isna(got.loc["a", "tool"])
+    assert got.loc["b", "tool"] == "search"
+
+
+# ------------------------------------------------------------- changed cells
+def test_changed_cells_update_merges_non_null(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    e0 = [ev(0, "I", "a", 0, "full", ts=0, role="user"),
+          {**ev(1, "U", "a", 0, None, ts=5, role=None), "text": None, "role": "assistant"}]
+    write_epochs(d, e0)
+    _, _ = run(d, lake, changed_cells_updates=True)
+    got = final_table_pandas(lake)
+    assert got["text"].iloc[0] == "full"          # unchanged cell survives
+    assert got["role"].iloc[0] == "assistant"     # changed cell applied
+
+
+# ------------------------------------------------------------------ skew
+def test_skewed_one_huge_conversation(tmp_path):
+    spec = GenSpec(seed=3, n_conversations=5, max_turns=4, n_events=600,
+                   n_epochs=2, zipf_a=2.0)
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, spec)
+    _, _ = run(d, lake)
+    oracle_df, _ = replay_oracle(generate_changelog(spec))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+
+
+# ------------------------------------------------------------------ bootstrap
+def test_bootstrap_snapshot_prefix(tmp_path):
+    import ray.data as rd
+
+    from rayrep.bootstrap import bootstrap_snapshot
+    from rayrep.gen import T0_US
+
+    base = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "b"],
+            "turn_idx": np.array([0, 1, 0], dtype="int32"),
+            "role": ["user", "assistant", "user"],
+            "text": ["hi", "hello", "yo"],
+            "ts": pd.to_datetime([T0_US] * 3, unit="us"),
+        }
+    )
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    m = bootstrap_snapshot(rd.from_pandas(base), d, ts_us=T0_US)
+    assert m == {"rows": 3, "next_seq": 3}
+    # tail epoch continues after the snapshot
+    write_epochs_dir = [ev(3, "U", "a", 0, "hi2", ts=50)]
+    tbl = pa.Table.from_pylist(write_epochs_dir, schema=CHANGELOG_SCHEMA)
+    pq.write_table(tbl, os.path.join(d, "epoch-00001.parquet"))
+    _, res = run(d, lake)
+    got = final_table_pandas(lake)
+    assert len(got) == 3 and got[got.turn_idx == 0].set_index("conv_id").loc["a", "text"] == "hi2"
