@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``topk_cosine``: brute-force cosine top-k — the correctness baseline.
+  The query matrix is broadcast once (``ray.put``), each batch does one
+  normalized matmul and emits only its local top-k, the tiny per-batch
+  winners are merged by a global sort+limit. Shuffled bytes: O(batches×k),
+  never the corpus.
+- ``IVFIndex``: the scale path — coarse k-means centroids trained on a
+  driver-side sample, assignments per batch, search restricted to the
+  ``nprobe`` closest cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _stack(col) -> np.ndarray:
+    # float64 scoring: rank parity with SQL oracles (DuckDB computes cosine
+    # in double) at negligible cost for the dims involved
+    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
+class _BatchTopK:
+    """Stateful scorer: fetches the broadcast query matrix once per actor."""
+
+    def __init__(self, query_ref, k: int, id_col: str, emb_col: str):
+        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
+        self.q = _normalize(np.atleast_2d(np.asarray(q, dtype=np.float64)))  # (Q, d)
+        self.k = k
+        self.id_col, self.emb_col = id_col, emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_stack(batch.column(self.emb_col)))         # (N, d)
+        sims = m @ self.q.T                                        # (N, Q)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_ids, out_q, out_s = [], [], []
+        k = min(self.k, len(ids))
+        for qi in range(self.q.shape[0]):
+            s = sims[:, qi]
+            top = np.argpartition(-s, k - 1)[:k] if k < len(ids) else np.arange(len(ids))
+            out_ids.append(ids[top])
+            out_q.append(np.full(len(top), qi, dtype=np.int32))
+            out_s.append(s[top].astype(np.float64))
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_ids)),
+            "cosine": pa.array(np.concatenate(out_s)),
+        })
+
+
+def topk_cosine(
+    ds: rd.Dataset, query: np.ndarray, k: int = 10,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    concurrency=(1, 4),
+) -> rd.Dataset:
+    """Global cosine top-k per query row. Deterministic tie-break:
+    (cosine desc, id asc)."""
+    ref = ray.put(np.asarray(query, dtype=np.float32))
+    partial = ds.map_batches(
+        _BatchTopK,
+        fn_constructor_kwargs=dict(query_ref=ref, k=k, id_col=id_col, emb_col=emb_col),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+    )
+    ranked = partial.sort(["query_idx", "cosine", id_col], descending=[False, True, False])
+
+    def head_per_query(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            group, sort_keys=[("cosine", "descending"), (id_col, "ascending")]
+        )
+        return group.take(idx[:k])
+
+    return ranked.groupby("query_idx").map_groups(head_per_query, batch_format="pyarrow")
+
+
+class IVFIndex:
+    """IVF (inverted-file) approximate search: coarse centroids from a
+    seeded mini k-means over a sample, per-batch cell assignment, query
+    probes only the ``nprobe`` nearest cells. At cluster scale the
+    assignment column doubles as the partition key for a cell-partitioned
+    layout (`write_parquet(partition_cols=["cell"])`)."""
+
+    def __init__(self, n_cells: int = 16, iters: int = 10, seed: int = 42):
+        self.n_cells, self.iters, self.seed = n_cells, iters, seed
+        self.centroids: np.ndarray | None = None
+
+    def train(self, sample: np.ndarray) -> "IVFIndex":
+        x = _normalize(np.asarray(sample, dtype=np.float32))
+        rng = np.random.default_rng(self.seed)
+        c = x[rng.choice(len(x), size=min(self.n_cells, len(x)), replace=False)]
+        for _ in range(self.iters):
+            assign = (x @ c.T).argmax(axis=1)
+            for j in range(len(c)):
+                members = x[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c = _normalize(c)
+        self.centroids = c
+        return self
+
+    def assign_batch(self, batch: pa.Table, emb_col: str = "embedding") -> pa.Table:
+        m = _normalize(_stack(batch.column(emb_col)))
+        cell = (m @ self.centroids.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cell))
+
+    def search(
+        self, ds: rd.Dataset, query: np.ndarray, k: int = 10, nprobe: int = 4,
+        id_col: str = "vec_id", emb_col: str = "embedding",
+    ) -> rd.Dataset:
+        q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float32)))
+        cells = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        probe = set(np.unique(cells).tolist())
+        me = self
+
+        def in_probe(batch: pa.Table) -> pa.Table:
+            t = me.assign_batch(batch, emb_col)
+            import pyarrow.compute as pc
+
+            return t.filter(pc.is_in(t["cell"], value_set=pa.array(sorted(probe), pa.int32())))
+
+        candidates = ds.map_batches(in_probe, batch_format="pyarrow")
+        return topk_cosine(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
+
+
+def train_ivf_from_dataset(
+    ds: rd.Dataset, emb_col: str = "embedding", sample_rows: int = 2048, **kw
+) -> IVFIndex:
+    """Driver-side training sample via limit() — bounded, never the corpus."""
+    sample = ds.limit(sample_rows).to_pandas()[emb_col]
+    return IVFIndex(**kw).train(np.stack(sample.to_numpy()))

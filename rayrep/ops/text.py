@@ -1,0 +1,189 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting. All kernels are vectorized over whole Arrow
+batches — token flattening + ``np.*.reduceat`` over per-doc offsets — no
+per-row Python in the hot path. Stateful pieces (compiled regexes, stopword
+profiles, hash coefficients) live in callable classes instantiated once per
+actor/process.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols —
+# the GPT-2 pre-tokenize shape without the merges table.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "zu", "mit"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "pas", "que", "pour"},
+    "es": {"el", "la", "los", "y", "es", "un", "una", "que", "no", "por"},
+}
+
+
+def _tokens_and_offsets(texts: pa.ChunkedArray | pa.Array):
+    """Split every doc on whitespace (vectorized); return the flattened
+    token array plus per-doc offsets for segment reductions."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, offsets
+
+
+def _segment_counts(offsets: np.ndarray) -> np.ndarray:
+    return np.diff(offsets)
+
+
+class TextStats:
+    """Per-doc counts: whitespace tokens, regex (BPE-ish) tokens, chars,
+    punctuation/digit counts, stopword ratio, and a quality score in [0,1]
+    (heuristics in the C4/Gopher-rules family: length, symbol density,
+    stopword presence)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.stop_en = pa.array(sorted(_STOPWORDS["en"]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = len(text)
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        tok_counts = pc.list_value_length(
+            pc.extract_regex_span(text, pattern=TOKEN_RE)
+        ).cast(pa.int64()) if hasattr(pc, "extract_regex_span") else None
+        if tok_counts is None:
+            tok_counts = pc.count_substring_regex(text, pattern=TOKEN_RE).cast(pa.int64())
+        # whitespace token count on TRIMMED text (defined identically to the
+        # SQL oracle: length(regexp_split_to_array(trim(text), '\s+')))
+        trimmed = pc.utf8_trim_whitespace(text)
+        ws_counts = pc.add(
+            pc.count_substring_regex(trimmed, pattern=r"\s+").cast(pa.int64()), 1
+        )
+        n_punct = pc.count_substring_regex(text, pattern=r"[^\w\s]").cast(pa.int64())
+        n_digit = pc.count_substring_regex(text, pattern=r"[0-9]").cast(pa.int64())
+
+        flat, offsets = _tokens_and_offsets(text)
+        lower = pc.utf8_lower(flat)
+        is_stop = pc.is_in(lower, value_set=self.stop_en)
+        stops = np.add.reduceat(
+            np.concatenate([is_stop.to_numpy(zero_copy_only=False).astype(np.int64), [0]]),
+            np.minimum(offsets[:-1], max(len(flat) - 1, 0)),
+        ) if len(flat) else np.zeros(n, dtype=np.int64)
+        tok_n = np.maximum(_segment_counts(offsets), 1)
+        stop_ratio = stops / tok_n
+
+        nc = n_chars.to_numpy(zero_copy_only=False).astype(np.float64)
+        punct_ratio = n_punct.to_numpy(zero_copy_only=False) / np.maximum(nc, 1)
+        # quality: long enough, not symbol-soup, has stopwords
+        quality = (
+            np.clip(nc / 200.0, 0, 1) * 0.4
+            + np.clip(1.0 - 4.0 * punct_ratio, 0, 1) * 0.3
+            + np.clip(stop_ratio * 5.0, 0, 1) * 0.3
+        )
+        out = batch
+        for name, col in [
+            ("n_chars_calc", n_chars),
+            ("token_count", ws_counts),
+            ("bpe_token_count", tok_counts),
+            ("n_punct", n_punct),
+            ("n_digit", n_digit),
+            ("stop_ratio", pa.array(stop_ratio)),
+            ("quality", pa.array(quality)),
+        ]:
+            out = out.append_column(name, col)
+        return out
+
+
+class LangId:
+    """N-gram/stopword-profile language ID heuristic: score each doc's
+    lowercase tokens against per-language stopword sets; argmax wins,
+    'und' (undetermined) when nothing matches. Profiles are built once per
+    actor — the canonical stateful map_batches stage."""
+
+    LANGS = ["en", "de", "fr", "es"]
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.sets = [pa.array(sorted(_STOPWORDS[lang])) for lang in self.LANGS]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        flat, offsets = _tokens_and_offsets(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        )
+        lower = pc.utf8_lower(flat)
+        n = batch.num_rows
+        scores = np.zeros((len(self.LANGS), n), dtype=np.int64)
+        if len(flat):
+            starts = np.minimum(offsets[:-1], len(flat) - 1)
+            for i, vs in enumerate(self.sets):
+                hits = pc.is_in(lower, value_set=vs).to_numpy(zero_copy_only=False)
+                scores[i] = np.add.reduceat(
+                    np.concatenate([hits.astype(np.int64), [0]]), starts
+                )
+        best = scores.argmax(axis=0)
+        lang = np.array(self.LANGS, dtype="U3")[best]
+        lang[scores.max(axis=0) == 0] = "und"
+        return batch.append_column("lang_pred", pa.array(lang))
+
+
+class Fingerprint:
+    """Winnowing-style document fingerprint: minimum 64-bit polynomial
+    rolling hash over all k-byte grams of the doc (a 1-perm MinHash). The
+    rolling hash runs once over the batch's concatenated bytes with doc
+    boundaries masked out, then ``np.minimum.reduceat`` segments per doc —
+    zero Python per row."""
+
+    B = np.uint64(1099511628211)  # FNV prime as the base
+
+    def __init__(self, text_col: str = "text", k: int = 8):
+        self.text_col = text_col
+        self.k = k
+        # precompute B^k for the rolling update
+        bk = np.uint64(1)
+        for _ in range(k):
+            bk = np.uint64(bk * self.B)
+        self.bk = bk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n = batch.num_rows
+        texts = text.to_pylist()
+        data = "\x00".join(t or "" for t in texts).encode("utf-8", "ignore")
+        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        if len(arr) < self.k:
+            return batch.append_column("fingerprint", pa.array(np.zeros(n, np.int64)))
+        with np.errstate(over="ignore"):
+            # content-invariant k-gram hash: fixed weight vector over each
+            # window (k vectorized passes, no per-row Python)
+            g = np.zeros(len(arr) - self.k + 1, dtype=np.uint64)
+            w = np.uint64(1)
+            for j in range(self.k):
+                g += arr[j : len(arr) - self.k + 1 + j] * w
+                w = np.uint64(w * self.B)
+            g = (g ^ (g >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+            g = g ^ (g >> np.uint64(33))
+        lens = np.array([len((t or "").encode("utf-8", "ignore")) for t in texts],
+                        dtype=np.int64)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        # mask grams that cross the \x00 doc separator, then segment-min
+        valid_end = starts + np.maximum(lens - self.k + 1, 0)
+        pos = np.arange(len(g), dtype=np.int64)
+        doc_of = np.searchsorted(starts, pos, side="right") - 1
+        invalid = pos >= valid_end[doc_of]
+        g[invalid] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        starts_c = np.minimum(starts, len(g) - 1)
+        mins = np.minimum.reduceat(g, starts_c)
+        mins[lens < self.k] = 0
+        return batch.append_column("fingerprint", pa.array(mins.view(np.int64)))

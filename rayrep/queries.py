@@ -1,0 +1,479 @@
+"""Driver-conformance queries: each operator from SURVEY.md §2 (plus the
+training-data ops) expressed over the driver's /root/testdata tables, with
+matching ANSI-SQL oracles for DuckDB (FIXTURES.md §5).
+
+Column-name discipline: every computed column is named identically in the
+Ray pipeline and the SQL (the driver's compare sorts columns by name and
+hashes values). Float aggregates are rounded to 3 decimals ON BOTH SIDES
+so summation-order differences can't flip the hash.
+
+Each callable takes ``sf_dir`` and returns a Dataset / DataFrame / Table.
+None of them calls ray.init (driver owns the session).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data as rd
+
+# mid-stream literal inside the events table's Jan-2024 span at every sf
+TT_CUTOFF = "2024-01-15 00:00:00"
+EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _events(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=columns)
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------- CDC core
+def _latest_per_user(group: pa.Table) -> pa.Table:
+    """Vectorized argmax-(ts, event_id) per user within a partition — the
+    generic form of the applier's LWW reduction (J3/A4)."""
+    idx = pc.sort_indices(
+        group,
+        sort_keys=[("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")],
+    )
+    g = group.take(idx)
+    users = g.column("user_id").to_numpy()
+    last = np.ones(len(users), dtype=bool)
+    if len(users) > 1:
+        last[:-1] = users[1:] != users[:-1]
+    return g.filter(pa.array(last)).select(EVENT_COLS)
+
+
+def _add_part(batch: pa.Table, num_partitions: int = 16, key: str = "user_id") -> pa.Table:
+    pid = (batch.column(key).to_numpy() % num_partitions).astype(np.int32)
+    return batch.append_column("part_id", pa.array(pid))
+
+
+def cdc_lww_latest(sf_dir: str) -> rd.Dataset:
+    """Latest row per user_id by (ts, event_id) — the engine's LWW upsert
+    (J3) over the events changelog-analog. One hash shuffle on the key."""
+    ds = _events(sf_dir)
+    ds = ds.map_batches(_add_part, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("part_id").map_groups(_latest_per_user, batch_format="pyarrow")
+
+
+def cdc_time_travel(sf_dir: str) -> rd.Dataset:
+    """As-of reconstruction (J4): same LWW with ts <= T pushed to the read."""
+    cutoff = pa.scalar(pd.Timestamp(TT_CUTOFF), pa.timestamp("us"))
+    ds = _events(sf_dir)
+    ds = ds.map_batches(
+        lambda t, c=cutoff: t.filter(pc.less_equal(t["ts"], c)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    ds = ds.map_batches(_add_part, batch_format="pyarrow")
+    return ds.groupby("part_id").map_groups(_latest_per_user, batch_format="pyarrow")
+
+
+def cdc_daily_counts(sf_dir: str) -> pd.DataFrame:
+    """Daily-delta aggregation (S7/M8/A5): UTC yyyymmdd windows. Partial
+    per-batch aggregation before the tiny groupby — the pre-aggregate
+    pattern (A1)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(batch.column("ts"), format="%Y%m%d")
+        t = pa.table({
+            "day": day, "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        })
+        df = t.to_pandas().groupby(["day", "event_type"], as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    out = partials.groupby(["day", "event_type"]).aggregate(
+        Sum("n", alias_name="n"), Sum("sum_value", alias_name="sum_value")
+    ).to_pandas()
+    out["sum_value"] = out["sum_value"].round(3)
+    return out
+
+
+def cdc_event_type_filter(sf_dir: str) -> pd.DataFrame:
+    """Table-filter regex (M7, CHANGES.txt:41-42 analog) + per-type counts."""
+    ds = _events(sf_dir, columns=["event_type"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.match_substring_regex(t["event_type"], r"^(click|view)$")),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    return ds.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+
+
+def cdc_counters(sf_dir: str) -> pd.DataFrame:
+    """Per-table row/event counters (A1/T5): counts + distinct writers."""
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    # exact distinct: per-batch local dedup (shrinks the shuffle), then a
+    # two-level groupby — dedup pairs, count pairs per type
+    pairs = ds.map_batches(
+        lambda t: pa.Table.from_pandas(
+            t.to_pandas().drop_duplicates(["event_type", "user_id"]), preserve_index=False
+        ),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    distinct = (
+        pairs.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+        .groupby("event_type").aggregate(Count(alias_name="users")).to_pandas()
+    )
+    counts = ds.groupby("event_type").aggregate(Count(alias_name="n")).to_pandas()
+    return counts.merge(distinct, on="event_type")
+
+
+# ----------------------------------------------------- generic relational
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), batch.column("l_discount"))
+        )
+        return batch.append_column("disc_price", disc)
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ["sum_qty", "sum_base_price", "sum_disc_price"]:
+        out[c] = out[c].round(3)
+    return out
+
+
+def top_orders(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+
+
+def orders_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (J2 pattern): customer dim is ray.put once, looked up
+    per batch — no shuffle join for a small side."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class Lookup:
+        def __init__(self, r):
+            self.m = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            seg = batch.column("o_custkey").to_pandas().map(self.m)
+            return batch.append_column("c_mktsegment", pa.array(seg.astype(str)))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(Lookup, fn_constructor_kwargs={"r": ref},
+                       batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(3)
+    return out
+
+
+def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
+    """Two chained broadcast lookups (customer → nation) — the multi-dim
+    star-join without any shuffle."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    cust_to_nation = dict(
+        zip(cust["c_custkey"], cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"]))))
+    )
+    ref = ray.put(cust_to_nation)
+
+    class Lookup:
+        def __init__(self, r):
+            self.m = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            n = batch.column("o_custkey").to_pandas().map(self.m)
+            return batch.append_column("n_name", pa.array(n.astype(str)))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        ds.map_batches(Lookup, fn_constructor_kwargs={"r": ref},
+                       batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(3)
+    return out
+
+
+# ------------------------------------------------------- training-data ops
+def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    from rayrep.ops.dedup import add_content_hash
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id")
+        return pa.table({
+            "doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
+            "dup_count": pa.array([group.num_rows], pa.int64()),
+        })
+
+    return hashed.groupby("content_hash").map_groups(keep, batch_format="pyarrow").to_pandas()
+
+
+def token_stats(sf_dir: str) -> pd.DataFrame:
+    from rayrep.ops.text import TextStats
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(TextStats, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "n_chars_calc", "token_count", "n_punct", "n_digit"]]
+
+
+def lang_id_pred(sf_dir: str) -> pd.DataFrame:
+    from rayrep.ops.text import LangId
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "lang_pred"]]
+
+
+def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
+    from rayrep.ops.text import Fingerprint
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = ds.map_batches(Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
+                         concurrency=(1, 4)).to_pandas()
+    return out[["doc_id", "fingerprint"]]
+
+
+def dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    from rayrep.ops.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.7)
+
+
+def dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    from rayrep.ops.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3)
+
+
+def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
+    """The driver's embeddings are near-orthogonal (no genuine near-dups),
+    so the fixture plants deterministic jittered copies (vec_id + 10^6) and
+    the operator must recover the planted pairs — a self-validating
+    recall check for the LSH + verify pipeline."""
+    from rayrep.ops.dedup import embedding_neardup
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float32)
+    rng = np.random.default_rng(42)
+    jit = m + 0.01 * rng.standard_normal(m.shape).astype(np.float32)
+    ids = t["vec_id"].to_numpy()
+    both = pa.table({
+        "vec_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
+        "embedding": pa.array([v.tolist() for v in np.concatenate([m, jit])],
+                              type=pa.list_(pa.float32())),
+    })
+    return embedding_neardup(rd.from_arrow(both), threshold=0.98, planes=8)
+
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    idx = pc.index(t["vec_id"], pa.scalar(0, pa.int64())).as_py()
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def ann_topk(sf_dir: str) -> pd.DataFrame:
+    from rayrep.ops.similarity import topk_cosine
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = topk_cosine(ds, _query_vec(sf_dir), k=10).to_pandas()
+    return out[["vec_id"]]
+
+
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    from rayrep.ops.similarity import train_ivf_from_dataset
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    idx = train_ivf_from_dataset(ds, n_cells=8, sample_rows=2048)
+    out = idx.search(ds, _query_vec(sf_dir), k=10, nprobe=4).to_pandas()
+    return out[["vec_id"]]
+
+
+# --------------------------------------------------- flagship CDC replay
+def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
+    """The flagship: full streaming CDC replay (augment → shuffle → applier
+    → manifests) on a deterministic changelog sized to the sf tier; returns
+    the converged transcript table. Verified in pytest against the Python
+    oracle; the driver records a rows-only check here (non-SQL: schema
+    evolution + exactly-once manifests)."""
+    import tempfile
+
+    from rayrep.config import EngineConfig
+    from rayrep.gen import GenSpec, write_changelog
+    from rayrep.pipeline import final_table_pandas, replay
+
+    n_events = max(2000, pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows)
+    d = tempfile.mkdtemp(prefix="rayrep_q_")
+    cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
+    write_changelog(cl, GenSpec(seed=42, n_events=n_events,
+                                n_conversations=max(50, n_events // 50),
+                                n_epochs=4, zipf_a=1.1))
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
+                       applier_concurrency=4)
+    replay(cfg)
+    return final_table_pandas(lake)
+
+
+# ------------------------------------------------------------------ registry
+def queries() -> dict:
+    return {
+        "cdc_lww_latest": cdc_lww_latest,
+        "cdc_time_travel": cdc_time_travel,
+        "cdc_daily_counts": cdc_daily_counts,
+        "cdc_event_type_filter": cdc_event_type_filter,
+        "cdc_counters": cdc_counters,
+        "q1_pricing_summary": q1_pricing_summary,
+        "top_orders": top_orders,
+        "orders_by_segment": orders_by_segment,
+        "revenue_by_nation": revenue_by_nation,
+        "dedup_exact": dedup_exact,
+        "token_stats": token_stats,
+        "lang_id_pred": lang_id_pred,
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "embedding_neardup_pairs": embedding_neardup_pairs,
+        "ann_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "cdc_replay_transcripts": cdc_replay_transcripts,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "cdc_lww_latest": f"""
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_time_travel": f"""
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            WHERE ts <= TIMESTAMP '{TT_CUTOFF}'
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_daily_counts": """
+            SELECT strftime(ts, '%Y%m%d') AS day, event_type,
+                   count(*) AS n, round(sum(value), 3) AS sum_value
+            FROM events GROUP BY day, event_type
+        """,
+        "cdc_event_type_filter": """
+            SELECT event_type, count(*) AS n
+            FROM events WHERE regexp_matches(event_type, '^(click|view)$')
+            GROUP BY event_type
+        """,
+        "cdc_counters": """
+            SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
+            FROM events GROUP BY event_type
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 3) AS sum_qty,
+                   round(sum(l_extendedprice), 3) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 3) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "revenue_by_nation": """
+            SELECT n_name, count(*) AS n, round(sum(o_totalprice), 3) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   length(regexp_split_to_array(trim(text), '\s+')) AS token_count,
+                   length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+            FROM documents
+        """,
+        "ann_topk": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        # lang_id_pred / doc_fingerprint / dedup_minhash / dedup_simhash /
+        # embedding_neardup_pairs / ann_ivf_topk / cdc_replay_transcripts:
+        # non-SQL-expressible (heuristics, LSH randomness, stateful engine)
+        # → rows-only checks; correctness covered by pytest oracles.
+    }

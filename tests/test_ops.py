@@ -1,0 +1,157 @@
+"""Training-data operators: dedup, similarity, text analysis, multimodal
+plumbing."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from rayrep.ops.dedup import (
+    MinHasher,
+    embedding_neardup,
+    exact_dedup,
+    minhash_dedup,
+    ngram_jaccard_verify,
+    simhash_dedup,
+    union_find,
+)
+from rayrep.ops.multimodal import (
+    AudioFeatures,
+    DecodeImage,
+    SampleFrames,
+    synthesize_media_table,
+)
+from rayrep.ops.similarity import topk_cosine, train_ivf_from_dataset
+from rayrep.ops.text import Fingerprint, LangId, TextStats
+
+DOCS = pd.DataFrame(
+    {
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "the quick brown fox jumps over the lazy dog near the river bank",
+            "the quick brown fox jumps over the lazy dog near the river bank",  # exact dup of 0
+            "the quick brown fox jumps over the lazy dog near a river bank",    # near dup of 0
+            "der hund ist nicht ein kleiner vogel und die katze ist mit",        # german
+            "completely different content about machine learning and data",
+            "le chat est un animal et la porte est pour le jardin que",          # french
+        ],
+    }
+)
+
+
+@pytest.fixture()
+def docs_ds():
+    return rd.from_pandas(DOCS)
+
+
+def test_text_stats(docs_ds):
+    out = docs_ds.map_batches(TextStats(), batch_format="pyarrow").to_pandas()
+    row0 = out[out.doc_id == 0].iloc[0]
+    assert row0["token_count"] == 13
+    assert row0["n_chars_calc"] == len(DOCS["text"][0])
+    assert row0["stop_ratio"] > 0.2
+    assert 0 <= row0["quality"] <= 1
+
+
+def test_lang_id(docs_ds):
+    out = docs_ds.map_batches(LangId(), batch_format="pyarrow").to_pandas()
+    langs = out.set_index("doc_id")["lang_pred"]
+    assert langs[0] == "en" and langs[3] == "de" and langs[5] == "fr"
+
+
+def test_fingerprint_batch_invariant():
+    fp = Fingerprint()
+    a = fp(pa.table({"text": ["hello world document one", "zzz other"]}))
+    b = fp(pa.table({"text": ["prefix pad pad pad", "hello world document one"]}))
+    assert a["fingerprint"][0].as_py() == b["fingerprint"][1].as_py()
+    assert a["fingerprint"][0].as_py() != a["fingerprint"][1].as_py()
+
+
+def test_exact_dedup(docs_ds):
+    out = exact_dedup(docs_ds).to_pandas()
+    assert len(out) == 5                      # 6 docs, one exact dup removed
+    assert 0 in set(out.doc_id) and 1 not in set(out.doc_id)  # min id kept
+
+
+def test_minhash_dedup(docs_ds):
+    rep = minhash_dedup(docs_ds, threshold=0.5).set_index("doc_id")["rep"]
+    assert rep[0] == rep[1] == rep[2] == 0    # exact + near dup cluster to min id
+    assert rep[4] == 4                        # distinct content stays alone
+
+
+def test_simhash_dedup(docs_ds):
+    rep = simhash_dedup(docs_ds, max_hamming=8).set_index("doc_id")["rep"]
+    assert rep[0] == rep[1] == 0
+    assert rep[4] == 4
+
+
+def test_ngram_jaccard_verify(docs_ds):
+    pairs = pd.DataFrame({"a": [0, 0], "b": [1, 4]})
+    out = ngram_jaccard_verify(docs_ds, pairs, threshold=0.5)
+    assert list(out["a"]) == [0] and list(out["b"]) == [1]
+    assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_union_find():
+    rep = union_find([1, 2, 3, 4], [(1, 2), (2, 3)])
+    assert rep[1] == rep[2] == rep[3] == 1 and rep[4] == 4
+
+
+def test_embedding_neardup():
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal(16).astype(np.float32)
+    vecs = [base, base + 0.01 * rng.standard_normal(16).astype(np.float32),
+            rng.standard_normal(16).astype(np.float32)]
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": np.array([0, 1, 2], dtype=np.int64),
+                                      "embedding": [v.tolist() for v in vecs]}))
+    pairs = embedding_neardup(ds, threshold=0.98, planes=4)
+    assert {(int(a), int(b)) for a, b in zip(pairs.a, pairs.b)} == {(0, 1)}
+
+
+def test_topk_cosine_matches_bruteforce():
+    rng = np.random.default_rng(1)
+    m = rng.standard_normal((200, 8)).astype(np.float32)
+    q = rng.standard_normal(8).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": np.arange(200, dtype=np.int64),
+                                      "embedding": [v.tolist() for v in m]}))
+    got = topk_cosine(ds, q, k=5).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    expect = np.argsort(-(mn @ qn))[:5]
+    assert list(got["vec_id"]) == list(expect)
+
+
+def test_ivf_full_probe_equals_bruteforce():
+    rng = np.random.default_rng(2)
+    m = rng.standard_normal((300, 8)).astype(np.float32)
+    q = rng.standard_normal(8).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": np.arange(300, dtype=np.int64),
+                                      "embedding": [v.tolist() for v in m]}))
+    idx = train_ivf_from_dataset(ds, n_cells=8, sample_rows=300)
+    got = idx.search(ds, q, k=5, nprobe=8).to_pandas()
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    expect = np.argsort(-(mn @ qn))[:5]
+    assert list(got["vec_id"]) == list(expect)
+
+
+def test_multimodal_plumbing():
+    media = synthesize_media_table(32)
+    ds = rd.from_arrow(media)
+    feats = ds.map_batches(DecodeImage, fn_constructor_kwargs={"decoder": "fake"},
+                           batch_format="pyarrow", batch_size=8,
+                           concurrency=(1, 2)).to_pandas()
+    assert len(feats) == 32 and len(feats["feature"].iloc[0]) == 64
+    # determinism: same payload -> same feature
+    f2 = DecodeImage(decoder="fake")(media)
+    assert np.allclose(np.stack(feats.sort_values("media_id")["feature"]),
+                       np.stack(f2["feature"].to_numpy(zero_copy_only=False)))
+    frames = ds.map_batches(SampleFrames, fn_constructor_kwargs={"decoder": "fake"},
+                            batch_format="pyarrow", batch_size=8,
+                            concurrency=(1, 2)).to_pandas()
+    assert frames.groupby("media_id").size().min() >= 1
+    audio = AudioFeatures(decoder="fake")(media)
+    assert audio.num_rows == 32
+    with pytest.raises(NotImplementedError):
+        DecodeImage(decoder="real")(media)
