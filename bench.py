@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline CDC replay plus representative operator queries
+over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and
+print ONE JSON line::
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "replay_events": E, "replay_events_per_sec": X}
+
+``--headline-only``: replay timing only (used by the scaling runs).
+``--scaling``: run the SAME cached changelog in two fresh processes at
+``$BENCH_LO``/``$BENCH_HI`` CPUs (default 8/32), report both throughputs +
+scaling efficiency, append the result to BENCH/BASELINE.md.
+
+The changelog input is cached under /tmp/rayrep_bench (same bytes for
+every run/process — the scaling comparison is apples-to-apples) and a
+small untimed warmup replay spawns workers + warms the page cache first,
+so the timed section measures compute + shuffle, not process cold-start.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = "/tmp/rayrep_bench"
+# sf0.1 events table has 100k rows -> 20M-event replay (2 epochs of 10M);
+# epochs must be big enough that the sort barrier's fixed latency amortizes,
+# or the high-parallelism level never gets to use its extra CPUs
+EVENTS_PER_SF_ROW = int(os.environ.get("BENCH_EVENTS_PER_SF_ROW", "200"))
+
+
+def sf_tag() -> str:
+    return os.path.basename(os.path.normpath(SF_DIR))
+
+
+def changelog_events() -> int:
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(SF_DIR, "events.parquet")).num_rows
+    return max(100_000, n * EVENTS_PER_SF_ROW)
+
+
+def ensure_changelog(n_events: int) -> str:
+    """Generate (once) the deterministic bench changelog for this sf tier."""
+    cl = os.path.join(BENCH_ROOT, f"cl-{sf_tag()}-{n_events}")
+    marker = os.path.join(cl, "_gen_manifest.json")
+    if not os.path.exists(marker):
+        from rayrep.gen import GenSpec, write_changelog
+
+        shutil.rmtree(cl, ignore_errors=True)
+        write_changelog(
+            cl,
+            GenSpec(
+                seed=42,
+                n_events=n_events,
+                n_conversations=max(2000, n_events // 50),
+                max_turns=50,
+                n_epochs=2,
+                zipf_a=1.1,
+            ),
+        )
+    return cl
+
+
+def warmup() -> None:
+    from rayrep.config import EngineConfig
+    from rayrep.gen import GenSpec, write_changelog
+    from rayrep.pipeline import replay
+
+    wcl = os.path.join(BENCH_ROOT, "warmup-cl")
+    if not os.path.exists(os.path.join(wcl, "_gen_manifest.json")):
+        write_changelog(wcl, GenSpec(n_events=50_000, n_conversations=2000, n_epochs=1))
+    wlake = os.path.join(BENCH_ROOT, f"warmup-lake-{os.getpid()}")
+    replay(EngineConfig(changelog_dir=wcl, lake_dir=wlake, num_partitions=32))
+    shutil.rmtree(wlake, ignore_errors=True)
+
+
+def run_replay(cl: str, n_events: int) -> dict:
+    """Best of $BENCH_REPEATS (default 2) replays — the sandbox VM has
+    ±20% run-to-run noise; min is the standard noise-robust statistic."""
+    from rayrep.config import EngineConfig
+    from rayrep.pipeline import replay
+
+    best = None
+    for rep in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+        lake = os.path.join(BENCH_ROOT, f"lake-{os.getpid()}")
+        shutil.rmtree(lake, ignore_errors=True)
+        t0 = time.perf_counter()
+        res = replay(EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=32))
+        dt = time.perf_counter() - t0
+        assert res["totals"]["input_rows"] == n_events  # DDL isn't a row event
+        shutil.rmtree(lake, ignore_errors=True)
+        best = dt if best is None else min(best, dt)
+    return {"sec": best, "events_per_sec": n_events / best}
+
+
+def consume(res) -> int:
+    import pandas as pd
+
+    if isinstance(res, pd.DataFrame):
+        return len(res)
+    return res.count() if hasattr(res, "count") else len(res.to_pandas())
+
+
+def run_queries() -> dict[str, float]:
+    from rayrep import queries as q
+
+    timed = [
+        "cdc_lww_latest",
+        "cdc_daily_counts",
+        "q1_pricing_summary",
+        "orders_by_segment",
+        "dedup_exact",
+        "dedup_minhash",
+        "token_stats",
+        "ann_topk",
+    ]
+    out = {}
+    reg = q.queries()
+    for name in timed:
+        t0 = time.perf_counter()
+        consume(reg[name](SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main_bench(headline_only: bool) -> dict:
+    import ray
+
+    n_events = changelog_events()
+    cl = ensure_changelog(n_events)
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        warmup()
+        replay_stats = run_replay(cl, n_events)
+        queries = {} if headline_only else run_queries()
+    finally:
+        ray.shutdown()
+
+    queries = {"cdc_replay": round(replay_stats["sec"], 3), **queries}
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "rayrep bench: CDC replay + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_tag(),
+        "num_cpus": NUM_CPUS,
+        "replay_events": n_events,
+        "replay_events_per_sec": round(replay_stats["events_per_sec"]),
+    }
+
+
+def main_scaling() -> dict:
+    lo = int(os.environ.get("BENCH_LO", "8"))
+    hi = int(os.environ.get("BENCH_HI", "32"))
+    # generate the cache up front so neither timed process pays for it
+    ensure_changelog(changelog_events())
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = run(lo), run(hi)
+    thr_lo = r_lo["replay_events_per_sec"]
+    thr_hi = r_hi["replay_events_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    result = {
+        "metric": "scaling efficiency (replay events/sec, fresh processes)",
+        "sf": r_lo["sf"],
+        "replay_events": r_lo["replay_events"],
+        f"sec_{lo}": r_lo["queries"]["cdc_replay"],
+        f"sec_{hi}": r_hi["queries"]["cdc_replay"],
+        f"events_per_sec_{lo}": thr_lo,
+        f"events_per_sec_{hi}": thr_hi,
+        "cpus": [lo, hi],
+        "scaling_efficiency": round(eff, 3),
+        "per_cpu_throughput": {
+            str(lo): round(thr_lo / lo), str(hi): round(thr_hi / hi)
+        },
+    }
+    _append_bench_md(result)
+    return result
+
+
+def _append_bench_md(result: dict) -> None:
+    os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
+                exist_ok=True)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    lo, hi = result["cpus"]
+    with open(path, "a") as f:
+        f.write(
+            f"\n## Scaling run {stamp}\n\n"
+            f"- input: {result['replay_events']:,} events ({result['sf']}), same cached changelog for both levels\n"
+            f"- num_cpus={lo}: {result[f'sec_{lo}']}s = {result[f'events_per_sec_{lo}']:,} ev/s "
+            f"({result['per_cpu_throughput'][str(lo)]:,} ev/s/cpu)\n"
+            f"- num_cpus={hi}: {result[f'sec_{hi}']}s = {result[f'events_per_sec_{hi}']:,} ev/s "
+            f"({result['per_cpu_throughput'][str(hi)]:,} ev/s/cpu)\n"
+            f"- scaling efficiency (thr_hi/thr_lo)/({hi}/{lo}) = {result['scaling_efficiency']}\n"
+            f"- caveat: both levels share ONE machine's memory/IO bandwidth; "
+            f"shuffle bytes cross a single memory system, unlike a real {hi // lo}x-node cluster\n"
+        )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if "--scaling" in sys.argv:
+        print(json.dumps(main_scaling()))
+    else:
+        print(json.dumps(main_bench("--headline-only" in sys.argv)))

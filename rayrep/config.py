@@ -25,8 +25,18 @@ class EngineConfig:
     # stateless tasks by default (its per-actor state is a parsed schema —
     # microseconds to rebuild), set a value to force an actor pool.
     applier_concurrency: int = 8
+    # "tasks": applier runs as stateless Ray tasks (process-cached instance);
+    # state is durable in Parquet + manifests, so tasks are exactly as safe
+    # as actors and reuse warm worker processes across epochs (no per-epoch
+    # actor-pool spin-up — measured ~2x on replay). "actors": explicit
+    # autoscaling actor pool, useful when in-heap state caching across
+    # batches matters more than pool startup.
+    applier_mode: str = "tasks"
     augmenter_concurrency: int | None = None
-    batch_size: int = 16384          # moderate: `text` rows are wide
+    # Large batches keep block counts low through the sort shuffle (fewer
+    # blocks to merge in the reduce); at ~90 B/row of text this is ~12 MB
+    # per batch — well inside worker heap even × concurrency.
+    batch_size: int = 131072
     # Ops / semantics
     delta_output: bool = True        # daily-delta side output (CHANGES.txt:123, --delta CHANGES.txt:118)
     delta_tables: list[str] = field(default_factory=lambda: ["transcripts"])

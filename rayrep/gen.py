@@ -50,6 +50,7 @@ class GenSpec:
     n_epochs: int = 4
     ts_tie_grain_us: int = 1_000_000   # quantize ts to 1s so same-key ties occur
     ts_jitter_us: int = 3_000_000      # +/- jitter causing seq/ts inversions
+    files_per_epoch: int = 0           # 0 = auto (~500k rows/file); >1 enables parallel reads
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -134,7 +135,10 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
     txn_id = np.cumsum(rng.random(n) < 0.125).astype(np.int64)
 
     conv = all_key  # conv index per event
-    conv_ids = np.char.add("c", np.char.zfill(conv_of_key[conv].astype("U8"), 8))
+    # build the n_conversations distinct id strings once, then gather —
+    # O(n_keys) string work instead of O(n_events)
+    conv_id_pool = pa.array([f"c{i:08d}" for i in range(spec.n_conversations)])
+    conv_arr = conv_id_pool.take(pa.array(conv_of_key[conv]))
     turn_idx = turn_of_key[conv].astype(np.int32)
 
     op_str = np.array(["I", "U", "D"], dtype="U1")[all_op]
@@ -142,7 +146,6 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
     # payload: text encodes (conv, turn, seq) so the winning writer is
     # observable — the per-turn text-equality invariant (BASELINE.json).
     seq_str = pa.array(seq).cast(pa.string())
-    conv_arr = pa.array(conv_ids)
     turn_str = pa.array(turn_idx).cast(pa.string())
     text = pc.binary_join_element_wise(conv_arr, turn_str, seq_str, "-")
     roles = np.array(["user", "assistant", "system", "tool"], dtype="U9")
@@ -199,9 +202,12 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
 
 
 def write_changelog(out_dir: str, spec: GenSpec) -> dict:
-    """Write the changelog as epoch files. Pre-DDL epochs physically omit the
-    `tool` column (schema evolution is visible at the file level, like binlog
-    events written under the then-active schema)."""
+    """Write the changelog as one DIRECTORY of part files per epoch
+    (`epoch-{e:05d}/part-{i:04d}.parquet`) so the engine's read stage
+    parallelizes across files (a single big file = a single serial read
+    task). Pre-DDL epochs physically omit the `tool` column (schema
+    evolution visible at the file level, like binlog events written under
+    the then-active schema)."""
     os.makedirs(out_dir, exist_ok=True)
     table = generate_changelog(spec)
     n = table.num_rows
@@ -214,12 +220,18 @@ def write_changelog(out_dir: str, spec: GenSpec) -> dict:
         chunk = table.slice(int(bounds[e]), int(bounds[e + 1] - bounds[e]))
         if chunk.num_rows and pc.max(chunk["seq"]).as_py() < ddl_seq:
             chunk = chunk.drop_columns(["tool"])  # pre-DDL file: column absent
-        path = os.path.join(out_dir, f"epoch-{e:05d}.parquet")
-        pq.write_table(chunk, path)
+        nf = spec.files_per_epoch or max(1, chunk.num_rows // 500_000)
+        edir = os.path.join(out_dir, f"epoch-{e:05d}")
+        os.makedirs(edir, exist_ok=True)
+        fb = np.linspace(0, chunk.num_rows, nf + 1).astype(np.int64)
+        for i in range(nf):
+            part = chunk.slice(int(fb[i]), int(fb[i + 1] - fb[i]))
+            pq.write_table(part, os.path.join(edir, f"part-{i:04d}.parquet"))
         epochs.append(
             {
                 "epoch": e,
-                "file": os.path.basename(path),
+                "file": os.path.basename(edir),
+                "files": nf,
                 "rows": chunk.num_rows,
                 "min_seq": pc.min(chunk["seq"]).as_py() if chunk.num_rows else None,
                 "max_seq": pc.max(chunk["seq"]).as_py() if chunk.num_rows else None,

@@ -51,14 +51,17 @@ from rayrep.manifests import (
 from rayrep.registry import SchemaRegistry
 from rayrep.schema import SchemaVersion
 
-EPOCH_RE = re.compile(r"epoch-(\d+)\.parquet$")
+EPOCH_RE = re.compile(r"epoch-(\d+)(\.parquet)?$")
 
 
 def discover_epochs(changelog_dir: str) -> list[tuple[int, str]]:
+    """Epochs are either single files (`epoch-00000.parquet`, hand-built
+    fixtures) or directories of part files (`epoch-00000/part-*.parquet`,
+    the parallel-read layout the generator produces)."""
     out = []
-    for p in sorted(glob.glob(os.path.join(changelog_dir, "epoch-*.parquet"))):
+    for p in sorted(glob.glob(os.path.join(changelog_dir, "epoch-*"))):
         m = EPOCH_RE.search(p)
-        if m:
+        if m and (os.path.isdir(p) or p.endswith(".parquet")):
             out.append((int(m.group(1)), p))
     return out
 
@@ -116,6 +119,22 @@ def _augment(
     )
 
 
+def _applier_task_fn(group: pa.Table, kwargs: dict) -> pa.Table:
+    """Task-mode applier: one cached Applier instance per (worker process,
+    epoch config). Safe because every durable effect is deterministic-name
+    + atomic-rename (retried tasks overwrite, never append)."""
+    key = tuple(sorted((k, v) for k, v in kwargs.items()))
+    app = _APPLIER_CACHE.get(key)
+    if app is None:
+        _APPLIER_CACHE.clear()  # one epoch in flight at a time; drop stale
+        app = Applier(**kwargs)
+        _APPLIER_CACHE[key] = app
+    return app(group)
+
+
+_APPLIER_CACHE: dict = {}
+
+
 def _augment_task_fn(batch: pa.Table, kwargs: dict) -> pa.Table:
     # Schema parse + regex compile cost ~µs; caching per process via lru
     # keeps the task path as cheap as the actor path.
@@ -169,25 +188,32 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             for row in ds.limit(5).take_all():
                 print(json.dumps(row, default=str))
             continue
-        summaries = (
-            ds.groupby("part_id")
-            .map_groups(
+        applier_kwargs = {
+            "lake_dir": cfg.lake_dir,
+            "epoch": epoch,
+            "target_schema_json": target_json,
+            "changed_cells": cfg.changed_cells_updates,
+            "delta_output": cfg.delta_output,
+            "chaos_fraction": cfg.chaos_fraction,
+            "chaos_seed": cfg.chaos_seed,
+        }
+        grouped = ds.groupby("part_id")
+        if cfg.applier_mode == "tasks":
+            applied = grouped.map_groups(
+                _applier_task_fn,
+                fn_kwargs={"kwargs": applier_kwargs},
+                batch_format="pyarrow",
+                num_cpus=1,
+            )
+        else:
+            applied = grouped.map_groups(
                 Applier,
-                fn_constructor_kwargs={
-                    "lake_dir": cfg.lake_dir,
-                    "epoch": epoch,
-                    "target_schema_json": target_json,
-                    "changed_cells": cfg.changed_cells_updates,
-                    "delta_output": cfg.delta_output,
-                    "chaos_fraction": cfg.chaos_fraction,
-                    "chaos_seed": cfg.chaos_seed,
-                },
+                fn_constructor_kwargs=applier_kwargs,
                 batch_format="pyarrow",
                 concurrency=(1, cfg.applier_concurrency),
                 num_cpus=1,
             )
-            .take_all()
-        )  # tiny: one row per touched partition
+        summaries = applied.take_all()  # tiny: one row per touched partition
 
         ctr = zero_counters()
         max_ts = 0

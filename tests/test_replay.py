@@ -54,7 +54,7 @@ def test_generator_properties(changelog_dir):
     import numpy as np
 
     tables = []
-    for p in sorted(glob.glob(changelog_dir + "/epoch-*.parquet")):
+    for p in sorted(glob.glob(changelog_dir + "/epoch-*/part-*.parquet")):
         tables.append(pq.read_table(p).to_pandas())
     df = pd.concat(tables, ignore_index=True).sort_values("seq")
     seq = df["seq"].to_numpy()
