@@ -52,7 +52,7 @@ def changelog_events() -> int:
 
 def ensure_changelog(n_events: int) -> str:
     """Generate (once) the deterministic bench changelog for this sf tier."""
-    cl = os.path.join(BENCH_ROOT, f"cl-{sf_tag()}-{n_events}")
+    cl = os.path.join(BENCH_ROOT, f"cl-{sf_tag()}-{n_events}-e4")
     marker = os.path.join(cl, "_gen_manifest.json")
     if not os.path.exists(marker):
         from rayrep.gen import GenSpec, write_changelog
@@ -65,7 +65,7 @@ def ensure_changelog(n_events: int) -> str:
                 n_events=n_events,
                 n_conversations=max(2000, n_events // 50),
                 max_turns=50,
-                n_epochs=2,
+                n_epochs=4,
                 zipf_a=1.1,
             ),
         )
@@ -96,7 +96,14 @@ def run_replay(cl: str, n_events: int) -> dict:
         lake = os.path.join(BENCH_ROOT, f"lake-{os.getpid()}")
         shutil.rmtree(lake, ignore_errors=True)
         t0 = time.perf_counter()
-        res = replay(EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=32))
+        res = replay(
+            EngineConfig(
+                changelog_dir=cl,
+                lake_dir=lake,
+                num_partitions=32,
+                epochs_per_round=int(os.environ.get("BENCH_EPR", "4")),
+            )
+        )
         dt = time.perf_counter() - t0
         assert res["totals"]["input_rows"] == n_events  # DDL isn't a row event
         shutil.rmtree(lake, ignore_errors=True)
@@ -173,7 +180,7 @@ def main_scaling() -> dict:
     ensure_changelog(changelog_events())
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, check=True,
@@ -181,7 +188,15 @@ def main_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = run(lo), run(hi)
+    # interleave lo/hi rounds so machine drift (page cache, THP compaction)
+    # biases both levels equally; best-of per level
+    results: dict[int, dict] = {}
+    for ncpu in (lo, hi, lo, hi):
+        r = run(ncpu)
+        cur = results.get(ncpu)
+        if cur is None or r["replay_events_per_sec"] > cur["replay_events_per_sec"]:
+            results[ncpu] = r
+    r_lo, r_hi = results[lo], results[hi]
     thr_lo = r_lo["replay_events_per_sec"]
     thr_hi = r_hi["replay_events_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)

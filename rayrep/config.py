@@ -47,6 +47,12 @@ class EngineConfig:
     chaos_seed: int = 1234
     # Checkpointing
     state_snapshot_interval: int = 1  # snapshot partition state every k epochs
+    # Epochs applied per pipeline execution (one read→augment→shuffle→apply
+    # round). >1 amortizes the per-execution fixed cost (sort barrier,
+    # driver orchestration) over more data; commit/resume granularity
+    # becomes the round boundary. 1 = the reference-faithful per-epoch
+    # checkpoint cadence (default; bench raises it).
+    epochs_per_round: int = 1
     dry_run: bool = False            # STDOUT/JSON debug sink (CHANGES.txt:43,143)
 
     def to_json(self) -> str:

@@ -164,25 +164,36 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
     totals = dict(em.totals)
     per_epoch = []
 
-    for epoch, path in epochs:
-        if epoch < start:
-            continue
-        if end_epoch is not None and epoch > end_epoch:
-            break
+    pending = [
+        (e, p)
+        for e, p in epochs
+        if e >= start and (end_epoch is None or e <= end_epoch)
+    ]
+    k = max(1, cfg.epochs_per_round)
+    rounds = [pending[i : i + k] for i in range(0, len(pending), k)]
+
+    for rnd in rounds:
+        epoch = rnd[-1][0]  # commit frontier = last epoch of the round
         t0 = time.perf_counter()
         # M9/J2: DDL → registry (broadcast-small-side; never a shuffle).
-        registry.apply_ddl_events(extract_ddl_events(path))
+        for _, path in rnd:
+            registry.apply_ddl_events(extract_ddl_events(path))
         target_json = registry.current_json()
 
-        ds = rd.read_parquet(path)
-        ds = _augment(
-            ds,
-            target_json,
-            cfg.num_partitions,
-            cfg.table_filter_regex,
-            cfg.batch_size,
-            cfg.augmenter_concurrency,
-        )
+        parts = []
+        for _, path in rnd:
+            eds = rd.read_parquet(path)
+            parts.append(
+                _augment(
+                    eds,
+                    target_json,
+                    cfg.num_partitions,
+                    cfg.table_filter_regex,
+                    cfg.batch_size,
+                    cfg.augmenter_concurrency,
+                )
+            )
+        ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
         if cfg.dry_run:
             # STDOUT/JSON debug sink (CHANGES.txt:43,143): no side effects.
             for row in ds.limit(5).take_all():
@@ -240,6 +251,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         per_epoch.append(
             {
                 "epoch": epoch,
+                "round_epochs": [e for e, _ in rnd],
                 **ctr,
                 "chaos_retries": chaos_retries,
                 "wall_s": round(time.perf_counter() - t0, 4),

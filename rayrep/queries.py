@@ -353,6 +353,42 @@ def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id"]]
 
 
+# ------------------------------------------------- windows / as-of joins
+def sessionize_users(sf_dir: str) -> pd.DataFrame:
+    """Session windows (30-min gap) per user — the streaming-window custom
+    operator (SURVEY.md §2.9) over the events stream."""
+    from rayrep.ops.windows import sessionize
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id"])
+    out = sessionize(ds, key="user_id", ts_col="ts", tiebreak="event_id").to_pandas()
+    return out[["user_id", "n_sessions", "n_events"]]
+
+
+def asof_click_value(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each purchase picks the latest prior click's value for
+    the same user (backward inner as-of; tie on click ts broken by max
+    event_id, mirrored in the SQL oracle)."""
+    from rayrep.ops.windows import asof_join
+
+    ev = _events(sf_dir)
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]
+        ),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")),
+        batch_format="pyarrow",
+    )
+    out = asof_join(
+        purchases, clicks, key="user_id", ts_col="ts",
+        value_cols=["value"], right_tiebreak="event_id",
+    ).to_pandas()
+    out = out.rename(columns={"value": "click_value"})
+    return out[["event_id", "user_id", "ts", "click_value"]]
+
+
 # --------------------------------------------------- flagship CDC replay
 def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
     """The flagship: full streaming CDC replay (augment → shuffle → applier
@@ -399,6 +435,8 @@ def queries() -> dict:
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "sessionize_users": sessionize_users,
+        "asof_click_value": asof_click_value,
         "cdc_replay_transcripts": cdc_replay_transcripts,
     }
 
@@ -471,6 +509,33 @@ def oracle_sql() -> dict:
             ORDER BY list_cosine_similarity(embedding,
                 (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
             LIMIT 10
+        """,
+        "sessionize_users": """
+            SELECT user_id,
+                   CAST(sum(newsess) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS newsess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) GROUP BY user_id
+        """,
+        "asof_click_value": """
+            WITH p AS (
+                SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+            ), c AS (
+                SELECT user_id, ts, value FROM (
+                    SELECT user_id, ts, value,
+                           row_number() OVER (PARTITION BY user_id, ts
+                                              ORDER BY event_id DESC) AS rn
+                    FROM events WHERE event_type = 'click'
+                ) WHERE rn = 1
+            )
+            SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
+            FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         # lang_id_pred / doc_fingerprint / dedup_minhash / dedup_simhash /
         # embedding_neardup_pairs / ann_ivf_topk / cdc_replay_transcripts:
