@@ -402,8 +402,15 @@ def label_propagation(edges: rd.Dataset, rounds: int = 5) -> rd.Dataset:
         }),
         batch_format="pyarrow",
     )
-    labels = both.groupby("node").aggregate().map_batches(
-        lambda t: t.append_column("label", t["node"]), batch_format="pyarrow"
+    from ray.data.aggregate import Min as _Min
+
+    labels = (
+        both.groupby("node")
+        .aggregate(_Min("nbr", alias_name="_mn"))
+        .map_batches(
+            lambda t: t.drop_columns(["_mn"]).append_column("label", t["node"]),
+            batch_format="pyarrow",
+        )
     )
     for _ in range(rounds):
         lbl_map = labels.to_pandas().set_index("node")["label"]

@@ -1,0 +1,110 @@
+"""Coverage for the remaining SURVEY §2 surfaces: delta side-output
+content (S7), pluggable sinks (S5/S6), table-filter hook (M7), lake GC,
+distributed label propagation, YAML config loader (§2.10)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from rayrep.compact import gc_lake
+from rayrep.config import EngineConfig
+from rayrep.gen import GenSpec, write_changelog
+from rayrep.pipeline import final_table_pandas, replay
+
+from .test_scenarios import ev, run, write_epochs
+
+
+def test_delta_side_output_contents(tmp_path):
+    """S7: the delta dir holds exactly the APPLIED changes, stamped with
+    the forced-UTC yyyymmdd (CHANGES.txt:123,55 analog)."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    rows = [ev(0, "I", "a", 0, "x", ts=0),
+            ev(1, "U", "a", 0, "y", ts=5_000_000),
+            ev(2, "D", "a", 0, ts=10_000_000)]
+    write_epochs(d, rows)
+    run(d, lake)
+    files = glob.glob(os.path.join(lake, "delta", "*.parquet"))
+    assert files
+    delta = pq.read_table(files[0]).to_pandas()
+    assert len(delta) == 3                      # all three events applied
+    assert set(delta["change_date"]) == {"20231114"}
+    assert set(delta["op"]) == {"I", "U", "D"}
+
+
+def test_delta_disabled(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_epochs(d, [ev(0, "I", "a", 0, "x", ts=0)])
+    run(d, lake, delta_output=False)
+    assert not os.path.exists(os.path.join(lake, "delta"))
+
+
+def test_parquet_topic_and_counting_sinks(tmp_path):
+    from rayrep.sinks import CountingSink, ParquetTopicSink, write_delta_by_day
+
+    df = pd.DataFrame({"a": np.arange(100), "change_date": ["20240101"] * 50 + ["20240102"] * 50})
+    ds = rd.from_pandas(df)
+    out = ParquetTopicSink(str(tmp_path / "topics")).write(ds)
+    assert pq.read_table(out["topic_dir"]).num_rows == 100
+    assert CountingSink().write(rd.from_pandas(df)) ["rows"] == 100
+    # day-partitioned delta compaction (S7 downstream import layout)
+    ds.write_parquet(str(tmp_path / "delta_raw"))
+    res = write_delta_by_day(str(tmp_path / "delta_raw"), str(tmp_path / "delta_by_day"))
+    days = sorted(os.path.basename(p) for p in glob.glob(os.path.join(res["out_dir"], "*")))
+    assert days == ["change_date=20240101", "change_date=20240102"]
+
+
+def test_table_filter_regex(tmp_path):
+    """M7: a `table` column + filter regex selects which tables flow to
+    the applier (CHANGES.txt:41-42 analog)."""
+    import pyarrow as pa
+
+    from rayrep.schema import CHANGELOG_SCHEMA
+
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    rows = [ev(0, "I", "a", 0, "keepme", ts=0), ev(1, "I", "b", 0, "dropme", ts=0)]
+    tbl = pa.Table.from_pylist(rows, schema=CHANGELOG_SCHEMA)
+    tbl = tbl.append_column("table", pa.array(["transcripts", "other"]))
+    os.makedirs(d)
+    pq.write_table(tbl, os.path.join(d, "epoch-00000.parquet"))
+    _, res = run(d, lake, table_filter_regex="^transcripts$")
+    got = final_table_pandas(lake)
+    assert list(got["text"]) == ["keepme"]
+
+
+def test_gc_lake(tmp_path):
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, GenSpec(n_events=400, n_conversations=20, n_epochs=4))
+    cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=4)
+    replay(cfg)
+    before = len(glob.glob(os.path.join(lake, "part-*", "state-e*.parquet")))
+    assert before > 4                           # snapshots accumulated
+    res = gc_lake(lake)
+    after = len(glob.glob(os.path.join(lake, "part-*", "state-e*.parquet")))
+    assert res["deleted"] == before - after and after <= 4
+    # lake still readable after GC
+    assert len(final_table_pandas(lake)) > 0
+
+
+def test_label_propagation_matches_union_find():
+    from rayrep.ops.dedup import label_propagation, union_find
+
+    edges = [(1, 2), (2, 3), (5, 6), (8, 8)]
+    uf = union_find([1, 2, 3, 5, 6, 8], edges)
+    eds = rd.from_pandas(pd.DataFrame({"a": [a for a, _ in edges],
+                                       "b": [b for _, b in edges]}))
+    lp = label_propagation(eds).to_pandas().set_index("node")["label"].to_dict()
+    for n, rep in lp.items():
+        assert uf[n] == rep
+
+
+def test_yaml_config_roundtrip(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({"num_partitions": 7, "chaos_fraction": 0.5}))
+    cfg = EngineConfig.from_yaml(str(p))
+    assert cfg.num_partitions == 7 and cfg.chaos_fraction == 0.5
