@@ -69,8 +69,18 @@ class ChaosError(RuntimeError):
     """Injected applier failure (reference Chaos Monkey, CHANGES.txt:126)."""
 
 
+def decode_transport(t: pa.Table) -> pa.Table:
+    """Undo the augmenter's transport dictionary-encoding (plain strings for
+    downstream kernels and the durable state layout)."""
+    for i, f in enumerate(t.schema):
+        if pa.types.is_dictionary(f.type):
+            t = t.set_column(i, f.name, t.column(i).cast(f.type.value_type))
+    return t
+
+
 def events_as_state(events: pa.Table, payload_cols: list[str]) -> pa.Table:
     """Project changelog events to state-row layout (payload + __seq/__deleted)."""
+    events = decode_transport(events)
     cols = {c: events.column(c) for c in payload_cols}
     tbl = pa.table(cols)
     tbl = tbl.append_column("__seq", events.column("seq"))
@@ -134,6 +144,7 @@ class Applier:
 
     # ------------------------------------------------------------------ call
     def __call__(self, group: pa.Table) -> pa.Table:
+        group = decode_transport(group)  # strings again after the shuffle
         part_id = int(group.column("part_id")[0].as_py())
         manifest = PartitionManifest.load(self.lake_dir, part_id)
 

@@ -77,9 +77,17 @@ class Augmenter:
         pid = pa.array(partition_ids(batch.column("conv_id"), self.num_partitions))
         out = payload
         for name, col in meta_cols.items():
+            if name == "schema_ver":
+                continue  # consumed here; dead weight through the shuffle
             out = out.append_column(name, col)
         out = out.append_column("part_id", pid)
         return out
+
+    # NOTE (measured, round 1): dictionary-encoding op/role/tool for
+    # transport (~20 B/row saved through the shuffle) was tried and is
+    # throughput-neutral on this hardware — the encode/decode CPU cancels
+    # the byte savings. The applier still decodes defensively
+    # (apply.decode_transport) so dict-encoded inputs are accepted.
 
     def _empty(self) -> pa.Table:
         fields = list(self.target.schema)
@@ -87,7 +95,6 @@ class Augmenter:
             pa.field("seq", pa.int64()),
             pa.field("txn_id", pa.int64()),
             pa.field("op", pa.string()),
-            pa.field("schema_ver", pa.int32()),
             pa.field("part_id", pa.int32()),
         ]
         schema = pa.schema(fields)
