@@ -51,6 +51,10 @@ class GenSpec:
     ts_tie_grain_us: int = 1_000_000   # quantize ts to 1s so same-key ties occur
     ts_jitter_us: int = 3_000_000      # +/- jitter causing seq/ts inversions
     files_per_epoch: int = 0           # 0 = auto (~500k rows/file); >1 enables parallel reads
+    # fraction of U events that carry only CHANGED cells (other payload
+    # columns null = "unchanged", CHANGES.txt:173); requires replaying with
+    # EngineConfig.changed_cells_updates=True
+    changed_cells_frac: float = 0.0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -164,6 +168,19 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
     role_a = pc.if_else(is_del, null_s, pa.array(role))
     text_a = pc.if_else(is_del, null_s, text)
     tool_a = pc.if_else(is_del, null_s, tool)
+
+    if spec.changed_cells_frac > 0:
+        # changed-cells updates (CHANGES.txt:173): a masked U event carries
+        # only some payload columns; null = "unchanged". Half of the masked
+        # events update text only (role/tool null), half update role/tool
+        # only (text null).
+        r = rng.random(n)
+        masked = (all_op == 1) & (r < spec.changed_cells_frac)
+        text_only = pa.array(masked & (r < spec.changed_cells_frac / 2))
+        meta_only = pa.array(masked & (r >= spec.changed_cells_frac / 2))
+        role_a = pc.if_else(text_only, null_s, role_a)
+        tool_a = pc.if_else(text_only, null_s, tool_a)
+        text_a = pc.if_else(meta_only, null_s, text_a)
 
     data = pa.table(
         {

@@ -389,6 +389,32 @@ def asof_click_value(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "user_id", "ts", "click_value"]]
 
 
+# ----------------------------------------------------------- multimodal
+def multimodal_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing as a pipeline: a deterministic binary media
+    corpus (sized to the sf tier) → actor-pool decode (fake deterministic
+    decoder; real decoders are NotImplementedError in this container) →
+    per-item feature norms. Rows-only check: the schema/batch/actor
+    plumbing is the deliverable (SURVEY training-data ops)."""
+    from rayrep.ops.multimodal import DecodeImage, synthesize_media_table
+
+    n = max(64, pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows // 4)
+    ds = rd.from_arrow(synthesize_media_table(n))
+    feats = ds.map_batches(
+        DecodeImage, fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
+    )
+
+    def norms(t: pa.Table) -> pa.Table:
+        m = np.stack(t.column("feature").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "media_id": t.column("media_id"),
+            "feat_norm": pa.array(np.linalg.norm(m, axis=1).astype(np.float64)),
+        })
+
+    return feats.map_batches(norms, batch_format="pyarrow").to_pandas()
+
+
 # --------------------------------------------------- flagship CDC replay
 def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
     """The flagship: full streaming CDC replay (augment → shuffle → applier
@@ -437,6 +463,7 @@ def queries() -> dict:
         "ann_ivf_topk": ann_ivf_topk,
         "sessionize_users": sessionize_users,
         "asof_click_value": asof_click_value,
+        "multimodal_features": multimodal_features,
         "cdc_replay_transcripts": cdc_replay_transcripts,
     }
 

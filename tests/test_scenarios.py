@@ -240,3 +240,20 @@ def test_bootstrap_snapshot_prefix(tmp_path):
     _, res = run(d, lake)
     got = final_table_pandas(lake)
     assert len(got) == 3 and got[got.turn_idx == 0].set_index("conv_id").loc["a", "text"] == "hi2"
+
+
+def test_changed_cells_generated_stream(tmp_path):
+    """E2E changed-cells mode: generated partial-U stream replayed with
+    changed_cells_updates=True equals the merging oracle."""
+    from rayrep.gen import generate_changelog
+
+    spec = GenSpec(seed=11, n_conversations=30, max_turns=5, n_events=600,
+                   n_epochs=2, changed_cells_frac=0.6)
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, spec)
+    _, res = run(d, lake, changed_cells_updates=True)
+    oracle_df, octr = replay_oracle(generate_changelog(spec), changed_cells=True)
+    got = final_table_pandas(lake)
+    assert_frames_equal(got, oracle_df)
+    assert res["totals"]["applied"] == octr["applied"]
+    assert res["totals"]["conflict"] == octr["conflict"]
