@@ -32,6 +32,11 @@ class EngineConfig:
     # autoscaling actor pool, useful when in-heap state caching across
     # batches matters more than pool startup.
     applier_mode: str = "tasks"
+    # "groupby": Ray-native sort-shuffle groupby (default). "staged":
+    # filesystem-staged exchange (rayrep/exchange.py) — map-side shuffle
+    # files through the lake's shared storage; measured to scale better on
+    # bandwidth-bound hosts because both stages are pure parallel maps.
+    exchange: str = "groupby"
     augmenter_concurrency: int | None = None
     # Large batches keep block counts low through the sort shuffle (fewer
     # blocks to merge in the reduce); at ~90 B/row of text this is ~12 MB

@@ -208,23 +208,28 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             "chaos_fraction": cfg.chaos_fraction,
             "chaos_seed": cfg.chaos_seed,
         }
-        grouped = ds.groupby("part_id")
-        if cfg.applier_mode == "tasks":
-            applied = grouped.map_groups(
-                _applier_task_fn,
-                fn_kwargs={"kwargs": applier_kwargs},
-                batch_format="pyarrow",
-                num_cpus=1,
-            )
+        if cfg.exchange == "staged":
+            from rayrep.exchange import run_staged_exchange
+
+            summaries = run_staged_exchange(ds, cfg.lake_dir, epoch, applier_kwargs)
         else:
-            applied = grouped.map_groups(
-                Applier,
-                fn_constructor_kwargs=applier_kwargs,
-                batch_format="pyarrow",
-                concurrency=(1, cfg.applier_concurrency),
-                num_cpus=1,
-            )
-        summaries = applied.take_all()  # tiny: one row per touched partition
+            grouped = ds.groupby("part_id")
+            if cfg.applier_mode == "tasks":
+                applied = grouped.map_groups(
+                    _applier_task_fn,
+                    fn_kwargs={"kwargs": applier_kwargs},
+                    batch_format="pyarrow",
+                    num_cpus=1,
+                )
+            else:
+                applied = grouped.map_groups(
+                    Applier,
+                    fn_constructor_kwargs=applier_kwargs,
+                    batch_format="pyarrow",
+                    concurrency=(1, cfg.applier_concurrency),
+                    num_cpus=1,
+                )
+            summaries = applied.take_all()  # tiny: one row per touched partition
 
         ctr = zero_counters()
         max_ts = 0

@@ -257,3 +257,20 @@ def test_changed_cells_generated_stream(tmp_path):
     assert_frames_equal(got, oracle_df)
     assert res["totals"]["applied"] == octr["applied"]
     assert res["totals"]["conflict"] == octr["conflict"]
+
+
+def test_staged_exchange_matches_oracle(tmp_path):
+    """exchange='staged' (filesystem shuffle files) must produce the same
+    converged table and counters as the groupby path."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, SPEC)
+    _, res = run(d, lake, exchange="staged")
+    oracle_df, octr = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    assert res["totals"]["applied"] == octr["applied"]
+    assert res["totals"]["conflict"] == octr["conflict"]
+    assert res["totals"]["skipped"] == 0
+    # staging dirs cleaned after commit
+    assert not os.path.exists(os.path.join(lake, "_stage")) or not os.listdir(
+        os.path.join(lake, "_stage")
+    )
