@@ -153,6 +153,8 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
     """Run (or resume) the streaming replay. ``end_epoch`` bounds the run
     (inclusive) — the `--end-binlog-file` analog (CHANGES.txt:129); also used
     by the resume test to simulate a mid-replay kill."""
+    if cfg.exchange not in ("groupby", "staged"):
+        raise ValueError(f"exchange must be 'groupby' or 'staged', got {cfg.exchange!r}")
     epochs = discover_epochs(cfg.changelog_dir)
     if not epochs:
         raise FileNotFoundError(f"no epoch-*.parquet under {cfg.changelog_dir}")
