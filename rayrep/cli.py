@@ -37,6 +37,15 @@ def main(argv=None) -> int:
     r.add_argument("--chaos", type=float, default=0.0)
     r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
+    w = sub.add_parser("tail", help="continuous tail: apply epochs as they are published")
+    w.add_argument("changelog_dir")
+    w.add_argument("lake_dir")
+    w.add_argument("--partitions", type=int, default=32)
+    w.add_argument("--poll", type=float, default=2.0)
+    w.add_argument("--idle-timeout", type=float, default=30.0,
+                   help="stop after this many idle seconds (0 = run forever)")
+    w.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     t = sub.add_parser("snapshot", help="point-in-time export (snapshotter analog)")
     t.add_argument("changelog_dir")
     t.add_argument("out_dir")
@@ -90,6 +99,18 @@ def main(argv=None) -> int:
                 chaos_fraction=args.chaos,
             )
             res = replay(cfg, end_epoch=args.end_epoch)
+            print(json.dumps(res))
+        elif args.cmd == "tail":
+            from rayrep.config import EngineConfig
+            from rayrep.pipeline import tail
+
+            cfg = EngineConfig(
+                changelog_dir=args.changelog_dir,
+                lake_dir=args.lake_dir,
+                num_partitions=args.partitions,
+            )
+            res = tail(cfg, poll_interval_s=args.poll,
+                       idle_timeout_s=args.idle_timeout or None)
             print(json.dumps(res))
         elif args.cmd == "snapshot":
             from rayrep.timetravel import snapshot_to_parquet

@@ -59,6 +59,7 @@ class EngineConfig:
     # checkpoint cadence (default; bench raises it).
     epochs_per_round: int = 1
     dry_run: bool = False            # STDOUT/JSON debug sink (CHANGES.txt:43,143)
+    collect_stats: bool = False      # capture ds.stats() per round into metrics.json
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

@@ -263,3 +263,20 @@ def write_changelog(out_dir: str, spec: GenSpec) -> dict:
     with open(os.path.join(out_dir, "_gen_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def publish_epoch(out_dir: str, epoch: int, table: pa.Table, n_files: int = 1) -> str:
+    """Atomically publish one epoch for a live `pipeline.tail` consumer:
+    files are written under a temp directory, then the directory is
+    renamed to `epoch-NNNNN` in one step — a tailer's `epoch-*` glob
+    never observes a half-written epoch."""
+    os.makedirs(out_dir, exist_ok=True)
+    final = os.path.join(out_dir, f"epoch-{epoch:05d}")
+    tmp = os.path.join(out_dir, f"_tmp-epoch-{epoch:05d}-{os.getpid()}")
+    os.makedirs(tmp, exist_ok=True)
+    fb = np.linspace(0, table.num_rows, n_files + 1).astype(np.int64)
+    for i in range(n_files):
+        part = table.slice(int(fb[i]), int(fb[i + 1] - fb[i]))
+        pq.write_table(part, os.path.join(tmp, f"part-{i:04d}.parquet"))
+    os.rename(tmp, final)
+    return final

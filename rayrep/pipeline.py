@@ -210,6 +210,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             "chaos_fraction": cfg.chaos_fraction,
             "chaos_seed": cfg.chaos_seed,
         }
+        stage_stats = None
         if cfg.exchange == "staged":
             from rayrep.exchange import run_staged_exchange
 
@@ -232,6 +233,8 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                     num_cpus=1,
                 )
             summaries = applied.take_all()  # tiny: one row per touched partition
+            if cfg.collect_stats:
+                stage_stats = applied.stats()
 
         ctr = zero_counters()
         max_ts = 0
@@ -255,16 +258,17 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         EpochManifest(last_epoch=epoch, totals=totals, replication_delay_s=delay_s).save(
             cfg.lake_dir
         )
-        per_epoch.append(
-            {
-                "epoch": epoch,
-                "round_epochs": [e for e, _ in rnd],
-                **ctr,
-                "chaos_retries": chaos_retries,
-                "wall_s": round(time.perf_counter() - t0, 4),
-                "replication_delay_s": round(delay_s, 3),
-            }
-        )
+        entry = {
+            "epoch": epoch,
+            "round_epochs": [e for e, _ in rnd],
+            **ctr,
+            "chaos_retries": chaos_retries,
+            "wall_s": round(time.perf_counter() - t0, 4),
+            "replication_delay_s": round(delay_s, 3),
+        }
+        if stage_stats:
+            entry["stage_stats"] = stage_stats
+        per_epoch.append(entry)
 
     metrics = {"totals": totals, "epochs": per_epoch, "schema_version": registry.current_version()}
     if not cfg.dry_run:
@@ -281,6 +285,47 @@ def aggregate_partition_counters(lake_dir: str) -> dict:
             m = json.load(f)
         totals = merge_counters(totals, m.get("counters", {}))
     return totals
+
+
+def tail(
+    cfg: EngineConfig,
+    poll_interval_s: float = 2.0,
+    idle_timeout_s: float | None = 30.0,
+    max_epochs: int | None = None,
+) -> ReplayResult:
+    """Continuous CDC tail — the replicator's long-running mode: poll the
+    changelog directory for newly published epochs and apply them as they
+    arrive (reference: BinlogEventProducer tails the binlog; fail-fast +
+    supervisor restart resumes from the checkpoint, CHANGES.txt:66-69 —
+    here a restarted ``tail`` resumes from the manifests automatically).
+
+    Producers must publish epochs ATOMICALLY: write the epoch under a
+    temp name, then rename to ``epoch-NNNNN[/]`` (see
+    ``gen.publish_epoch``); a half-written directory must never match the
+    ``epoch-*`` glob. Stops after ``idle_timeout_s`` with no new epochs
+    (None = run forever) or after ``max_epochs`` applied."""
+    applied = 0
+    last_new = time.monotonic()
+    all_epochs: list = []
+    last: ReplayResult | None = None
+    while True:
+        res = replay(cfg)
+        n = len(res["epochs"])
+        if n:
+            applied += n
+            last_new = time.monotonic()
+            all_epochs.extend(res["epochs"])
+            last = res
+        if max_epochs is not None and applied >= max_epochs:
+            break
+        if idle_timeout_s is not None and time.monotonic() - last_new > idle_timeout_s:
+            break
+        time.sleep(poll_interval_s)
+    if last is None:
+        last = replay(cfg)
+        all_epochs.extend(last["epochs"])
+    last["epochs"] = all_epochs
+    return last
 
 
 # --------------------------------------------------------------------- reads

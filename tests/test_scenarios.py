@@ -274,3 +274,36 @@ def test_staged_exchange_matches_oracle(tmp_path):
     assert not os.path.exists(os.path.join(lake, "_stage")) or not os.listdir(
         os.path.join(lake, "_stage")
     )
+
+
+def test_tail_consumes_progressively_published_epochs(tmp_path):
+    """Continuous tail mode: a producer thread publishes epochs atomically
+    while tail() polls; the final lake equals a batch replay of the full
+    log (reference: long-running binlog tailer)."""
+    import threading
+    import time as _t
+
+    from rayrep.gen import generate_changelog, publish_epoch
+    from rayrep.pipeline import tail
+
+    full = generate_changelog(SPEC)
+    n = full.num_rows
+    bounds = [0, n // 3, 2 * n // 3, n]
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    os.makedirs(d)
+    publish_epoch(d, 0, full.slice(0, bounds[1]))
+
+    def producer():
+        for e in (1, 2):
+            _t.sleep(1.5)
+            publish_epoch(d, e, full.slice(bounds[e], bounds[e + 1] - bounds[e]))
+
+    th = threading.Thread(target=producer)
+    th.start()
+    cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=4)
+    res = tail(cfg, poll_interval_s=0.5, idle_timeout_s=6.0)
+    th.join()
+    assert len(res["epochs"]) >= 1
+    oracle_df, octr = replay_oracle(full)
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    assert res["totals"]["input_rows"] == octr["input_rows"]
