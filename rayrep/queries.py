@@ -137,6 +137,54 @@ def cdc_counters(sf_dir: str) -> pd.DataFrame:
     return counts.merge(distinct, on="event_type")
 
 
+def event_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-type numeric profile: min/max/avg aggregates (A-class)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("value", alias_name="min_value"),
+            Max("value", alias_name="max_value"),
+            Mean("value", alias_name="avg_value"),
+        )
+        .to_pandas()
+    )
+    out["avg_value"] = out["avg_value"].round(3)
+    return out
+
+
+def top_users(sf_dir: str) -> pd.DataFrame:
+    """Grouped count → global top-k with deterministic tiebreak."""
+    from ray.data.aggregate import Count
+
+    ds = _events(sf_dir, columns=["user_id"])
+    counts = ds.groupby("user_id").aggregate(Count(alias_name="n"))
+    return (
+        counts.sort(["n", "user_id"], descending=[True, False]).limit(10).to_pandas()
+    )
+
+
+def doc_len_buckets(sf_dir: str) -> pd.DataFrame:
+    """Length histogram over documents: 100-char buckets (integer math →
+    byte-stable across engines)."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch.column("text")).cast(pa.int64())
+        b = pc.divide(n, 100)
+        return pa.table({"bucket": b})
+
+    from ray.data.aggregate import Count
+
+    ds = _docs(sf_dir, columns=["text"])
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket").aggregate(Count(alias_name="n")).to_pandas()
+    )
+
+
 # ----------------------------------------------------- generic relational
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(
@@ -448,6 +496,9 @@ def queries() -> dict:
         "cdc_daily_counts": cdc_daily_counts,
         "cdc_event_type_filter": cdc_event_type_filter,
         "cdc_counters": cdc_counters,
+        "event_value_stats": event_value_stats,
+        "top_users": top_users,
+        "doc_len_buckets": doc_len_buckets,
         "q1_pricing_summary": q1_pricing_summary,
         "top_orders": top_orders,
         "orders_by_segment": orders_by_segment,
@@ -494,6 +545,20 @@ def oracle_sql() -> dict:
         "cdc_counters": """
             SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS users
             FROM events GROUP BY event_type
+        """,
+        "event_value_stats": """
+            SELECT event_type, count(*) AS n,
+                   min(value) AS min_value, max(value) AS max_value,
+                   round(avg(value), 3) AS avg_value
+            FROM events GROUP BY event_type
+        """,
+        "top_users": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        "doc_len_buckets": """
+            SELECT length(text) // 100 AS bucket, count(*) AS n
+            FROM documents GROUP BY bucket
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

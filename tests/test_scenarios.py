@@ -307,3 +307,19 @@ def test_tail_consumes_progressively_published_epochs(tmp_path):
     oracle_df, octr = replay_oracle(full)
     assert_frames_equal(final_table_pandas(lake), oracle_df)
     assert res["totals"]["input_rows"] == octr["input_rows"]
+
+
+def test_epoch_with_only_ddl_events(tmp_path):
+    """An epoch containing nothing but a DDL event must advance the epoch
+    manifest and the schema version without touching partitions."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    add = json.dumps({"action": "add_column", "name": "tool", "type": "string"})
+    e0 = [ev(0, "I", "a", 0, "x", ts=0)]
+    e1 = [ev(1, "DDL", None, None, ddl=add, schema_ver=2, ts=1)]
+    e2 = [ev(2, "U", "a", 0, "y", ts=5, tool="search", schema_ver=2)]
+    write_epochs(d, e0, e1, e2)
+    _, res = run(d, lake)
+    assert [e["epoch"] for e in res["epochs"]] == [0, 1, 2]
+    assert res["schema_version"] == 2
+    got = final_table_pandas(lake)
+    assert list(got["text"]) == ["y"] and got["tool"].iloc[0] == "search"
