@@ -127,6 +127,9 @@ def run_queries() -> dict[str, float]:
         "cdc_daily_counts",
         "q1_pricing_summary",
         "orders_by_segment",
+        "order_priority_revenue",
+        "sessionize_users",
+        "asof_click_value",
         "dedup_exact",
         "dedup_minhash",
         "token_stats",

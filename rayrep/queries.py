@@ -298,6 +298,39 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
+    """Large×large join: lineitem ⋈ orders via Ray's native hash-partitioned
+    Dataset.join (both sides shuffled on the key — the one join shape where
+    a broadcast is wrong), then grouped revenue."""
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    j = li.join(od, join_type="inner", num_partitions=16,
+                on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"o_orderpriority": batch.column("o_orderpriority"),
+                         "revenue": r})
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        j.map_batches(rev, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(3)
+    return out
+
+
 # ------------------------------------------------------- training-data ops
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     from rayrep.ops.dedup import add_content_hash
@@ -503,6 +536,7 @@ def queries() -> dict:
         "top_orders": top_orders,
         "orders_by_segment": orders_by_segment,
         "revenue_by_nation": revenue_by_nation,
+        "order_priority_revenue": order_priority_revenue,
         "dedup_exact": dedup_exact,
         "token_stats": token_stats,
         "lang_id_pred": lang_id_pred,
@@ -583,6 +617,12 @@ def oracle_sql() -> dict:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "order_priority_revenue": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
