@@ -342,6 +342,11 @@ def committed_state_files(lake_dir: str) -> list[str]:
 def final_table(lake_dir: str) -> rd.Dataset:
     """The converged lake table as a streaming Dataset (live rows only)."""
     files = committed_state_files(lake_dir)
+    if not files:
+        return rd.from_arrow(
+            pa.schema([pa.field("__seq", pa.int64()),
+                       pa.field("__deleted", pa.bool_())]).empty_table()
+        )
     ds = rd.read_parquet(files)
     return ds.map_batches(
         lambda t: t.filter(pc.invert(t["__deleted"])).drop_columns(["__seq", "__deleted"]),
