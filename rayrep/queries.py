@@ -298,6 +298,34 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Distinct values (set-op surface; A5/unique). Per-batch local dedup
+    before the tiny shuffle — never ships duplicates."""
+    ds = _events(sf_dir, columns=["event_type"])
+    local = ds.map_batches(
+        lambda t: pa.table({"event_type": pc.unique(t["event_type"])}),
+        batch_format="pyarrow",
+    )
+    from ray.data.aggregate import Count
+
+    out = local.groupby("event_type").aggregate(Count(alias_name="c")).to_pandas()
+    return out[["event_type"]]
+
+
+def sample_orders(sf_dir: str) -> pd.DataFrame:
+    """Deterministic sampling surface: stable-hash-based 10% sample —
+    unlike random_sample(), identical across engines, so it oracles
+    (sample = hash(o_orderkey) % 10 == 0 in both)."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_totalprice"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey").to_numpy()
+        return batch.filter(pa.array(keys % 10 == 0))
+
+    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+
 def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     """Large×large join: lineitem ⋈ orders via Ray's native hash-partitioned
     Dataset.join (both sides shuffled on the key — the one join shape where
@@ -537,6 +565,8 @@ def queries() -> dict:
         "orders_by_segment": orders_by_segment,
         "revenue_by_nation": revenue_by_nation,
         "order_priority_revenue": order_priority_revenue,
+        "distinct_event_types": distinct_event_types,
+        "sample_orders": sample_orders,
         "dedup_exact": dedup_exact,
         "token_stats": token_stats,
         "lang_id_pred": lang_id_pred,
@@ -617,6 +647,12 @@ def oracle_sql() -> dict:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
+        """,
+        "distinct_event_types": """
+            SELECT DISTINCT event_type FROM events
+        """,
+        "sample_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 = 0
         """,
         "order_priority_revenue": """
             SELECT o_orderpriority, count(*) AS n,
