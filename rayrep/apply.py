@@ -189,7 +189,7 @@ class Applier:
         events = group.filter(pa.array(keep)) if n_skipped else group
 
         prev_state = self._load_state(manifest)
-        new_state, ctr = self._merge(prev_state, events)
+        new_state, ctr, winners = self._merge(prev_state, events)
         ctr["input_rows"] = n_in
         ctr["skipped"] = n_skipped
         assert ctr["applied"] + ctr["skipped"] + ctr["conflict"] == ctr["input_rows"], (
@@ -203,8 +203,8 @@ class Applier:
         pq.write_table(new_state, tmp)
         self._maybe_chaos(rng)  # crash point A: state written but not visible
         os.replace(tmp, spath)
-        if self.delta_output and events.num_rows:
-            self._write_delta(part_id, events)
+        if self.delta_output and winners.num_rows:
+            self._write_delta(part_id, winners)
         self._maybe_chaos(rng)  # crash point B: state visible, manifest not
 
         max_ts = 0
@@ -228,14 +228,16 @@ class Applier:
             raise ChaosError("injected applier failure")
 
     # ------------------------------------------------------------- LWW merge
-    def _merge(self, state: pa.Table, events: pa.Table) -> tuple[pa.Table, dict]:
+    def _merge(self, state: pa.Table, events: pa.Table) -> tuple[pa.Table, dict, pa.Table]:
         """Vectorized per-key LWW fold of ``events`` (seq-sorted) over
         ``state``. Winner per key = argmax (ts, seq); an event loses
         (``conflict``) iff its ts is below the running per-key max at its
-        position — identical to replaying one event at a time."""
+        position — identical to replaying one event at a time. Returns
+        (new_state, counters, winning events) — the winners feed the delta
+        side-output (S7: exactly the APPLIED changes)."""
         ctr = zero_counters()
         if events.num_rows == 0:
-            return state, ctr
+            return state, ctr, events
 
         ev = pd.DataFrame(
             {
@@ -283,7 +285,7 @@ class Applier:
             new_state = self._merge_changed_cells(state, winners, seed, uniques)
         else:
             new_state = self._merge_full_rows(state, winners)
-        return new_state, ctr
+        return new_state, ctr, winners
 
     def _events_as_state(self, events: pa.Table) -> pa.Table:
         return events_as_state(events, self.payload_cols)
@@ -303,8 +305,11 @@ class Applier:
         """Changed-cells mode (CHANGES.txt:173): a null payload cell in a `U`
         event means "unchanged" — the final value per (key, column) is the
         last non-null among winners after the key's last delete, seeded with
-        prior state. Limitation (documented): NULL cannot be explicitly
-        assigned in this mode."""
+        prior state. Documented contract deviations from the reference's
+        per-cell HBase versioning: (a) NULL cannot be explicitly assigned;
+        (b) conflict resolution is ROW-level, not per-column — a ts-inverted
+        partial update is rejected entirely, even for columns the newer
+        event left untouched (the in-repo oracle pins this semantic)."""
         w = self._events_as_state(winners)
         state = self._conform_state(state)
         comb = pa.concat_tables([state, w], promote_options="permissive") if state.num_rows else w
@@ -355,9 +360,10 @@ class Applier:
 
     # ------------------------------------------------------------ side output
     def _write_delta(self, part_id: int, events: pa.Table) -> None:
-        """Daily-delta side output (S7): this epoch's applied changes stamped
-        with a forced-UTC yyyymmdd (CHANGES.txt:123,55). One deterministic
-        file per (partition, epoch) so retries overwrite."""
+        """Daily-delta side output (S7): exactly this epoch's APPLIED
+        (winning) changes — conflict losers never changed lake state and are
+        excluded — stamped with a forced-UTC yyyymmdd (CHANGES.txt:123,55).
+        One deterministic file per (partition, epoch) so retries overwrite."""
         date = pc.strftime(events.column("ts"), format="%Y%m%d")
         out = events.append_column("change_date", date)
         ddir = os.path.join(self.lake_dir, "delta")

@@ -25,8 +25,6 @@ per actor (``__init__``), not once per batch.
 
 from __future__ import annotations
 
-import re
-
 import pyarrow as pa
 
 from rayrep.hashing import partition_ids
@@ -45,7 +43,7 @@ class Augmenter:
     ):
         self.target = SchemaVersion.from_json(target_schema_json)
         self.num_partitions = num_partitions
-        self.table_re = re.compile(table_filter_regex) if table_filter_regex else None
+        self.table_filter_regex = table_filter_regex or None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -57,10 +55,10 @@ class Augmenter:
                 batch = batch.filter(mask)
         # M7: table-filter hook (single logical table here, but the surface
         # exists: a `table` column is honored when present).
-        if self.table_re is not None and "table" in batch.column_names:
-            keep = pa.array(
-                [bool(self.table_re.search(t)) for t in batch["table"].to_pylist()]
-            )
+        if self.table_filter_regex is not None and "table" in batch.column_names:
+            # unanchored search semantics, vectorized (same kernel as M7's
+            # driver-query form in queries.py)
+            keep = pc.match_substring_regex(batch["table"], self.table_filter_regex)
             batch = batch.filter(keep)
         if batch.num_rows == 0:
             return self._empty()

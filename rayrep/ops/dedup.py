@@ -76,44 +76,66 @@ class MinHasher:
         self.b = rng.integers(0, MERSENNE, size=num_perm, dtype=np.uint64)
 
     def shingle_hashes(self, texts) -> tuple[np.ndarray, np.ndarray]:
-        """Flattened k-gram shingle hashes + per-doc offsets into them."""
-        flat, offsets = _tokens_and_offsets(texts)
+        """COMPACTED per-doc k-gram shingle hashes: returns ``(g, offsets)``
+        where ``g[offsets[d]:offsets[d+1]]`` are exactly doc d's valid
+        shingles. Docs with fewer than k tokens get an EMPTY segment (never
+        another doc's values — the old clamped-reduceat bug)."""
+        flat, tok_offsets = _tokens_and_offsets(texts)
         tok_h = stable_hash_strings(pc.utf8_lower(flat)) if len(flat) else np.empty(0, np.uint64)
-        n_docs = len(offsets) - 1
-        counts = np.diff(offsets)
+        counts = np.diff(tok_offsets)
+        n_sh = np.maximum(counts - self.k + 1, 0)
+        offsets = np.zeros(len(counts) + 1, dtype=np.int64)
+        np.cumsum(n_sh, out=offsets[1:])
+        m = len(tok_h)
+        g_len = max(m - self.k + 1, 0)
         with np.errstate(over="ignore"):
-            m = len(tok_h)
-            g_len = max(m - self.k + 1, 0)
-            g = np.zeros(g_len, dtype=np.uint64)
+            g_all = np.zeros(g_len, dtype=np.uint64)
             w = np.uint64(1)
             for j in range(self.k):
-                g += tok_h[j : g_len + j] * w
+                g_all += tok_h[j : g_len + j] * w
                 w = np.uint64(w * np.uint64(1099511628211))
-        # shingles crossing doc boundaries → invalidate (UMAX never wins a min)
-        doc_of = np.searchsorted(offsets[1:], np.arange(g_len), side="right")
-        valid_end = offsets[:-1] + np.maximum(counts - self.k + 1, 0)
-        invalid = np.arange(g_len) >= valid_end[np.minimum(doc_of, n_docs - 1)]
-        g[invalid] = UMAX
-        sh_offsets = np.minimum(offsets[:-1], max(g_len - 1, 0))
-        return g, sh_offsets
+        if g_len == 0:
+            return g_all, offsets
+        # drop windows that cross a doc boundary → per-doc-contiguous layout
+        pos = np.arange(g_len)
+        doc_of = np.searchsorted(tok_offsets[1:], pos, side="right")
+        valid = pos < tok_offsets[:-1][doc_of] + n_sh[doc_of]
+        return g_all[valid], offsets
 
-    def signatures(self, texts) -> np.ndarray:
-        g, sh_offsets = self.shingle_hashes(texts)
-        n_docs = len(sh_offsets)
-        sig = np.empty((n_docs, self.num_perm), dtype=np.uint64)
-        if len(g) == 0:
-            sig[:] = UMAX
-            return sig
-        with np.errstate(over="ignore"):
-            for i in range(self.num_perm):
-                hv = (self.a[i] * g + self.b[i]) % MERSENNE
-                hv[g == UMAX] = UMAX
-                sig[:, i] = np.minimum.reduceat(hv, sh_offsets)
-        return sig
+    def signatures(self, texts) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (sig matrix, empty-doc mask). Docs with zero valid
+        shingles get all-UMAX rows; callers must replace those with a
+        per-doc-unique sentinel before banding (``__call__`` does)."""
+        g, offsets = self.shingle_hashes(texts)
+        n_docs = len(offsets) - 1
+        nz = np.diff(offsets) > 0
+        sig = np.full((n_docs, self.num_perm), UMAX, dtype=np.uint64)
+        if len(g) and nz.any():
+            starts = offsets[:-1][nz]
+            with np.errstate(over="ignore"):
+                for i in range(self.num_perm):
+                    hv = (self.a[i] * g + self.b[i]) % MERSENNE
+                    sig[nz, i] = np.minimum.reduceat(hv, starts)
+        return sig, ~nz
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_col)
-        sig = self.signatures(text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text)
+        sig, empty = self.signatures(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        )
+        if empty.any():
+            # per-doc-unique sentinel signatures: shingle-less docs must
+            # never band together (est. Jaccard between any two of them = 0)
+            ids_np = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+            if ids_np.dtype.kind in "iu":
+                base = ids_np[empty].astype(np.uint64)
+            else:
+                base = stable_hash_strings(ids_np[empty])
+            with np.errstate(over="ignore"):
+                base = (base * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+                sig[empty] = base[:, None] * np.arange(
+                    1, self.num_perm + 1, dtype=np.uint64
+                )[None, :]
         n = batch.num_rows
         # band hash = stable mix of the band's signature rows
         cols = {self.id_col: batch.column(self.id_col)}
@@ -210,24 +232,33 @@ class SimHasher:
         self.id_col, self.text_col = id_col, text_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from rayrep.ops.text import segment_sum
+
         text = batch.column(self.text_col)
         flat, offsets = _tokens_and_offsets(
             text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
         )
         n = batch.num_rows
-        if len(flat) == 0:
-            return batch.append_column("simhash", pa.array(np.zeros(n, np.int64)))
-        th = stable_hash_strings(pc.utf8_lower(flat))
-        starts = np.minimum(offsets[:-1], len(th) - 1)
-        counts = np.maximum(np.diff(offsets), 1)
+        counts = np.diff(offsets)
+        th = stable_hash_strings(pc.utf8_lower(flat)) if len(flat) else np.empty(0, np.uint64)
         acc = np.zeros((n, 64), dtype=np.int64)
         for bit in range(64):
             bits = ((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64)
-            acc[:, bit] = np.add.reduceat(np.concatenate([bits, [0]]), starts)
+            acc[:, bit] = segment_sum(bits, offsets)
         votes = 2 * acc - counts[:, None]  # (+1 per set bit, -1 per clear)
         sh = np.zeros(n, dtype=np.uint64)
         for bit in range(64):
             sh |= (votes[:, bit] > 0).astype(np.uint64) << np.uint64(bit)
+        empty = counts == 0
+        if empty.any():
+            # token-less docs: per-doc-unique sentinel, never hamming-close
+            ids_np = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+            if ids_np.dtype.kind in "iu":
+                base = ids_np[empty].astype(np.uint64)
+            else:
+                base = stable_hash_strings(ids_np[empty])
+            with np.errstate(over="ignore"):
+                sh[empty] = (base * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
         return batch.append_column("simhash", pa.array(sh.view(np.int64)))
 
 
@@ -304,10 +335,8 @@ def ngram_jaccard_verify(
     hasher = MinHasher(id_col=id_col, text_col=text_col, shingle_k=n)
     sets: dict[int, set] = {}
     g, off = hasher.shingle_hashes(pa.array(keep[text_col].astype(str)))
-    bounds = list(off) + [len(g)]
     for i, did in enumerate(keep[id_col]):
-        seg = g[bounds[i]: bounds[i + 1]]
-        sets[did] = set(seg[seg != UMAX].tolist())
+        sets[did] = set(g[off[i] : off[i + 1]].tolist())
     jac = []
     for a, b in zip(pairs["a"], pairs["b"]):
         sa, sb = sets.get(a, set()), sets.get(b, set())
@@ -323,8 +352,12 @@ def ngram_jaccard_verify(
 def embedding_neardup(
     ds: rd.Dataset, id_col: str = "vec_id", emb_col: str = "embedding",
     threshold: float = 0.95, planes: int = 12, seed: int = 42, dim: int | None = None,
+    max_bucket: int = 1000,
 ) -> pd.DataFrame:
-    """Cosine near-dup via random-hyperplane LSH buckets + exact verify."""
+    """Cosine near-dup via random-hyperplane LSH buckets + exact verify.
+    In-bucket verify is capped at ``max_bucket`` members (deterministic:
+    lowest ids kept) — the same degenerate-bucket guard as the MinHash
+    path; one all-near-zero-vector bucket must not go O(n²) in one task."""
     if dim is None:
         first = ds.take(1)[0]
         dim = len(first[emb_col])
@@ -350,6 +383,9 @@ def embedding_neardup(
         if group.num_rows < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
+        if group.num_rows > max_bucket:
+            order = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+            group = group.take(order[:max_bucket])
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         m = np.stack(group.column("nvec").to_numpy(zero_copy_only=False))
         sim = m @ m.T

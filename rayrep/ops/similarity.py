@@ -132,8 +132,21 @@ class IVFIndex:
 
 
 def train_ivf_from_dataset(
-    ds: rd.Dataset, emb_col: str = "embedding", sample_rows: int = 2048, **kw
+    ds: rd.Dataset, emb_col: str = "embedding", sample_rows: int = 2048,
+    id_col: str = "vec_id", **kw,
 ) -> IVFIndex:
-    """Driver-side training sample via limit() — bounded, never the corpus."""
-    sample = ds.limit(sample_rows).to_pandas()[emb_col]
+    """Driver-side training sample — bounded, never the corpus. The sample
+    is hash-based on the id column (unbiased w.r.t. storage layout, unlike
+    ``limit()`` which takes the first rows in file order) with a
+    rows-count-aware modulus so roughly ``sample_rows`` rows survive."""
+    total = ds.count()
+    mod = max(1, total // max(1, sample_rows))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy()
+        return t.select([emb_col]).filter(pa.array(ids % mod == 0))
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()[emb_col]
+    if len(sample) == 0:
+        sample = ds.limit(min(sample_rows, total)).to_pandas()[emb_col]
     return IVFIndex(**kw).train(np.stack(sample.to_numpy()))

@@ -40,6 +40,32 @@ def _segment_counts(offsets: np.ndarray) -> np.ndarray:
     return np.diff(offsets)
 
 
+def segment_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment int64 sums over a flattened array; empty segments → 0.
+
+    reduceat-safe: plain ``np.add.reduceat(values, offsets[:-1])`` mis-assigns
+    empty and trailing segments (repeated / clamped offsets collapse them
+    into a neighbor's range). Restricting the reduceat to non-empty segment
+    starts keeps every span exact — empty segments occupy zero positions, so
+    consecutive non-empty starts still delimit precisely one segment."""
+    counts = np.diff(offsets)
+    out = np.zeros(len(counts), dtype=np.int64)
+    nz = counts > 0
+    if values.size and nz.any():
+        out[nz] = np.add.reduceat(values.astype(np.int64), offsets[:-1][nz])
+    return out
+
+
+def segment_min(values: np.ndarray, offsets: np.ndarray, empty_val) -> np.ndarray:
+    """Per-segment minima; empty segments → ``empty_val`` (reduceat-safe)."""
+    counts = np.diff(offsets)
+    out = np.full(len(counts), empty_val, dtype=values.dtype)
+    nz = counts > 0
+    if values.size and nz.any():
+        out[nz] = np.minimum.reduceat(values, offsets[:-1][nz])
+    return out
+
+
 class TextStats:
     """Per-doc counts: whitespace tokens, regex (BPE-ish) tokens, chars,
     punctuation/digit counts, stopword ratio, and a quality score in [0,1]
@@ -73,10 +99,9 @@ class TextStats:
         flat, offsets = _tokens_and_offsets(text)
         lower = pc.utf8_lower(flat)
         is_stop = pc.is_in(lower, value_set=self.stop_en)
-        stops = np.add.reduceat(
-            np.concatenate([is_stop.to_numpy(zero_copy_only=False).astype(np.int64), [0]]),
-            np.minimum(offsets[:-1], max(len(flat) - 1, 0)),
-        ) if len(flat) else np.zeros(n, dtype=np.int64)
+        stops = segment_sum(
+            is_stop.to_numpy(zero_copy_only=False).astype(np.int64), offsets
+        )
         tok_n = np.maximum(_segment_counts(offsets), 1)
         stop_ratio = stops / tok_n
 
@@ -123,12 +148,9 @@ class LangId:
         n = batch.num_rows
         scores = np.zeros((len(self.LANGS), n), dtype=np.int64)
         if len(flat):
-            starts = np.minimum(offsets[:-1], len(flat) - 1)
             for i, vs in enumerate(self.sets):
                 hits = pc.is_in(lower, value_set=vs).to_numpy(zero_copy_only=False)
-                scores[i] = np.add.reduceat(
-                    np.concatenate([hits.astype(np.int64), [0]]), starts
-                )
+                scores[i] = segment_sum(hits.astype(np.int64), offsets)
         best = scores.argmax(axis=0)
         lang = np.array(self.LANGS, dtype="U3")[best]
         lang[scores.max(axis=0) == 0] = "und"

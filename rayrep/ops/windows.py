@@ -105,9 +105,14 @@ def asof_join(
     )
     both = lt.union(rt)
 
+    # columns conform() null-filled into LEFT rows (right-only) — dropped
+    # explicitly per partition so every group emits the same schema even
+    # when a genuine left column is all-null within one partition
+    right_only = [n for n, _ in union_fields if n not in lcols]
+
     def per_part(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
-        l = df[df["__side"] == 0].drop(columns=["__side"]).dropna(axis=1, how="all")
+        l = df[df["__side"] == 0].drop(columns=["__side"] + right_only)
         r = df[df["__side"] == 1][rt_cols]
         # deterministic dedup: among equal (key, ts) the max-tiebreak row
         # wins (matches the SQL oracle's row_number ... ORDER BY tiebreak DESC)
@@ -125,7 +130,7 @@ def asof_join(
         merged = pd.merge_asof(
             l, r, on=ts_col, by=key, direction="backward", suffixes=("", suffix)
         )
-        match_col = (value_cols[0] + suffix) if value_cols and (value_cols[0] in l.columns) else (
+        match_col = (value_cols[0] + suffix) if value_cols and (value_cols[0] in lcols) else (
             value_cols[0] if value_cols else None
         )
         if match_col is not None:

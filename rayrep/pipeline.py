@@ -309,7 +309,16 @@ def tail(
     all_epochs: list = []
     last: ReplayResult | None = None
     while True:
-        res = replay(cfg)
+        try:
+            res = replay(cfg)
+        except FileNotFoundError:
+            # tailer started before the producer published its first epoch:
+            # keep polling until idle_timeout_s, don't crash (long-running
+            # consumer intent, CHANGES.txt:66-69)
+            if idle_timeout_s is not None and time.monotonic() - last_new > idle_timeout_s:
+                raise
+            time.sleep(poll_interval_s)
+            continue
         n = len(res["epochs"])
         if n:
             applied += n

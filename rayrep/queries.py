@@ -479,7 +479,9 @@ def asof_click_value(sf_dir: str) -> pd.DataFrame:
     event_id, mirrored in the SQL oracle)."""
     from rayrep.ops.windows import asof_join
 
-    ev = _events(sf_dir)
+    # prune at the read: only the 5 needed columns leave storage (props —
+    # the wide column — never ships through the shuffle)
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type", "value"])
     purchases = ev.map_batches(
         lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
             ["event_id", "user_id", "ts"]
