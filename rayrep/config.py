@@ -60,6 +60,10 @@ class EngineConfig:
     epochs_per_round: int = 1
     dry_run: bool = False            # STDOUT/JSON debug sink (CHANGES.txt:43,143)
     collect_stats: bool = False      # capture ds.stats() per round into metrics.json
+    # Override the v1 payload schema (SchemaVersion JSON). Empty = the
+    # canonical transcript schema. Lets the same engine replay any keyed
+    # table that carries (conv_id, turn_idx, ts).
+    initial_schema_json: str = ""
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)

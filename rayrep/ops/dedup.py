@@ -39,8 +39,10 @@ def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") -> rd.Dataset:
-    """Keep the min-id row per distinct text. Shuffles 8-byte hashes, not
-    documents; the winner row is picked inside each hash group."""
+    """Keep the min-id row per distinct text. NOTE: this variant groups the
+    FULL rows by the 8-byte hash, so documents do ride the shuffle — simple
+    and fine when rows are narrow. ``exact_dedup_rows`` is the scale
+    variant that shuffles only (hash, id) pairs and joins winners back."""
     hashed = ds.map_batches(
         add_content_hash, fn_kwargs={"text_col": text_col},
         batch_format="pyarrow", zero_copy_batch=True,
@@ -51,6 +53,36 @@ def exact_dedup(ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id") 
         return group.take(idx[:1]).drop_columns(["content_hash"])
 
     return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+
+
+def exact_dedup_rows(
+    ds: rd.Dataset, text_col: str = "text", id_col: str = "doc_id",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Winner-row exact dedup that shuffles only (hash, id) pairs — 16
+    bytes/doc through the exchange, never the text. The min-id winner per
+    hash group is then inner-joined back against the corpus on the id
+    column (Ray native hash join; the corpus rows move at most once, which
+    is unavoidable since the full winner rows ARE the output)."""
+    from ray.data.aggregate import Min
+
+    pairs = ds.map_batches(
+        lambda t: pa.table({
+            "content_hash": pa.array(stable_hash_strings(t.column(text_col)).view(np.int64)),
+            id_col: t.column(id_col),
+        }),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    winners = (
+        pairs.groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="__winner_id"))
+        .select_columns(["__winner_id"])
+    )
+    out = ds.join(
+        winners, join_type="inner", num_partitions=num_partitions,
+        on=(id_col,), right_on=("__winner_id",),
+    )
+    return out.select_columns(ds.schema().names)
 
 
 # ----------------------------------------------------------------- minhash
@@ -392,7 +424,9 @@ def embedding_neardup(
         iu = np.triu_indices(len(ids), k=1)
         s = sim[iu]
         keep = s >= threshold
-        return pa.table({"a": pa.array(ids[iu[0]][keep]), "b": pa.array(ids[iu[1]][keep]),
+        ia, ib = ids[iu[0]][keep], ids[iu[1]][keep]
+        # canonical pair order (a < b) regardless of in-bucket row order
+        return pa.table({"a": pa.array(np.minimum(ia, ib)), "b": pa.array(np.maximum(ia, ib)),
                          "cosine": pa.array(s[keep].astype(np.float64))})
 
     out = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow").to_pandas()

@@ -160,7 +160,9 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         raise FileNotFoundError(f"no epoch-*.parquet under {cfg.changelog_dir}")
     os.makedirs(cfg.lake_dir, exist_ok=True)
 
-    registry = SchemaRegistry(persist_dir=cfg.lake_dir)
+    registry = SchemaRegistry(
+        persist_dir=cfg.lake_dir, initial_json=cfg.initial_schema_json or None
+    )
     em = EpochManifest.load(cfg.lake_dir)
     start = em.last_epoch + 1
     totals = dict(em.totals)

@@ -403,37 +403,78 @@ def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "fingerprint"]]
 
 
+def dedup_exact_rows(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup returning full winner ROWS while shuffling only
+    (hash, id) pairs — the honest scale variant (winners recovered via a
+    distributed semi-join, never a driver-side id set)."""
+    from rayrep.ops.dedup import exact_dedup_rows
+
+    return exact_dedup_rows(_docs(sf_dir)).to_pandas()
+
+
+def _planted_docs(sf_dir: str) -> rd.Dataset:
+    """Oracle-able near-dup fixture: corpus ∪ exact copies (doc_id + 10^6),
+    with each text replaced by a deterministic 30-token pseudo-text derived
+    from the FULL text hash. Exact copies keep identical token sets
+    (Jaccard 1); distinct texts become independent token sets (Jaccard ≈ 0)
+    — so detected clusters == text-equality groups, which DuckDB
+    reconstructs with a UNION ALL + window min. The raw testdata corpus
+    contains natural near-identical docs by design, which no SQL oracle can
+    label; natural-corpus clustering stays pytest-pinned (test_ops)."""
+    from rayrep.hashing import stable_hash_strings
+
+    docs = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    h = stable_hash_strings(docs["text"])
+    K = 30
+    with np.errstate(over="ignore"):
+        toks = (
+            h[:, None] * np.uint64(0x9E3779B97F4A7C15)
+            + np.arange(1, K + 1, dtype=np.uint64)[None, :] * np.uint64(0xBF58476D1CE4E5B9)
+        )
+        toks = (toks ^ (toks >> np.uint64(31))) * np.uint64(0x94D049BB133111EB)
+        toks %= np.uint64(999983)
+    pseudo = pa.array([" ".join(map(str, row)) for row in toks])
+    ids = docs["doc_id"].to_numpy()
+    both = pa.table({
+        "doc_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
+        "text": pa.concat_arrays([pseudo, pseudo]),
+    })
+    return rd.from_arrow(both)
+
+
 def dedup_minhash(sf_dir: str) -> pd.DataFrame:
     from rayrep.ops.dedup import minhash_dedup
 
-    return minhash_dedup(_docs(sf_dir, columns=["doc_id", "text"]), threshold=0.7)
+    out = minhash_dedup(_planted_docs(sf_dir), threshold=0.9)
+    return out.astype({"doc_id": "int64", "rep": "int64"})
 
 
 def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     from rayrep.ops.dedup import simhash_dedup
 
-    return simhash_dedup(_docs(sf_dir, columns=["doc_id", "text"]), max_hamming=3)
+    out = simhash_dedup(_planted_docs(sf_dir), max_hamming=2)
+    return out.astype({"doc_id": "int64", "rep": "int64"})
 
 
 def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     """The driver's embeddings are near-orthogonal (no genuine near-dups),
-    so the fixture plants deterministic jittered copies (vec_id + 10^6) and
-    the operator must recover the planted pairs — a self-validating
-    recall check for the LSH + verify pipeline."""
+    so the fixture plants deterministic exact copies (vec_id + 10^6); the
+    LSH + in-bucket verify must recover exactly the planted pairs at
+    cosine 1.0 — which the SQL oracle reconstructs. (Jittered-copy recall
+    is covered by the pytest oracle suite.)"""
     from rayrep.ops.dedup import embedding_neardup
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
-    m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float32)
-    rng = np.random.default_rng(42)
-    jit = m + 0.01 * rng.standard_normal(m.shape).astype(np.float32)
     ids = t["vec_id"].to_numpy()
     both = pa.table({
         "vec_id": pa.array(np.concatenate([ids, ids + 1_000_000])),
-        "embedding": pa.array([v.tolist() for v in np.concatenate([m, jit])],
-                              type=pa.list_(pa.float32())),
+        "embedding": pa.concat_arrays([t["embedding"].combine_chunks()] * 2),
     })
-    return embedding_neardup(rd.from_arrow(both), threshold=0.98, planes=8)
+    out = embedding_neardup(rd.from_arrow(both), threshold=0.98, planes=8)
+    out["cosine"] = out["cosine"].round(3)
+    return out
 
 
 def _query_vec(sf_dir: str) -> np.ndarray:
@@ -453,6 +494,21 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
 
 
 def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF search with nprobe = n_cells (exhaustive probe): must equal
+    brute force exactly, so the brute-force SQL is its oracle — proves the
+    cell-assignment/probe machinery loses nothing."""
+    from rayrep.ops.similarity import train_ivf_from_dataset
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    idx = train_ivf_from_dataset(ds, n_cells=8, sample_rows=2048)
+    out = idx.search(ds, _query_vec(sf_dir), k=10, nprobe=8).to_pandas()
+    return out[["vec_id"]]
+
+
+def ann_ivf_pruned(sf_dir: str) -> pd.DataFrame:
+    """The scale path: probe only the 4 nearest of 8 cells (approximate by
+    design → rows-only check; recall vs brute force is pytest-pinned)."""
     from rayrep.ops.similarity import train_ivf_from_dataset
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
@@ -527,6 +583,60 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------- flagship CDC replay
+def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
+    """The flagship with a DRIVER ORACLE: a changelog derived
+    deterministically from the driver's events table (first event per user
+    = I, rest = U, seq = event_id) replayed through the REAL engine —
+    augment → hash shuffle → Applier actors → exactly-once manifests — on
+    a custom payload schema. The converged lake table must equal the
+    DuckDB ``row_number() over (partition by user order by ts, event_id)``
+    LWW query. Exercises the engine end-to-end, not a re-implementation."""
+    import tempfile
+
+    from rayrep.config import EngineConfig
+    from rayrep.pipeline import final_table, replay
+    from rayrep.schema import SchemaVersion
+
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    t = t.take(pc.sort_indices(t["event_id"])).combine_chunks()
+    uid = t["user_id"].to_numpy()
+    first = ~pd.Series(uid).duplicated().to_numpy()
+    n = t.num_rows
+    cl_tbl = pa.table({
+        "seq": t["event_id"],
+        "txn_id": pa.nulls(n, pa.int64()),
+        "op": pa.array(np.where(first, "I", "U")),
+        "schema_ver": pa.array(np.ones(n, np.int32)),
+        "conv_id": t["user_id"].cast(pa.string()),
+        "turn_idx": pa.array(np.zeros(n, np.int32)),
+        "event_id": t["event_id"],
+        "event_type": t["event_type"],
+        "value": t["value"],
+        "props": t["props"],
+        "ts": t["ts"],
+        "ddl": pa.nulls(n, pa.string()),
+    })
+    d = tempfile.mkdtemp(prefix="rayrep_qe_")
+    cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
+    os.makedirs(cl)
+    bounds = np.linspace(0, n, 5).astype(np.int64)
+    for e in range(4):
+        pq.write_table(cl_tbl.slice(int(bounds[e]), int(bounds[e + 1] - bounds[e])),
+                       os.path.join(cl, f"epoch-{e:05d}.parquet"))
+    sv = SchemaVersion(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("event_id", pa.int64()), pa.field("event_type", pa.string()),
+        pa.field("value", pa.float64()), pa.field("props", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]))
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
+                       initial_schema_json=sv.to_json(), delta_output=False)
+    replay(cfg)
+    out = final_table(lake).to_pandas()
+    out["user_id"] = out["conv_id"].astype("int64")
+    return out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
 def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
     """The flagship: full streaming CDC replay (augment → shuffle → applier
     → manifests) on a deterministic changelog sized to the sf tier; returns
@@ -570,6 +680,7 @@ def queries() -> dict:
         "distinct_event_types": distinct_event_types,
         "sample_orders": sample_orders,
         "dedup_exact": dedup_exact,
+        "dedup_exact_rows": dedup_exact_rows,
         "token_stats": token_stats,
         "lang_id_pred": lang_id_pred,
         "doc_fingerprint": doc_fingerprint,
@@ -578,9 +689,11 @@ def queries() -> dict:
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_pruned": ann_ivf_pruned,
         "sessionize_users": sessionize_users,
         "asof_click_value": asof_click_value,
         "multimodal_features": multimodal_features,
+        "cdc_replay_events": cdc_replay_events,
         "cdc_replay_transcripts": cdc_replay_transcripts,
     }
 
@@ -666,6 +779,44 @@ def oracle_sql() -> dict:
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM documents GROUP BY text
         """,
+        "dedup_exact_rows": """
+            SELECT doc_id, text, lang, source, n_chars
+            FROM documents
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+        """,
+        "dedup_minhash": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+            FROM corpus
+        """,
+        "dedup_simhash": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
+            FROM corpus
+        """,
+        "embedding_neardup_pairs": """
+            SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine
+            FROM embeddings
+        """,
+        "ann_ivf_topk": """
+            SELECT vec_id FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "cdc_replay_events": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
         "token_stats": r"""
             SELECT doc_id,
                    length(text) AS n_chars_calc,
@@ -707,8 +858,29 @@ def oracle_sql() -> dict:
             SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
             FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
-        # lang_id_pred / doc_fingerprint / dedup_minhash / dedup_simhash /
-        # embedding_neardup_pairs / ann_ivf_topk / cdc_replay_transcripts:
-        # non-SQL-expressible (heuristics, LSH randomness, stateful engine)
-        # → rows-only checks; correctness covered by pytest oracles.
+        "lang_id_pred": r"""
+            WITH s AS (
+                SELECT doc_id,
+                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x IN ('the','and','of','a','to','in','is','it','that','for'))) AS en,
+                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x IN ('der','die','das','und','ist','ich','nicht','ein','zu','mit'))) AS de,
+                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x IN ('le','la','les','et','est','un','une','pas','que','pour'))) AS fr,
+                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x IN ('el','la','los','y','es','un','una','que','no','por'))) AS es
+                FROM documents)
+            SELECT doc_id,
+                CASE WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+                     WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                     WHEN de >= fr AND de >= es THEN 'de'
+                     WHEN fr >= es THEN 'fr'
+                     ELSE 'es' END AS lang_pred
+            FROM s
+        """,
+        # doc_fingerprint (rolling hash) / ann_ivf_pruned (approximate by
+        # design) / multimodal_features / cdc_replay_transcripts (stateful
+        # engine with schema evolution): non-SQL-expressible → rows-only
+        # checks; correctness covered by pytest oracles. The flagship
+        # engine path itself IS SQL-oracled via cdc_replay_events.
     }

@@ -27,9 +27,18 @@ from rayrep.schema import CANONICAL_SCHEMA_V1, SchemaVersion, apply_ddl
 
 
 class SchemaRegistry:
-    def __init__(self, persist_dir: str | None = None):
+    def __init__(self, persist_dir: str | None = None, initial_json: str | None = None):
+        """``initial_json``: override the v1 schema (default: the canonical
+        transcript schema). The engine is payload-agnostic — any table with
+        the (conv_id, turn_idx, ts) key/version columns replays; extra
+        payload columns ride through augment → shuffle → LWW untouched."""
         self.persist_dir = persist_dir
-        self.versions: dict[int, SchemaVersion] = {1: SchemaVersion(1, CANONICAL_SCHEMA_V1)}
+        base = (
+            SchemaVersion.from_json(initial_json)
+            if initial_json
+            else SchemaVersion(1, CANONICAL_SCHEMA_V1)
+        )
+        self.versions: dict[int, SchemaVersion] = {base.version: base}
         self.applied_ddl_seqs: set[int] = set()
         if persist_dir:
             self._load_history()
