@@ -183,7 +183,11 @@ def main_scaling() -> dict:
     ensure_changelog(changelog_events())
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="1")
+        # steady-state throughput: best-of-2 inside one process, so the
+        # one-off worker-spawn/page-cache cost (~5-8 s on this VM) does not
+        # deflate both levels of the ratio — the 10^10-event design point
+        # amortizes fixed startup to nothing
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="2")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, check=True,

@@ -178,6 +178,8 @@ class Applier:
         manifest: PartitionManifest,
         rng: np.random.Generator,
     ) -> tuple[dict, PartitionManifest]:
+        if "m_seq" in group.column_names:
+            return self._apply_once_combined(part_id, group, manifest, rng)
         # (1) binlog order: sort by seq; never trust block order.
         group = group.take(pc.sort_indices(group["seq"]))
         seq = group.column("seq").to_numpy()
@@ -192,19 +194,107 @@ class Applier:
         new_state, ctr, winners = self._merge(prev_state, events)
         ctr["input_rows"] = n_in
         ctr["skipped"] = n_skipped
+        last_seq = int(seq.max()) if n_in else manifest.last_seq
+        return self._commit(part_id, manifest, new_state, winners, ctr, last_seq, rng)
+
+    def _apply_once_combined(
+        self,
+        part_id: int,
+        group: pa.Table,
+        manifest: PartitionManifest,
+        rng: np.random.Generator,
+    ) -> tuple[dict, PartitionManifest]:
+        """Reducer for map-side-combined input (rayrep/combine.py): rows are
+        per-(key[, day])-per-source-batch winner payloads + (ts, seq, del)
+        meta lists for every original event. Reproduces the exact sequential
+        counters from the meta lists and folds winner payloads into state by
+        the same LWW argmax. Precondition (driver-enforced): no event seq is
+        at or below this partition's committed watermark."""
+        from rayrep.combine import COMBINE_META, DAY_US, _arr
+
+        group = decode_transport(group)
+        m_seq = _arr(group.column("m_seq"))
+        lens = pc.list_value_length(m_seq).to_numpy()
+        all_seq = pc.list_flatten(m_seq).to_numpy()
+        all_ts = pc.list_flatten(_arr(group.column("m_ts"))).to_numpy()
+        all_del = pc.list_flatten(_arr(group.column("m_del"))).to_numpy(zero_copy_only=False)
+        n_in = len(all_seq)
+        if n_in and int(all_seq.min()) <= manifest.last_seq:
+            raise RuntimeError(
+                "combined round overlaps the committed watermark "
+                f"(min seq {int(all_seq.min())} <= last_seq {manifest.last_seq}); "
+                "the driver must disable map_combine for this round"
+            )
+
+        conv_row = group.column("conv_id").to_numpy(zero_copy_only=False)
+        turn_row = group.column("turn_idx").to_numpy().astype(np.int64)
+        codes_row, uniques = pd.factorize(conv_row, sort=False)
+        kid_row = (codes_row.astype(np.int64) << 32) | turn_row
+
+        prev_state = self._load_state(manifest)
+        ctr = zero_counters()
+        ctr["input_rows"] = n_in
+        payload = group.drop_columns(COMBINE_META)
+        if n_in:
+            kid = np.repeat(kid_row, lens)
+            order = np.argsort(all_seq, kind="stable")
+            kid_s, ts_s, del_s = kid[order], all_ts[order], all_del[order]
+            seed = self._seed_from_state(prev_state, uniques)
+            win = self._sequential_win(kid_s, ts_s, seed)
+            ctr["applied"] = int(win.sum())
+            ctr["conflict"] = int((~win).sum())
+            ctr["deleted"] = int((win & del_s).sum())
+            # delta side output: the net change per (key, utc-day) — the
+            # day's argmax payload row, iff it won sequentially
+            if self.delta_output:
+                pay_seq = payload.column("seq").to_numpy()
+                pos = np.searchsorted(all_seq[order], pay_seq)
+                row_win = win[pos]
+                pay_ts = payload.column("ts").cast(pa.int64()).to_numpy()
+                day = pay_ts // DAY_US
+                o2 = np.lexsort((pay_seq, pay_ts, day, kid_row))
+                last = np.ones(len(o2), dtype=bool)
+                if len(o2) > 1:
+                    k2, d2 = kid_row[o2], day[o2]
+                    last[:-1] = (k2[1:] != k2[:-1]) | (d2[1:] != d2[:-1])
+                keep = np.zeros(len(o2), dtype=bool)
+                keep[o2] = last
+                winners = payload.filter(pa.array(keep & row_win))
+            else:
+                winners = payload.schema.empty_table()
+        else:
+            winners = payload.schema.empty_table()
+
+        # state fold: every payload row is its group's argmax, and the
+        # global argmax per key is the argmax over these — LWW vs prior
+        # state discards sequential losers automatically
+        new_state = self._merge_full_rows(prev_state, payload)
+        last_seq = int(all_seq.max()) if n_in else manifest.last_seq
+        return self._commit(part_id, manifest, new_state, winners, ctr, last_seq, rng)
+
+    def _commit(
+        self,
+        part_id: int,
+        manifest: PartitionManifest,
+        new_state: pa.Table,
+        delta_events: pa.Table,
+        ctr: dict,
+        last_seq: int,
+        rng: np.random.Generator,
+    ) -> tuple[dict, PartitionManifest]:
         assert ctr["applied"] + ctr["skipped"] + ctr["conflict"] == ctr["input_rows"], (
             "A3 invariant violated"
         )  # metrics-gated checkpoint (CHANGES.txt:113-116)
 
-        # (4) durable effects, all deterministic-name + tmp/rename.
+        # durable effects, all deterministic-name + tmp/rename.
         spath = state_path(self.lake_dir, part_id, self.epoch)
         os.makedirs(os.path.dirname(spath), exist_ok=True)
         tmp = spath + ".tmp"
         pq.write_table(new_state, tmp)
         self._maybe_chaos(rng)  # crash point A: state written but not visible
         os.replace(tmp, spath)
-        if self.delta_output and winners.num_rows:
-            self._write_delta(part_id, winners)
+        if self.delta_output and delta_events.num_rows:
+            self._write_delta(part_id, delta_events)
         self._maybe_chaos(rng)  # crash point B: state visible, manifest not
 
         max_ts = 0
@@ -214,7 +304,7 @@ class Applier:
         new_manifest = PartitionManifest(
             part_id=part_id,
             epoch=self.epoch,
-            last_seq=int(seq.max()) if n_in else manifest.last_seq,
+            last_seq=last_seq,
             state_file=os.path.relpath(spath, self.lake_dir),
             counters=merge_counters(manifest.counters, ctr),
             epoch_counters=ctr,
@@ -239,34 +329,49 @@ class Applier:
         if events.num_rows == 0:
             return state, ctr, events
 
-        ev = pd.DataFrame(
-            {
-                "conv_id": events.column("conv_id").to_pandas(),
-                "turn_idx": events.column("turn_idx").to_numpy(),
-                "ts": events.column("ts").cast(pa.int64()).to_numpy(),
-                "seq": events.column("seq").to_numpy(),
-                "is_del": events.column("op").to_numpy(zero_copy_only=False) == "D",
-            }
-        )
+        conv = events.column("conv_id").to_numpy(zero_copy_only=False)
+        ts_us = events.column("ts").cast(pa.int64()).to_numpy()
+        is_del = events.column("op").to_numpy(zero_copy_only=False) == "D"
         # dense collision-free key id: factorized conv << 32 | turn
-        codes, uniques = pd.factorize(ev["conv_id"], sort=False)
-        kid = (codes.astype(np.int64) << 32) | ev["turn_idx"].to_numpy().astype(np.int64)
-        ev["kid"] = kid
+        codes, uniques = pd.factorize(conv, sort=False)
+        kid = (codes.astype(np.int64) << 32) | events.column("turn_idx").to_numpy().astype(
+            np.int64
+        )
+        seed = self._seed_from_state(state, uniques)
+        win = self._sequential_win(kid, ts_us, seed)  # ties → higher seq wins
+        ctr["applied"] = int(win.sum())
+        ctr["conflict"] = int((~win).sum())
+        ctr["deleted"] = int((win & is_del).sum())
 
-        # seed per-key running max from state (ts, matching kid space)
-        if state.num_rows:
-            st_conv = state.column("conv_id").to_pandas()
-            st_codes = pd.Categorical(st_conv, categories=uniques).codes.astype(np.int64)
-            st_mask = st_codes >= 0  # state keys not touched this epoch don't matter
-            st_kid = (st_codes[st_mask] << 32) | state.column("turn_idx").to_numpy()[
-                st_mask
-            ].astype(np.int64)
-            st_ts = state.column("ts").cast(pa.int64()).to_numpy()[st_mask]
-            seed = pd.Series(st_ts, index=st_kid)
-            seed = seed[~seed.index.duplicated()]
+        winners = events.filter(pa.array(win))
+        if self.changed_cells:
+            new_state = self._merge_changed_cells(state, winners, seed, uniques)
         else:
-            seed = pd.Series(dtype=np.int64)
+            new_state = self._merge_full_rows(state, winners)
+        return new_state, ctr, winners
 
+    def _seed_from_state(self, state: pa.Table, uniques) -> pd.Series:
+        """Per-key prior-state ts (the running-max seed), keyed in the
+        current batch's factorization space; keys untouched this epoch are
+        irrelevant and dropped."""
+        if not state.num_rows:
+            return pd.Series(dtype=np.int64)
+        st_conv = state.column("conv_id").to_pandas()
+        st_codes = pd.Categorical(st_conv, categories=uniques).codes.astype(np.int64)
+        st_mask = st_codes >= 0
+        st_kid = (st_codes[st_mask] << 32) | state.column("turn_idx").to_numpy()[
+            st_mask
+        ].astype(np.int64)
+        st_ts = state.column("ts").cast(pa.int64()).to_numpy()[st_mask]
+        seed = pd.Series(st_ts, index=st_kid)
+        return seed[~seed.index.duplicated()]
+
+    @staticmethod
+    def _sequential_win(kid_s: np.ndarray, ts_s: np.ndarray, seed: pd.Series) -> np.ndarray:
+        """win[i] ⇔ event i (inputs MUST be in seq order) has ts >= the
+        running per-key max seeded from prior state — exactly the
+        one-event-at-a-time semantics, vectorized with grouped cummax."""
+        ev = pd.DataFrame({"kid": kid_s, "ts": ts_s})
         g = ev.groupby("kid", sort=False)["ts"]
         cm = g.cummax()
         prev_cm = cm.groupby(ev["kid"], sort=False).shift(1)
@@ -275,17 +380,7 @@ class Applier:
             prev_cm.to_numpy(dtype=np.float64, na_value=-np.inf),
             state_ts.to_numpy(dtype=np.float64, na_value=-np.inf),
         )
-        win = ev["ts"].to_numpy() >= prev_max  # ties → higher seq wins
-        ctr["applied"] = int(win.sum())
-        ctr["conflict"] = int((~win).sum())
-        ctr["deleted"] = int((win & ev["is_del"].to_numpy()).sum())
-
-        winners = events.filter(pa.array(win))
-        if self.changed_cells:
-            new_state = self._merge_changed_cells(state, winners, seed, uniques)
-        else:
-            new_state = self._merge_full_rows(state, winners)
-        return new_state, ctr, winners
+        return ts_s >= prev_max
 
     def _events_as_state(self, events: pa.Table) -> pa.Table:
         return events_as_state(events, self.payload_cols)

@@ -38,6 +38,15 @@ class EngineConfig:
     # bandwidth-bound hosts because both stages are pure parallel maps.
     exchange: str = "groupby"
     augmenter_concurrency: int | None = None
+    # Map-side LWW pre-combining (rayrep/combine.py): collapse each batch
+    # to per-key winner payloads + compact per-event meta before the
+    # shuffle — fewer rows/bytes through the sort exchange, identical
+    # final state AND counters. Auto-disabled per round when the round
+    # overlaps a committed watermark (resume of a partial epoch), in
+    # changed-cells mode, in dry-run, and for the staged exchange. With
+    # combining on, the daily-delta side output holds the NET change per
+    # (key, utc-day) instead of every applied event (documented in S7).
+    map_combine: bool = True
     # Large batches keep block counts low through the sort shuffle (fewer
     # blocks to merge in the reduce); at ~90 B/row of text this is ~12 MB
     # per batch — well inside worker heap even × concurrency.

@@ -66,6 +66,39 @@ def discover_epochs(changelog_dir: str) -> list[tuple[int, str]]:
     return out
 
 
+def _max_watermark(lake_dir: str) -> int:
+    """Highest committed seq across all partition manifests (-1 = none)."""
+    wm = -1
+    for mp in glob.glob(os.path.join(lake_dir, "_manifests", "p*.json")):
+        with open(mp) as f:
+            wm = max(wm, json.load(f).get("last_seq", -1))
+    return wm
+
+
+def epoch_min_seq(path: str) -> int | None:
+    """Min `seq` of an epoch from Parquet row-group statistics only (no
+    data read). None when stats are unavailable → callers must assume the
+    epoch may overlap the watermark."""
+    import pyarrow.parquet as pq
+
+    files = [path] if path.endswith(".parquet") else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    mn = None
+    for fp in files:
+        md = pq.read_metadata(fp)
+        names = md.schema.to_arrow_schema().names
+        if "seq" not in names:
+            return None
+        ci = names.index("seq")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                return None
+            mn = st.min if mn is None else min(mn, st.min)
+    return mn
+
+
 def extract_ddl_events(path: str, max_ts_us: int | None = None) -> list[tuple[int, str]]:
     """Driver-side scan of one epoch file for DDL rows. DDL events are rare
     (schema changes), so a pushed-down filtered read of 3 columns is cheap
@@ -198,6 +231,31 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                 )
             )
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        # Map-side combine (rayrep/combine.py): only when every event seq in
+        # this round is provably above every committed watermark — always
+        # true in normal forward replay; a resumed round that overlaps a
+        # partial commit falls back to the full per-event path.
+        combine = (
+            cfg.map_combine
+            and not cfg.changed_cells_updates
+            and not cfg.dry_run
+            and cfg.exchange == "groupby"
+        )
+        if combine:
+            wm = _max_watermark(cfg.lake_dir)
+            if wm >= 0:
+                mins = [epoch_min_seq(p) for _, p in rnd]
+                if any(m is None or m <= wm for m in mins):
+                    combine = False
+        if combine:
+            from rayrep.combine import combine_batch
+
+            ds = ds.map_batches(
+                combine_batch,
+                fn_kwargs={"by_day": cfg.delta_output},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         if cfg.dry_run:
             # STDOUT/JSON debug sink (CHANGES.txt:43,143): no side effects.
             for row in ds.limit(5).take_all():
@@ -415,8 +473,16 @@ def replay_batch(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+    # pure LWW needs only per-batch winners through the shuffle (no
+    # counters here), so the combiner's payload rows alone suffice
+    from rayrep.combine import COMBINE_META, combine_batch
+
+    ds = ds.map_batches(
+        combine_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def reduce_group(group: pa.Table) -> pa.Table:
+        group = group.drop_columns([c for c in COMBINE_META if c in group.column_names])
         state_rows = events_as_state(group, payload_cols)
         out = lww_last_rows(state_rows)
         out = out.filter(pc.invert(out["__deleted"]))

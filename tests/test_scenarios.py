@@ -203,6 +203,19 @@ def test_changed_cells_update_merges_non_null(tmp_path):
     assert got["role"].iloc[0] == "assistant"     # changed cell applied
 
 
+# ---------------------------------------------------------- combine parity
+def test_uncombined_replay_matches_oracle(tmp_path):
+    """map_combine=False (the fallback path used when a resumed round
+    overlaps a watermark) must produce identical state AND counters."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, SPEC)
+    _, res = run(d, lake, map_combine=False)
+    oracle_df, octr = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    assert res["totals"]["applied"] == octr["applied"]
+    assert res["totals"]["conflict"] == octr["conflict"]
+
+
 # ------------------------------------------------------------------ skew
 def test_skewed_one_huge_conversation(tmp_path):
     spec = GenSpec(seed=3, n_conversations=5, max_turns=4, n_events=600,

@@ -21,20 +21,41 @@ from .test_scenarios import ev, run, write_epochs
 
 
 def test_delta_side_output_contents(tmp_path):
-    """S7: the delta dir holds exactly the APPLIED changes, stamped with
+    """S7 without map-side combining: the delta dir holds exactly the
+    APPLIED (winning) changes — conflict losers excluded — stamped with
     the forced-UTC yyyymmdd (CHANGES.txt:123,55 analog)."""
     d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
     rows = [ev(0, "I", "a", 0, "x", ts=0),
             ev(1, "U", "a", 0, "y", ts=5_000_000),
-            ev(2, "D", "a", 0, ts=10_000_000)]
+            ev(2, "U", "a", 0, "stale", ts=1_000_000),   # conflict loser
+            ev(3, "D", "a", 0, ts=10_000_000)]
     write_epochs(d, rows)
-    run(d, lake)
+    run(d, lake, map_combine=False)
     files = glob.glob(os.path.join(lake, "delta", "*.parquet"))
     assert files
     delta = pq.read_table(files[0]).to_pandas()
-    assert len(delta) == 3                      # all three events applied
+    assert len(delta) == 3                      # three winners; loser excluded
     assert set(delta["change_date"]) == {"20231114"}
     assert set(delta["op"]) == {"I", "U", "D"}
+
+
+def test_delta_side_output_combined_net_daily(tmp_path):
+    """S7 with map-side combining: the delta holds the NET change per
+    (key, utc-day) — one row, the day's winning image (documented
+    semantic difference; every applied event is not reconstructible after
+    the combine collapses payloads)."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    day2 = 86_400_000_000
+    rows = [ev(0, "I", "a", 0, "x", ts=0),
+            ev(1, "U", "a", 0, "y", ts=5_000_000),
+            ev(2, "U", "a", 0, "z", ts=day2 + 1_000_000)]
+    write_epochs(d, rows)
+    _, res = run(d, lake, map_combine=True)
+    assert res["totals"]["applied"] == 3
+    files = glob.glob(os.path.join(lake, "delta", "*.parquet"))
+    delta = pq.read_table(files[0]).to_pandas().sort_values("change_date")
+    assert list(delta["change_date"]) == ["20231114", "20231115"]
+    assert list(delta["text"]) == ["y", "z"]     # net image per day
 
 
 def test_delta_disabled(tmp_path):
