@@ -245,9 +245,91 @@ def _append_bench_md(result: dict) -> None:
         )
 
 
+def main_delta_state() -> dict:
+    """Long-tail epoch bench: a big snapshot builds a large converged lake,
+    then many tiny epochs trickle in. Demonstrates that epoch wall-time in
+    delta mode (state_snapshot_interval>1) tracks DELTA size, while the
+    full-rewrite mode (interval=1) pays O(partition state) every epoch."""
+    import numpy as np
+    import pyarrow.parquet as pq2
+    import ray
+
+    from rayrep.config import EngineConfig
+    from rayrep.gen import GenSpec, generate_changelog
+    from rayrep.pipeline import replay
+
+    n_snap, n_tail_epochs, tail_rows = 4_000_000, 12, 100_000
+    n_events = n_snap + n_tail_epochs * tail_rows
+    cl = os.path.join(BENCH_ROOT, f"cl-longtail-{n_events}")
+    if not os.path.exists(os.path.join(cl, "_done")):
+        shutil.rmtree(cl, ignore_errors=True)
+        table = generate_changelog(GenSpec(
+            seed=42, n_events=n_events, n_conversations=1_200_000, max_turns=8,
+            snapshot_frac=n_snap / n_events, n_epochs=1, zipf_a=1.1,
+        ))
+        bounds = [0, n_snap] + [n_snap + (i + 1) * tail_rows for i in range(n_tail_epochs)]
+        bounds[-1] = table.num_rows
+        for e in range(len(bounds) - 1):
+            edir = os.path.join(cl, f"epoch-{e:05d}")
+            os.makedirs(edir)
+            chunk = table.slice(bounds[e], bounds[e + 1] - bounds[e])
+            nf = max(1, chunk.num_rows // 500_000)
+            fb = np.linspace(0, chunk.num_rows, nf + 1).astype(np.int64)
+            for i in range(nf):
+                pq2.write_table(chunk.slice(int(fb[i]), int(fb[i + 1] - fb[i])),
+                                os.path.join(edir, f"part-{i:04d}.parquet"))
+        open(os.path.join(cl, "_done"), "w").close()
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    out = {}
+    try:
+        warmup()
+        for label, interval in (("full_rewrite_interval1", 1), ("delta_interval8", 8)):
+            lake = os.path.join(BENCH_ROOT, f"lt-lake-{os.getpid()}-{interval}")
+            shutil.rmtree(lake, ignore_errors=True)
+            res = replay(EngineConfig(
+                changelog_dir=cl, lake_dir=lake, num_partitions=32,
+                epochs_per_round=1, state_snapshot_interval=interval,
+            ))
+            walls = [e["wall_s"] for e in res["epochs"]]
+            tail = walls[1:]
+            out[label] = {
+                "snapshot_epoch_s": round(walls[0], 2),
+                "tail_epoch_mean_s": round(sum(tail) / len(tail), 2),
+                "tail_epoch_min_s": round(min(tail), 2),
+                "tail_epoch_max_s": round(max(tail), 2),
+                "total_s": round(sum(walls), 2),
+            }
+            shutil.rmtree(lake, ignore_errors=True)
+    finally:
+        ray.shutdown()
+    result = {
+        "metric": "delta-state long-tail epochs: wall per 100k-event epoch over a 4M-key lake",
+        "num_cpus": NUM_CPUS,
+        **out,
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    with open(path, "a") as f:
+        f.write(
+            f"\n## Delta-state long-tail run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+            f"- 4M-event snapshot → 12 × 100k-event tail epochs, per-epoch commit, 32 cpus\n"
+            f"- full rewrite (interval=1): tail epoch mean "
+            f"{out['full_rewrite_interval1']['tail_epoch_mean_s']}s (O(state) per epoch)\n"
+            f"- delta chain (interval=8):  tail epoch mean "
+            f"{out['delta_interval8']['tail_epoch_mean_s']}s (O(delta) write + narrow seed read)\n"
+        )
+    return result
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
+    elif "--delta-state" in sys.argv:
+        print(json.dumps(main_delta_state()))
     else:
         print(json.dumps(main_bench("--headline-only" in sys.argv)))

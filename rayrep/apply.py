@@ -88,28 +88,103 @@ def events_as_state(events: pa.Table, payload_cols: list[str]) -> pa.Table:
     return tbl
 
 
+def _key_ids(comb: pa.Table) -> np.ndarray:
+    """Dense collision-free int64 id per (conv_id, turn_idx): factorized
+    conv << 32 | turn. Hash-based — avoids string sorts in the hot path."""
+    conv = comb.column("conv_id").to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(conv, sort=False)
+    return (codes.astype(np.int64) << 32) | comb.column("turn_idx").to_numpy().astype(
+        np.int64
+    )
+
+
 def lww_last_rows(comb: pa.Table) -> pa.Table:
     """Keep the argmax-(ts, __seq) row per (conv_id, turn_idx) — the core
-    grouped LWW reduction (A4; HBase per-cell versioning analog, README.md:18)."""
+    grouped LWW reduction (A4; HBase per-cell versioning analog,
+    README.md:18). Output row order is by key id, not lexicographic —
+    callers needing a stable presentation order sort afterwards."""
     if comb.num_rows == 0:
         return comb
-    idx = pc.sort_indices(
-        comb,
-        sort_keys=[
-            ("conv_id", "ascending"),
-            ("turn_idx", "ascending"),
-            ("ts", "ascending"),
-            ("__seq", "ascending"),
-        ],
+    kid = _key_ids(comb)
+    ts = comb.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    seq = comb.column("__seq").to_numpy()
+    order = np.lexsort((seq, ts, kid))
+    kid_s = kid[order]
+    last = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        last[:-1] = kid_s[1:] != kid_s[:-1]
+    return comb.take(pa.array(order[last]))
+
+
+def _live_count(state: pa.Table) -> int:
+    if state.num_rows == 0:
+        return 0
+    return int(state.num_rows - (pc.sum(state["__deleted"]).as_py() or 0))
+
+
+def last_per_key_mask(comb: pa.Table) -> np.ndarray:
+    """Keep-mask for the LAST occurrence per key in ARRAY ORDER — the state
+    chain fold (a key's later chain entries are strictly newer by
+    construction, so positional last == LWW winner). O(n) hash-based."""
+    kid = _key_ids(comb)
+    return ~pd.Series(kid[::-1]).duplicated().to_numpy()[::-1]
+
+
+def fold_state_files(paths: list[str], columns: list[str] | None = None) -> pa.Table:
+    """Merge-on-read: concat a partition's state chain (base + per-epoch
+    deltas, oldest→newest) and keep each key's newest row. ``columns``
+    prunes the read (the per-epoch counter seed needs only 4 narrow
+    columns, never the payload). The engine columns (conv_id, turn_idx,
+    ts, __seq, __deleted) are rename-stable, so a permissive concat is
+    safe here; full-payload folds must conform per file first
+    (``fold_state_chain``)."""
+    tabs = [pq.read_table(p, columns=columns) for p in paths]
+    comb = (
+        pa.concat_tables(tabs, promote_options="permissive")
+        if len(tabs) > 1
+        else tabs[0]
     )
-    comb = comb.take(idx)
-    conv = comb.column("conv_id").to_numpy(zero_copy_only=False)
-    turn = comb.column("turn_idx").to_numpy()
-    last = np.ones(len(conv), dtype=bool)
-    if len(conv) > 1:
-        same = (conv[1:] == conv[:-1]) & (turn[1:] == turn[:-1])
-        last[:-1] = ~same
-    return comb.filter(pa.array(last))
+    if comb.num_rows == 0:
+        return comb
+    return comb.filter(pa.array(last_per_key_mask(comb)))
+
+
+def state_schema(target: SchemaVersion) -> pa.Schema:
+    return pa.schema(
+        list(target.schema)
+        + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
+    )
+
+
+def conform_state(state: pa.Table, target: SchemaVersion) -> pa.Table:
+    """Evolve a prior-epoch state table to the current canonical schema
+    (schema evolution between epochs: add columns as nulls, renames)."""
+    from rayrep.schema import evolve_table
+
+    if state.num_rows == 0 and not state.column_names:
+        return state_schema(target).empty_table()
+    meta = {c: state.column(c) for c in STATE_META if c in state.column_names}
+    payload = state.drop_columns([c for c in STATE_META if c in state.column_names])
+    payload = evolve_table(payload, target)
+    out = payload
+    for c in STATE_META:
+        out = out.append_column(c, meta[c])
+    return out
+
+
+def fold_state_chain(lake_dir: str, chain: list[str], target: SchemaVersion) -> pa.Table:
+    """Full-payload merge-on-read of a state chain: each file is conformed
+    to the target schema FIRST (so a rename between deltas doesn't strand
+    old rows' payload in a dead column), then the newest row per key wins."""
+    tabs = [
+        conform_state(pq.read_table(os.path.join(lake_dir, f)), target) for f in chain
+    ]
+    if not tabs:
+        return state_schema(target).empty_table()
+    comb = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+    if comb.num_rows == 0:
+        return comb
+    return comb.filter(pa.array(last_per_key_mask(comb)))
 
 
 def state_dir(lake_dir: str, part_id: int) -> str:
@@ -132,6 +207,7 @@ class Applier:
         delta_output: bool = True,
         chaos_fraction: float = 0.0,
         chaos_seed: int = 1234,
+        compact_interval: int = 4,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -141,6 +217,9 @@ class Applier:
         self.delta_output = delta_output
         self.chaos_fraction = chaos_fraction
         self.chaos_seed = chaos_seed
+        # write a delta per epoch; fold to one full file when the chain
+        # would exceed this many entries (1 = full rewrite every epoch)
+        self.compact_interval = max(1, compact_interval)
 
     # ------------------------------------------------------------------ call
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -190,12 +269,61 @@ class Applier:
         n_skipped = int(n_in - keep.sum())
         events = group.filter(pa.array(keep)) if n_skipped else group
 
-        prev_state = self._load_state(manifest)
-        new_state, ctr, winners = self._merge(prev_state, events)
+        if self.changed_cells:
+            # changed-cells needs every prior payload cell → full-fold read
+            # and a full state rewrite each epoch (no delta path)
+            prev_state = self._load_state_full(manifest)
+            new_state, ctr, winners = self._merge(prev_state, events)
+            ctr["input_rows"] = n_in
+            ctr["skipped"] = n_skipped
+            last_seq = int(seq.max()) if n_in else manifest.last_seq
+            live = _live_count(new_state)
+            return self._commit(
+                part_id, manifest, new_state, winners, ctr, last_seq, rng,
+                chain=None, live_rows=live,
+            )
+
+        # --- delta path: epoch cost ∝ delta size, never partition state ---
+        conv = events.column("conv_id").to_numpy(zero_copy_only=False)
+        ts_us = events.column("ts").cast(pa.int64()).to_numpy()
+        is_del = events.column("op").to_numpy(zero_copy_only=False) == "D"
+        codes, uniques = pd.factorize(conv, sort=False)
+        kid = (codes.astype(np.int64) << 32) | events.column("turn_idx").to_numpy().astype(
+            np.int64
+        )
+        narrow = self._load_state_narrow(manifest)
+        seed, prior_live = self._seed_maps(narrow, uniques)
+        win = self._sequential_win(kid, ts_us, seed)
+        ctr = zero_counters()
         ctr["input_rows"] = n_in
         ctr["skipped"] = n_skipped
+        ctr["applied"] = int(win.sum())
+        ctr["conflict"] = int((~win).sum())
+        ctr["deleted"] = int((win & is_del).sum())
+        winners = events.filter(pa.array(win))
+        # per-key argmax winner = the key's new state row (kid reused from
+        # the factorization above — no second factorize / string sort)
+        kid_w = kid[win]
+        if len(kid_w):
+            ts_w = ts_us[win]
+            seq_w = events.column("seq").to_numpy()[win]
+            ow = np.lexsort((seq_w, ts_w, kid_w))
+            wlast = np.ones(len(ow), dtype=bool)
+            if len(ow) > 1:
+                wk = kid_w[ow]
+                wlast[:-1] = wk[1:] != wk[:-1]
+            sel = ow[wlast]
+            delta_state = self._events_as_state(winners.take(pa.array(sel)))
+            d_kid = kid_w[sel]
+        else:
+            delta_state = self._state_schema().empty_table()
+            d_kid = np.empty(0, dtype=np.int64)
+        live_delta = self._live_delta(delta_state, d_kid, prior_live)
         last_seq = int(seq.max()) if n_in else manifest.last_seq
-        return self._commit(part_id, manifest, new_state, winners, ctr, last_seq, rng)
+        return self._commit(
+            part_id, manifest, delta_state, winners, ctr, last_seq, rng,
+            chain=manifest.state_chain, live_rows=manifest.live_rows + live_delta,
+        )
 
     def _apply_once_combined(
         self,
@@ -231,46 +359,62 @@ class Applier:
         codes_row, uniques = pd.factorize(conv_row, sort=False)
         kid_row = (codes_row.astype(np.int64) << 32) | turn_row
 
-        prev_state = self._load_state(manifest)
         ctr = zero_counters()
         ctr["input_rows"] = n_in
         payload = group.drop_columns(COMBINE_META)
+        narrow = self._load_state_narrow(manifest)
+        seed, prior_live = self._seed_maps(narrow, uniques)
         if n_in:
             kid = np.repeat(kid_row, lens)
             order = np.argsort(all_seq, kind="stable")
             kid_s, ts_s, del_s = kid[order], all_ts[order], all_del[order]
-            seed = self._seed_from_state(prev_state, uniques)
             win = self._sequential_win(kid_s, ts_s, seed)
             ctr["applied"] = int(win.sum())
             ctr["conflict"] = int((~win).sum())
             ctr["deleted"] = int((win & del_s).sum())
+            # which payload rows won sequentially (match by unique seq)
+            pay_seq = payload.column("seq").to_numpy()
+            pos = np.searchsorted(all_seq[order], pay_seq)
+            row_win = win[pos]
+            pay_ts = payload.column("ts").cast(pa.int64()).to_numpy()
+            # ONE lexsort serves both collapses: day = ts // DAY is a
+            # monotone coarsening of ts, so within a key the (day, ts, seq)
+            # order equals the (ts, seq) order — last-of-key is the key
+            # argmax, last-of-(key, day) is the day's net winner
+            day = pay_ts // DAY_US
+            o2 = np.lexsort((pay_seq, pay_ts, day, kid_row))
+            k2, d2 = kid_row[o2], day[o2]
+            klast = np.ones(len(o2), dtype=bool)
+            dlast = np.ones(len(o2), dtype=bool)
+            if len(o2) > 1:
+                knew = k2[1:] != k2[:-1]
+                klast[:-1] = knew
+                dlast[:-1] = knew | (d2[1:] != d2[:-1])
+            key_argmax = np.zeros(len(o2), dtype=bool)
+            key_argmax[o2] = klast
+            day_argmax = np.zeros(len(o2), dtype=bool)
+            day_argmax[o2] = dlast
+            dmask = key_argmax & row_win
+            # exactly one row per key by construction (argmax mask)
+            delta_state = self._events_as_state(payload.filter(pa.array(dmask)))
+            d_kid = kid_row[dmask]
             # delta side output: the net change per (key, utc-day) — the
             # day's argmax payload row, iff it won sequentially
             if self.delta_output:
-                pay_seq = payload.column("seq").to_numpy()
-                pos = np.searchsorted(all_seq[order], pay_seq)
-                row_win = win[pos]
-                pay_ts = payload.column("ts").cast(pa.int64()).to_numpy()
-                day = pay_ts // DAY_US
-                o2 = np.lexsort((pay_seq, pay_ts, day, kid_row))
-                last = np.ones(len(o2), dtype=bool)
-                if len(o2) > 1:
-                    k2, d2 = kid_row[o2], day[o2]
-                    last[:-1] = (k2[1:] != k2[:-1]) | (d2[1:] != d2[:-1])
-                keep = np.zeros(len(o2), dtype=bool)
-                keep[o2] = last
-                winners = payload.filter(pa.array(keep & row_win))
+                winners = payload.filter(pa.array(day_argmax & row_win))
             else:
                 winners = payload.schema.empty_table()
         else:
+            delta_state = self._state_schema().empty_table()
+            d_kid = np.empty(0, dtype=np.int64)
             winners = payload.schema.empty_table()
 
-        # state fold: every payload row is its group's argmax, and the
-        # global argmax per key is the argmax over these — LWW vs prior
-        # state discards sequential losers automatically
-        new_state = self._merge_full_rows(prev_state, payload)
+        live_delta = self._live_delta(delta_state, d_kid, prior_live)
         last_seq = int(all_seq.max()) if n_in else manifest.last_seq
-        return self._commit(part_id, manifest, new_state, winners, ctr, last_seq, rng)
+        return self._commit(
+            part_id, manifest, delta_state, winners, ctr, last_seq, rng,
+            chain=manifest.state_chain, live_rows=manifest.live_rows + live_delta,
+        )
 
     def _commit(
         self,
@@ -281,31 +425,59 @@ class Applier:
         ctr: dict,
         last_seq: int,
         rng: np.random.Generator,
+        chain: list[str] | None,
+        live_rows: int,
     ) -> tuple[dict, PartitionManifest]:
+        """Durable effects, all deterministic-name + tmp/rename (a chaos
+        retry overwrites, never appends). ``chain=None`` → ``new_state`` is
+        a FULL image replacing the chain; otherwise ``new_state`` is this
+        epoch's DELTA appended to ``chain`` — unless that would exceed
+        ``compact_interval``, in which case the chain is folded here and a
+        full image is written instead (minor compaction)."""
         assert ctr["applied"] + ctr["skipped"] + ctr["conflict"] == ctr["input_rows"], (
             "A3 invariant violated"
         )  # metrics-gated checkpoint (CHANGES.txt:113-116)
 
-        # durable effects, all deterministic-name + tmp/rename.
-        spath = state_path(self.lake_dir, part_id, self.epoch)
-        os.makedirs(os.path.dirname(spath), exist_ok=True)
-        tmp = spath + ".tmp"
-        pq.write_table(new_state, tmp)
-        self._maybe_chaos(rng)  # crash point A: state written but not visible
-        os.replace(tmp, spath)
+        if chain is None:
+            out, new_chain = new_state, []
+        elif new_state.num_rows == 0:
+            out, new_chain = None, list(chain)  # nothing changed: no new file
+        elif len(chain) + 1 > self.compact_interval:
+            folded = fold_state_files(
+                [os.path.join(self.lake_dir, f) for f in chain]
+            ) if chain else self._state_schema().empty_table()
+            folded = self._conform_state(folded)
+            comb = pa.concat_tables([folded, self._conform_state(new_state)],
+                                    promote_options="permissive")
+            out = comb.filter(pa.array(last_per_key_mask(comb)))
+            new_chain = []
+            live_rows = _live_count(out)  # exact recount at compaction
+        else:
+            out, new_chain = new_state, list(chain)
+
+        max_ts = manifest.max_ts_us
+        if out is not None:
+            spath = state_path(self.lake_dir, part_id, self.epoch)
+            os.makedirs(os.path.dirname(spath), exist_ok=True)
+            tmp = spath + ".tmp"
+            pq.write_table(out, tmp)
+            self._maybe_chaos(rng)  # crash point A: state written but not visible
+            os.replace(tmp, spath)
+            new_chain.append(os.path.relpath(spath, self.lake_dir))
+            if out.num_rows:
+                m = pc.max(out["ts"]).value
+                if m is not None:
+                    max_ts = max(max_ts, int(m))
         if self.delta_output and delta_events.num_rows:
             self._write_delta(part_id, delta_events)
         self._maybe_chaos(rng)  # crash point B: state visible, manifest not
 
-        max_ts = 0
-        if new_state.num_rows:
-            m = pc.max(new_state["ts"]).value
-            max_ts = int(m) if m is not None else 0
         new_manifest = PartitionManifest(
             part_id=part_id,
             epoch=self.epoch,
             last_seq=last_seq,
-            state_file=os.path.relpath(spath, self.lake_dir),
+            state_chain=new_chain,
+            live_rows=live_rows,
             counters=merge_counters(manifest.counters, ctr),
             epoch_counters=ctr,
             max_ts_us=max_ts,
@@ -354,17 +526,42 @@ class Applier:
         """Per-key prior-state ts (the running-max seed), keyed in the
         current batch's factorization space; keys untouched this epoch are
         irrelevant and dropped."""
-        if not state.num_rows:
-            return pd.Series(dtype=np.int64)
-        st_conv = state.column("conv_id").to_pandas()
+        return self._seed_maps(state, uniques)[0]
+
+    def _seed_maps(self, narrow: pa.Table, uniques) -> tuple[pd.Series, pd.Series]:
+        """(per-key prior ts, per-key prior liveness) for keys touched this
+        epoch, keyed in the batch factorization space — built from the
+        NARROW chain fold (4 columns; the payload never leaves disk)."""
+        if not narrow.num_rows:
+            return pd.Series(dtype=np.int64), pd.Series(dtype=bool)
+        st_conv = narrow.column("conv_id").to_pandas()
         st_codes = pd.Categorical(st_conv, categories=uniques).codes.astype(np.int64)
         st_mask = st_codes >= 0
-        st_kid = (st_codes[st_mask] << 32) | state.column("turn_idx").to_numpy()[
+        st_kid = (st_codes[st_mask] << 32) | narrow.column("turn_idx").to_numpy()[
             st_mask
         ].astype(np.int64)
-        st_ts = state.column("ts").cast(pa.int64()).to_numpy()[st_mask]
+        st_ts = narrow.column("ts").cast(pa.int64()).to_numpy()[st_mask]
         seed = pd.Series(st_ts, index=st_kid)
-        return seed[~seed.index.duplicated()]
+        seed = seed[~seed.index.duplicated()]
+        st_dead = narrow.column("__deleted").to_numpy(zero_copy_only=False)[st_mask]
+        live = pd.Series(~st_dead, index=st_kid)
+        return seed, live[~live.index.duplicated()]
+
+    def _live_delta(self, delta_state: pa.Table, d_kid: np.ndarray,
+                    prior_live: pd.Series) -> int:
+        """Incremental live-row bookkeeping: Σ(now live) − Σ(was live) over
+        the keys this epoch changed — no full-state scan per epoch.
+        ``d_kid`` = the delta rows' key ids in the epoch factorization
+        space (passed through; never re-factorized)."""
+        if delta_state.num_rows == 0:
+            return 0
+        now_live = ~delta_state.column("__deleted").to_numpy(zero_copy_only=False)
+        if len(prior_live):
+            was = pd.Series(d_kid).map(prior_live).fillna(False).to_numpy(dtype=bool)
+            n_was = int(was.sum())
+        else:
+            n_was = 0
+        return int(now_live.sum()) - n_was
 
     @staticmethod
     def _sequential_win(kid_s: np.ndarray, ts_s: np.ndarray, seed: pd.Series) -> np.ndarray:
@@ -427,31 +624,33 @@ class Applier:
         out = out[self.payload_cols + STATE_META]
         return pa.Table.from_pandas(out, schema=self._state_schema(), preserve_index=False)
 
+    NARROW_COLS = ["conv_id", "turn_idx", "ts", "__deleted"]
+
     def _state_schema(self) -> pa.Schema:
-        return pa.schema(
-            list(self.target.schema)
-            + [pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_())]
-        )
+        return state_schema(self.target)
 
     def _conform_state(self, state: pa.Table) -> pa.Table:
-        """Evolve a prior-epoch state file to the current canonical schema
-        (schema evolution between epochs: add columns as nulls, renames)."""
-        from rayrep.schema import evolve_table
+        return conform_state(state, self.target)
 
-        if state.num_rows == 0 and not state.column_names:
-            return self._state_schema().empty_table()
-        meta = {c: state.column(c) for c in STATE_META if c in state.column_names}
-        payload = state.drop_columns([c for c in STATE_META if c in state.column_names])
-        payload = evolve_table(payload, self.target)
-        out = payload
-        for c in STATE_META:
-            out = out.append_column(c, meta[c])
-        return out
+    def _load_state_full(self, manifest: PartitionManifest) -> pa.Table:
+        """Full-payload fold of the chain — only the changed-cells path and
+        compaction epochs pay this; delta epochs read NARROW_COLS only."""
+        return fold_state_chain(self.lake_dir, manifest.state_chain, self.target)
 
-    def _load_state(self, manifest: PartitionManifest) -> pa.Table:
-        if not manifest.state_file:
-            return self._state_schema().empty_table()
-        return pq.read_table(os.path.join(self.lake_dir, manifest.state_file))
+    def _load_state_narrow(self, manifest: PartitionManifest) -> pa.Table:
+        if not manifest.state_chain:
+            return pa.schema(
+                [
+                    pa.field("conv_id", pa.string()),
+                    pa.field("turn_idx", pa.int32()),
+                    pa.field("ts", pa.timestamp("us")),
+                    pa.field("__deleted", pa.bool_()),
+                ]
+            ).empty_table()
+        return fold_state_files(
+            [os.path.join(self.lake_dir, f) for f in manifest.state_chain],
+            columns=self.NARROW_COLS,
+        )
 
     # ------------------------------------------------------------ side output
     def _write_delta(self, part_id: int, events: pa.Table) -> None:
@@ -475,11 +674,7 @@ class Applier:
         already: bool,
         retries: int,
     ) -> pa.Table:
-        live = 0
-        sf = os.path.join(self.lake_dir, manifest.state_file) if manifest.state_file else ""
-        if sf and os.path.exists(sf):
-            t = pq.read_table(sf, columns=["__deleted"])
-            live = int(t.num_rows - pc.sum(t["__deleted"]).as_py())
+        live = manifest.live_rows  # maintained incrementally; no state scan
         return pa.table(
             {
                 "part_id": pa.array([part_id], pa.int32()),

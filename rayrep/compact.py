@@ -1,10 +1,12 @@
-"""Lake maintenance: state-file garbage collection and compaction.
+"""Lake maintenance: major compaction and state-file garbage collection.
 
-Each round writes a fresh per-partition state snapshot
-(`part-NNNNN/state-eEEEEE.parquet`); manifests point at the live one.
-Old snapshots enable epoch-level time travel but accumulate
-(SURVEY.md §7.4.5: state must stay bounded). ``gc_lake`` removes
-snapshots older than the committed one minus ``keep_epochs``.
+State is an LSM-ish chain per partition (`part-NNNNN/state-eEEEEE.parquet`
+delta files + periodic full snapshots; manifests hold the live chain).
+The applier auto-compacts when a chain exceeds
+``EngineConfig.state_snapshot_interval``; ``compact_lake`` is the explicit
+major compaction (fold every chain to one full file now), and ``gc_lake``
+removes files that are neither in a live chain nor new enough to serve
+epoch-level time travel (SURVEY.md §7.4.5: state must stay bounded).
 """
 
 from __future__ import annotations
@@ -13,25 +15,64 @@ import glob
 import os
 import re
 
+import pyarrow.parquet as pq
+
 from rayrep.manifests import PartitionManifest
 
-_STATE_RE = re.compile(r"state-e(\d+)\.parquet$")
+_STATE_RE = re.compile(r"state-e(\d+)(-full)?\.parquet$")
+
+
+def _partition_ids(lake_dir: str) -> list[int]:
+    return sorted(
+        int(re.search(r"p(\d+)\.json$", mp).group(1))
+        for mp in glob.glob(os.path.join(lake_dir, "_manifests", "p*.json"))
+    )
+
+
+def compact_lake(lake_dir: str) -> dict:
+    """Major compaction: fold every partition's chain into one full state
+    file (`state-eEEEEE-full.parquet`, epoch = the committed one) and point
+    the manifest at it. Driver-side loop over partitions; each fold is one
+    bounded read+write (run it from a Ray task per partition for very
+    large lakes). Returns {"compacted": n, "skipped": n}."""
+    from rayrep.apply import fold_state_chain, state_schema  # noqa: F401
+    from rayrep.registry import SchemaRegistry
+    from rayrep.schema import SchemaVersion
+
+    target = SchemaVersion.from_json(SchemaRegistry(persist_dir=lake_dir).current_json())
+    compacted = skipped = 0
+    for part_id in _partition_ids(lake_dir):
+        m = PartitionManifest.load(lake_dir, part_id)
+        if len(m.state_chain) <= 1:
+            skipped += 1
+            continue
+        folded = fold_state_chain(lake_dir, m.state_chain, target)
+        out = os.path.join(
+            lake_dir, f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet"
+        )
+        pq.write_table(folded, out + ".tmp")
+        os.replace(out + ".tmp", out)
+        m.state_chain = [os.path.relpath(out, lake_dir)]
+        m.save(lake_dir)  # atomic: readers see either old chain or new file
+        compacted += 1
+    return {"compacted": compacted, "skipped": skipped}
 
 
 def gc_lake(lake_dir: str, keep_epochs: int = 0) -> dict:
-    """Delete per-partition state snapshots older than
-    ``committed_epoch - keep_epochs``. Never touches the committed state
-    file or manifests. Returns {"deleted": n, "kept": n}."""
+    """Delete state files that are NOT part of a live chain and are older
+    than ``committed_epoch - keep_epochs`` (retained ones serve epoch-level
+    time travel). Never touches manifests. Returns {"deleted": n, "kept": n}."""
     deleted = kept = 0
-    for mp in glob.glob(os.path.join(lake_dir, "_manifests", "p*.json")):
-        part_id = int(re.search(r"p(\d+)\.json$", mp).group(1))
+    for part_id in _partition_ids(lake_dir):
         m = PartitionManifest.load(lake_dir, part_id)
         cutoff = m.epoch - keep_epochs
-        live = os.path.join(lake_dir, m.state_file) if m.state_file else ""
+        live = {
+            os.path.abspath(os.path.join(lake_dir, f)) for f in m.state_chain
+        }
         pdir = os.path.join(lake_dir, f"part-{part_id:05d}")
         for sp in glob.glob(os.path.join(pdir, "state-e*.parquet")):
             ep = int(_STATE_RE.search(sp).group(1))
-            if ep < cutoff and os.path.abspath(sp) != os.path.abspath(live):
+            if ep < cutoff and os.path.abspath(sp) not in live:
                 os.remove(sp)
                 deleted += 1
             else:

@@ -59,8 +59,12 @@ class EngineConfig:
     # Fault injection (reference Chaos Monkey: 1% task failures, CHANGES.txt:126)
     chaos_fraction: float = 0.0
     chaos_seed: int = 1234
-    # Checkpointing
-    state_snapshot_interval: int = 1  # snapshot partition state every k epochs
+    # State layout: each epoch writes a per-partition DELTA file (only the
+    # keys that changed — epoch I/O ∝ delta size, not lake size); the chain
+    # is folded into one full snapshot when it would exceed this many
+    # files (merge-on-read in between; the HBase-LSM analog, README.md:18).
+    # 1 = rewrite the full state every epoch (the round-1 behavior).
+    state_snapshot_interval: int = 4
     # Epochs applied per pipeline execution (one read→augment→shuffle→apply
     # round). >1 amortizes the per-execution fixed cost (sort barrier,
     # driver orchestration) over more data; commit/resume granularity

@@ -4,7 +4,7 @@ Reference analog: the pseudo-GTID safe checkpoint, stored only when the
 pGTID changes and only after every applier task for it has committed
 (CHANGES.txt:6-7, 37, 113-116); position tracked in a file (ZooKeeper for
 HA, CHANGES.txt:82,74). Here each lake partition owns a JSON manifest
-`{epoch, last_seq, state_file, counters}` written via tmp+rename so the
+`{epoch, last_seq, state_chain, counters}` written via tmp+rename so the
 commit is atomic: a retried or resumed applier either sees the committed
 manifest (and skips — idempotence) or re-does the full partition-epoch
 apply against the previous state (deterministic output names → overwrite,
@@ -33,7 +33,14 @@ class PartitionManifest:
     part_id: int
     epoch: int = -1                     # last fully committed epoch
     last_seq: int = -1                  # committed watermark (pGTID analog)
-    state_file: str = ""                # relative path of current state parquet
+    # State is an LSM-ish chain: an optional full base + per-epoch delta
+    # files, oldest→newest; the partition's current image is the fold
+    # "newest row per key" (merge-on-read). Epoch write cost is O(delta),
+    # not O(partition state); the applier compacts the chain to one full
+    # file every `state_snapshot_interval` epochs (reference analog:
+    # HBase's LSM keeps writes O(delta) and versions cheap, README.md:18).
+    state_chain: list[str] = field(default_factory=list)
+    live_rows: int = 0                  # maintained incrementally per epoch
     counters: dict[str, int] = field(default_factory=zero_counters)        # cumulative
     epoch_counters: dict[str, int] = field(default_factory=zero_counters)  # last epoch only
     max_ts_us: int = 0                  # for the replication-delay gauge

@@ -269,6 +269,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             "delta_output": cfg.delta_output,
             "chaos_fraction": cfg.chaos_fraction,
             "chaos_seed": cfg.chaos_seed,
+            "compact_interval": cfg.state_snapshot_interval,
         }
         stage_stats = None
         if cfg.exchange == "staged":
@@ -398,29 +399,47 @@ def tail(
 
 
 # --------------------------------------------------------------------- reads
-def committed_state_files(lake_dir: str) -> list[str]:
-    files = []
+def committed_state_chains(lake_dir: str) -> list[list[str]]:
+    """Per-partition state chains (relative paths, oldest→newest) from the
+    committed manifests."""
+    chains = []
     for mp in sorted(glob.glob(os.path.join(lake_dir, "_manifests", "p*.json"))):
         with open(mp) as f:
             m = json.load(f)
-        if m.get("state_file"):
-            files.append(os.path.join(lake_dir, m["state_file"]))
-    return files
+        if m.get("state_chain"):
+            chains.append(m["state_chain"])
+    return chains
 
 
 def final_table(lake_dir: str) -> rd.Dataset:
-    """The converged lake table as a streaming Dataset (live rows only)."""
-    files = committed_state_files(lake_dir)
-    if not files:
+    """The converged lake table as a streaming Dataset (live rows only).
+
+    Merge-on-read: one task per partition folds its state chain (base +
+    per-epoch deltas → newest row per key) and conforms it to the current
+    registry schema — P parallel reads, no shuffle."""
+    from rayrep.apply import fold_state_chain
+    from rayrep.registry import SchemaRegistry
+
+    chains = committed_state_chains(lake_dir)
+    if not chains:
         return rd.from_arrow(
             pa.schema([pa.field("__seq", pa.int64()),
                        pa.field("__deleted", pa.bool_())]).empty_table()
         )
-    ds = rd.read_parquet(files)
-    return ds.map_batches(
-        lambda t: t.filter(pc.invert(t["__deleted"])).drop_columns(["__seq", "__deleted"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    target_json = SchemaRegistry(persist_dir=lake_dir).current_json()
+
+    def fold(batch: pa.Table) -> pa.Table:
+        target = SchemaVersion.from_json(target_json)
+        outs = []
+        for files in batch.column("files").to_pylist():
+            t = fold_state_chain(lake_dir, files, target)
+            outs.append(
+                t.filter(pc.invert(t["__deleted"])).drop_columns(["__seq", "__deleted"])
+            )
+        return pa.concat_tables(outs)
+
+    return rd.from_items([{"files": c} for c in chains]).map_batches(
+        fold, batch_size=1, batch_format="pyarrow"
     )
 
 

@@ -42,6 +42,11 @@ class SchemaRegistry:
         self.applied_ddl_seqs: set[int] = set()
         if persist_dir:
             self._load_history()
+            if initial_json:
+                # persist the custom base version so later readers of this
+                # lake (final_table, compact_lake) reconstruct the right
+                # target schema without being handed the JSON again
+                self._persist(self.versions[base.version])
 
     # -- persistence (schema-history table analog, CHANGES.txt:45-46) -------
     def _dir(self) -> str:

@@ -100,11 +100,13 @@ def test_incremental_epochs_equal_single_shot(tmp_path_factory, ev1, ev2):
     t = cl_all.append_column("part_id", pa.array([0] * cl_all.num_rows, pa.int32()))
     Applier(lake_one, 0, sv, delta_output=False)(t)
 
-    import glob
-
     def live(lake):
-        files = sorted(glob.glob(os.path.join(lake, "part-*", "state-*.parquet")))
-        s = pq.read_table(files[-1])
+        from rayrep.apply import fold_state_chain
+        from rayrep.manifests import PartitionManifest
+        from rayrep.schema import CANONICAL_SCHEMA_V2 as V2
+
+        chain = PartitionManifest.load(lake, 0).state_chain
+        s = fold_state_chain(lake, chain, SchemaVersion(2, V2))
         df = s.filter(pa.compute.invert(s["__deleted"])).to_pandas()
         return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
 

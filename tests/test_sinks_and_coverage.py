@@ -98,18 +98,27 @@ def test_table_filter_regex(tmp_path):
     assert list(got["text"]) == ["keepme"]
 
 
-def test_gc_lake(tmp_path):
+def test_compact_and_gc_lake(tmp_path):
+    """Delta-chain lifecycle: per-epoch delta files accumulate → explicit
+    major compaction folds each chain to one full file → GC removes the
+    superseded deltas; the folded lake reads identically."""
+    from rayrep.compact import compact_lake
+
     d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
     write_changelog(d, GenSpec(n_events=400, n_conversations=20, n_epochs=4))
     cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=4)
     replay(cfg)
+    table_before = final_table_pandas(lake)
     before = len(glob.glob(os.path.join(lake, "part-*", "state-e*.parquet")))
-    assert before > 4                           # snapshots accumulated
+    assert before > 4                           # per-epoch deltas accumulated
+    res_c = compact_lake(lake)
+    assert res_c["compacted"] >= 1
     res = gc_lake(lake)
     after = len(glob.glob(os.path.join(lake, "part-*", "state-e*.parquet")))
-    assert res["deleted"] == before - after and after <= 4
-    # lake still readable after GC
-    assert len(final_table_pandas(lake)) > 0
+    assert res["deleted"] == before + res_c["compacted"] - after
+    assert after <= 2 * 4                       # ≤ (live full + last delta) per partition
+    # lake reads identically after compaction + GC
+    pd.testing.assert_frame_equal(final_table_pandas(lake), table_before)
 
 
 def test_label_propagation_matches_union_find():
