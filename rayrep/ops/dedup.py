@@ -7,14 +7,17 @@ Ray-Data shapes (per the scale playbook):
   raw text);
 - MinHash/LSH: shingle→minhash per batch (stateful hasher actor holds the
   permutation coefficients) → explode to (band_idx, band_hash, doc_id) →
-  ``groupby(band)`` → candidate pairs → verify on signatures (broadcast) →
-  connected components;
-- SimHash: 64-bit signature per batch → band buckets → hamming verify;
+  ``groupby(band)`` → candidate pairs → verify via signature co-group
+  attaches → distributed connected components;
+- SimHash: 64-bit signature per batch → band buckets → hamming verify
+  in-bucket → distributed components;
 - embedding: random-hyperplane LSH buckets → exact cosine verify in-bucket.
 
-Components use driver-side union-find when the edge set is small (test
-scale); ``label_propagation`` is the distributed min-label-propagation
-equivalent for 100 TB runs (a few groupby rounds), same results.
+Components close over edges with ``label_propagation`` (min-label with
+pointer-jump shortcuts, O(log diameter) join rounds) — nothing
+corpus-sized ever lands on the driver; ``union_find`` remains as the
+in-memory reference implementation the pytest suite checks equivalence
+against.
 """
 
 from __future__ import annotations
@@ -198,6 +201,52 @@ def _explode_bands(batch: pa.Table, id_col: str, bands: int) -> pa.Table:
     )
 
 
+def _bucket_pairs(
+    exploded: rd.Dataset, id_col: str, bucket_cols: list[str], max_bucket: int,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """(id, bucket...) rows → candidate (a, b) pairs per bucket, capped at
+    ``max_bucket`` members (lowest ids kept). ONE sort-shuffle partitioned
+    by bucket hash; pair enumeration runs vectorized per partition and
+    Python-loops only over the segments that actually collide (size ≥ 2) —
+    never one interpreter call per bucket."""
+
+    def part(t: pa.Table) -> pa.Table:
+        key = t[bucket_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        for c in bucket_cols[1:]:
+            with np.errstate(over="ignore"):
+                key = key * np.int64(1000003) + t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = t.append_column("_bkey", pa.array(key))
+        return out.append_column("part_id", pa.array(_ipart(key, num_partitions)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        key = g.column("_bkey").to_numpy()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        ks, vs = key[order], ids[order]
+        seg = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            seg[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(seg)
+        ends = np.append(starts[1:], len(ks))
+        outs_a, outs_b = [], []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            s = vs[st:en][:max_bucket]  # sorted asc already (lexsort)
+            iu = np.triu_indices(len(s), k=1)
+            outs_a.append(s[iu[0]])
+            outs_b.append(s[iu[1]])
+        if not outs_a:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                         "b": pa.array(np.concatenate(outs_b))})
+
+    return exploded.map_batches(part, batch_format="pyarrow").groupby(
+        "part_id"
+    ).map_groups(kernel, batch_format="pyarrow")
+
+
 def minhash_candidate_pairs(
     ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
     num_perm: int = 64, shingle_k: int = 3, bands: int = 16, seed: int = 42,
@@ -217,16 +266,7 @@ def minhash_candidate_pairs(
         _explode_bands, fn_kwargs=dict(id_col=id_col, bands=bands),
         batch_format="pyarrow",
     )
-
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        capped = ids[:max_bucket]
-        iu = np.triu_indices(len(capped), k=1)
-        return pa.table({"a": pa.array(capped[iu[0]]), "b": pa.array(capped[iu[1]])})
-
-    cand = exploded.groupby(["band_idx", "band_hash"]).map_groups(pairs, batch_format="pyarrow")
+    cand = _bucket_pairs(exploded, id_col, ["band_idx", "band_hash"], max_bucket)
     return sigs, cand
 
 
@@ -234,25 +274,155 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
     return (sig_a == sig_b).mean(axis=1)
 
 
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """fixed_size_list<int64, P> column → (n, P) ndarray, via flatten."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return arr.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perm)
+
+
+def _dedup_pairs(cand: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """Distinct (a, b) pairs (a pair surfaces from up to `bands` buckets).
+    One sort-shuffle partitioned on `a`, then a vectorized first-occurrence
+    mask per partition — never one Python call per pair."""
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part_id", pa.array(_ipart(t["a"].to_numpy(zero_copy_only=False),
+                                       num_partitions)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        a = g.column("a").to_numpy()
+        b = g.column("b").to_numpy()
+        order = np.lexsort((b, a))
+        As, Bs = a[order], b[order]
+        first = np.ones(len(As), dtype=bool)
+        if len(As) > 1:
+            first[1:] = (As[1:] != As[:-1]) | (Bs[1:] != Bs[:-1])
+        return pa.table({"a": pa.array(As[first]), "b": pa.array(Bs[first])})
+
+    return cand.map_batches(part, batch_format="pyarrow").groupby(
+        "part_id"
+    ).map_groups(kernel, batch_format="pyarrow")
+
+
+def minhash_components(
+    ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.8, num_perm: int = 64, num_partitions: int = 16, **kw,
+) -> rd.Dataset:
+    """Fully distributed near-dup clustering → (id, rep) Dataset.
+
+    Candidate pairs come from banded LSH groups (bounded buckets); the
+    Jaccard estimate is verified by CO-GROUPING the pair list with the
+    signature table twice (sort-shuffle attach on each endpoint — 512 B of
+    signature per side through the exchange, never the text), vectorized
+    row compares; components close over the surviving edges with the
+    distributed ``label_propagation``. Nothing corpus-sized ever lands on
+    the driver (the round-1 ``to_pandas`` verification is gone)."""
+    sigs, cand = minhash_candidate_pairs(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm, **kw
+    )
+    cand = _dedup_pairs(cand, num_partitions)
+    sig_small = sigs.select_columns([id_col, "sig"])
+    fsl = pa.list_(pa.int64(), num_perm)
+
+    def _take(col, idx: np.ndarray):
+        return col.take(pa.array(idx, pa.int64()))
+
+    def _match(key: np.ndarray, is_sig: np.ndarray):
+        """Positions: for each pair row, the index of its key's sig row."""
+        sig_idx = np.flatnonzero(is_sig)
+        pair_idx = np.flatnonzero(~is_sig)
+        if len(sig_idx) == 0 or len(pair_idx) == 0:
+            return pair_idx[:0], sig_idx[:0]
+        sk = key[sig_idx]
+        o = np.argsort(sk)
+        pk = key[pair_idx]
+        pos = np.minimum(np.searchsorted(sk[o], pk), len(o) - 1)
+        ok = sk[o][pos] == pk
+        return pair_idx[ok], sig_idx[o[pos[ok]]]
+
+    # stage 1 (co-group by a): attach sig_a — join-free, the same
+    # sort-shuffle primitive as the CDC applier (see label_propagation's
+    # note on Ray 2.49 hash-join re-execution)
+    u1 = cand.map_batches(
+        lambda t: pa.table({"key": t["a"], "oth": t["b"],
+                            "sig": pa.nulls(t.num_rows, fsl),
+                            "is_sig": pa.array(np.zeros(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    ).union(sig_small.map_batches(
+        lambda t: pa.table({"key": t[id_col], "oth": pa.nulls(t.num_rows, pa.int64()),
+                            "sig": t["sig"],
+                            "is_sig": pa.array(np.ones(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    ))
+
+    def part_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part_id", pa.array(_ipart(t["key"].to_numpy(zero_copy_only=False),
+                                       num_partitions)))
+
+    def attach1(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
+        is_sig = g.column("is_sig").to_numpy(zero_copy_only=False)
+        pr, sr = _match(key, is_sig)
+        return pa.table({"a": pa.array(key[pr]),
+                         "b": _take(g.column("oth"), pr),
+                         "sig_a": _take(g.column("sig"), sr)})
+
+    j1 = u1.map_batches(part_key, batch_format="pyarrow").groupby("part_id").map_groups(
+        attach1, batch_format="pyarrow"
+    )
+
+    # stage 2 (co-group by b): attach sig_b, verify the Jaccard estimate
+    u2 = j1.map_batches(
+        lambda t: pa.table({"key": t["b"], "oth": t["a"], "sig_a": t["sig_a"],
+                            "sig": pa.nulls(t.num_rows, fsl),
+                            "is_sig": pa.array(np.zeros(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    ).union(sig_small.map_batches(
+        lambda t: pa.table({"key": t[id_col], "oth": pa.nulls(t.num_rows, pa.int64()),
+                            "sig_a": pa.nulls(t.num_rows, fsl),
+                            "sig": t["sig"],
+                            "is_sig": pa.array(np.ones(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    ))
+
+    def attach2_verify(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
+        is_sig = g.column("is_sig").to_numpy(zero_copy_only=False)
+        pr, sr = _match(key, is_sig)
+        if len(pr) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        A = _sig_matrix(_take(g.column("sig_a"), pr), num_perm)
+        B = _sig_matrix(_take(g.column("sig"), sr), num_perm)
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({"a": _take(g.column("oth"), pr[keep]),
+                         "b": pa.array(key[pr[keep]])})
+
+    edges = u2.map_batches(part_key, batch_format="pyarrow").groupby("part_id").map_groups(
+        attach2_verify, batch_format="pyarrow"
+    )
+    selfe = sig_small.map_batches(
+        lambda t: pa.table({"a": t[id_col], "b": t[id_col]}), batch_format="pyarrow"
+    )
+    comp = label_propagation(edges.union(selfe), num_partitions=num_partitions)
+    return comp.map_batches(
+        lambda t: pa.table({id_col: t["node"], "rep": t["label"]}), batch_format="pyarrow"
+    )
+
+
 def minhash_dedup(
     ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
     threshold: float = 0.8, **kw,
 ) -> pd.DataFrame:
-    """Full near-dup pipeline → DataFrame (id, rep) cluster assignment.
-    Signature table is broadcast for verification (fits: 64×8 B/doc); the
-    components step is driver-side union-find here, `label_propagation`
-    at scale."""
-    sigs, cand = minhash_candidate_pairs(ds, id_col=id_col, text_col=text_col, **kw)
-    sig_df = sigs.to_pandas()
-    sig_map = {i: np.asarray(s, dtype=np.int64) for i, s in zip(sig_df[id_col], sig_df["sig"])}
-    edges = cand.to_pandas().drop_duplicates()
-    if len(edges):
-        a = np.stack([sig_map[i] for i in edges["a"]])
-        b = np.stack([sig_map[i] for i in edges["b"]])
-        est = (a == b).mean(axis=1)
-        edges = edges[est >= threshold]
-    rep = union_find(sig_df[id_col].tolist(), list(zip(edges["a"], edges["b"])))
-    return pd.DataFrame({id_col: list(rep.keys()), "rep": list(rep.values())})
+    """Small-scale convenience wrapper: ``minhash_components`` collected to
+    a DataFrame (the RESULT — one row per doc — is what materializes, not
+    any intermediate)."""
+    return minhash_components(
+        ds, id_col=id_col, text_col=text_col, threshold=threshold, **kw
+    ).to_pandas()
 
 
 # ----------------------------------------------------------------- simhash
@@ -296,10 +466,12 @@ class SimHasher:
 
 def simhash_dedup(
     ds: rd.Dataset, id_col: str = "doc_id", text_col: str = "text",
-    max_hamming: int = 3, bands: int = 4,
+    max_hamming: int = 3, bands: int = 4, num_partitions: int = 16,
 ) -> pd.DataFrame:
     """Near-dup by SimHash: 16-bit band buckets (any equal band → candidate,
-    catches all pairs with hamming ≤ bands-1 by pigeonhole), popcount verify."""
+    catches all pairs with hamming ≤ bands-1 by pigeonhole), popcount
+    verify INSIDE each band group, distributed ``label_propagation``
+    components — no corpus-sized driver materialization."""
     hashed = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
@@ -323,30 +495,56 @@ def simhash_dedup(
 
     exploded = hashed.map_batches(explode, batch_format="pyarrow")
 
-    def pairs(group: pa.Table) -> pa.Table:
-        df = group.to_pandas().drop_duplicates(id_col)
-        if len(df) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ids = df[id_col].to_numpy()
-        sh = df["simhash"].to_numpy().view(np.uint64)
-        iu = np.triu_indices(len(ids), k=1)
-        x = sh[iu[0]] ^ sh[iu[1]]
-        ham = np.zeros(len(x), dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pa.table({"a": pa.array(ids[iu[0]][keep]), "b": pa.array(ids[iu[1]][keep])})
+    def part(t: pa.Table) -> pa.Table:
+        with np.errstate(over="ignore"):
+            key = (t["band_val"].to_numpy().astype(np.int64) * np.int64(1000003)
+                   + t["band_idx"].to_numpy().astype(np.int64))
+        out = t.append_column("_bkey", pa.array(key))
+        return out.append_column("part_id", pa.array(_ipart(key, num_partitions)))
 
-    edges = (
-        exploded.groupby(["band_idx", "band_val"])
-        .map_groups(pairs, batch_format="pyarrow")
-        .to_pandas()
-        .drop_duplicates()
+    def bucket_verify(g: pa.Table) -> pa.Table:
+        """Vectorized per partition: hamming verify only inside the
+        segments that collide (Python loop over colliding buckets only)."""
+        key = g.column("_bkey").to_numpy()
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        sh = g.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.lexsort((ids, key))
+        ks, vs, hs = key[order], ids[order], sh[order]
+        seg = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            seg[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(seg)
+        ends = np.append(starts[1:], len(ks))
+        outs_a, outs_b = [], []
+        for st, en in zip(starts, ends):
+            if en - st < 2:
+                continue
+            s, h = vs[st:en], hs[st:en]
+            iu = np.triu_indices(len(s), k=1)
+            x = h[iu[0]] ^ h[iu[1]]
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= max_hamming
+            outs_a.append(s[iu[0]][keep])
+            outs_b.append(s[iu[1]][keep])
+        if not outs_a:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(outs_a)),
+                         "b": pa.array(np.concatenate(outs_b))})
+
+    cand = exploded.map_batches(part, batch_format="pyarrow").groupby(
+        "part_id"
+    ).map_groups(bucket_verify, batch_format="pyarrow")
+    edges = _dedup_pairs(cand, num_partitions)
+    selfe = hashed.map_batches(
+        lambda t: pa.table({"a": t[id_col], "b": t[id_col]}), batch_format="pyarrow"
     )
-    all_ids = hashed.select_columns([id_col]).to_pandas()[id_col].tolist()
-    rep = union_find(all_ids, list(zip(edges["a"], edges["b"])))
-    return pd.DataFrame({id_col: list(rep.keys()), "rep": list(rep.values())})
+    comp = label_propagation(edges.union(selfe), num_partitions=num_partitions)
+    return comp.map_batches(
+        lambda t: pa.table({id_col: t["node"], "rep": t["label"]}), batch_format="pyarrow"
+    ).to_pandas()
 
 
 # ------------------------------------------------------- n-gram Jaccard
@@ -460,46 +658,159 @@ def union_find(ids, edges) -> dict:
     return {i: find(i) for i in parent}
 
 
-def label_propagation(edges: rd.Dataset, rounds: int = 5) -> rd.Dataset:
-    """Distributed min-label propagation over an (a, b) edge Dataset:
-    each round assigns every node min(neighbor labels ∪ own) via two
-    groupbys; converges in O(diameter) rounds. The 100 TB-scale variant of
-    union_find (same fixed point)."""
-    both = edges.map_batches(
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _ipart(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Balanced partition id for int64 keys (multiplicative mix so
+    sequential ids don't stripe)."""
+    with np.errstate(over="ignore"):
+        h = keys.astype(np.uint64) * _GOLD
+    return ((h >> np.uint64(32)) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def _grouped_min_labels(msgs: rd.Dataset, num_partitions: int) -> rd.Dataset:
+    """(node, cand) messages -> (node, label=min cand), via the sort-shuffle
+    co-group (segment-min per node inside each hash partition)."""
+
+    def part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part_id", pa.array(_ipart(t["node"].to_numpy(zero_copy_only=False),
+                                       num_partitions))
+        )
+
+    def kernel(g: pa.Table) -> pa.Table:
+        node = g.column("node").to_numpy()
+        cand = g.column("cand").to_numpy()
+        order = np.lexsort((cand, node))
+        ns, cs = node[order], cand[order]
+        first = np.ones(len(ns), dtype=bool)
+        if len(ns) > 1:
+            first[1:] = ns[1:] != ns[:-1]
+        return pa.table({"node": pa.array(ns[first]), "label": pa.array(cs[first])})
+
+    return msgs.map_batches(part, batch_format="pyarrow").groupby("part_id").map_groups(
+        kernel, batch_format="pyarrow"
+    )
+
+
+def label_propagation(
+    edges: rd.Dataset, max_rounds: int = 50, num_partitions: int = 16
+) -> rd.Dataset:
+    """Distributed connected components: min-label propagation with label
+    SHORTCUTS (pointer jumping) -- each round every node takes the min of
+    its own label, its neighbors' labels, and its label's current label,
+    converging in O(log diameter) rounds instead of O(diameter).
+
+    Fully Dataset-native (the round-1 driver-materialization is gone), and
+    deliberately JOIN-FREE: Ray 2.49's hash-join operator mis-routes
+    blocks between its shuffle aggregators when the same join shape is
+    re-executed within one session (observed: "No match or multiple
+    matches for FieldRef" on the second round), so each round uses the
+    engine's proven sort-shuffle co-group instead -- one exchange
+    partitioned by message SOURCE (edge rows co-located with their
+    source's label row, plus reversed label-edges that realize the pointer
+    jump), one exchange for the per-node min. The labels Dataset is
+    materialized to the OBJECT STORE between rounds (a bounded
+    one-row-per-node intermediate -- never a driver DataFrame).
+    Convergence is detected by the int64 sum of labels, which strictly
+    decreases under any change; at >>10^9-node scale swap the sum for a
+    changed-count check to rule out overflow.
+
+    Input: (a, b) int64 edges; include (id, id) self-edges for nodes that
+    must appear even when isolated. Output: (node, label) with label =
+    component min id -- same fixed point as ``union_find``."""
+    # static edge rows, partitioned by source: (key, dst)
+    ekey = edges.map_batches(
         lambda t: pa.table({
-            "node": pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()]),
-            "nbr": pa.concat_arrays([t["b"].combine_chunks(), t["a"].combine_chunks()]),
+            "key": pa.concat_arrays([t["a"].combine_chunks(), t["b"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["b"].combine_chunks(), t["a"].combine_chunks()]),
         }),
         batch_format="pyarrow",
-    )
-    from ray.data.aggregate import Min as _Min
+    ).materialize()
 
-    labels = (
-        both.groupby("node")
-        .aggregate(_Min("nbr", alias_name="_mn"))
-        .map_batches(
-            lambda t: t.drop_columns(["_mn"]).append_column("label", t["node"]),
+    labels = _grouped_min_labels(
+        ekey.map_batches(
+            lambda t: pa.table({
+                "node": t["key"],
+                "cand": pc.min_element_wise(t["key"], t["dst"]),
+            }),
             batch_format="pyarrow",
+        ),
+        num_partitions,
+    ).materialize()
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t["key"], "dst": t["dst"],
+            "lbl": pa.nulls(t.num_rows, pa.int64()),
+        })
+
+    def label_rows(t: pa.Table) -> pa.Table:
+        # (a) the node's own label row (delivers l to its edge fan-out);
+        # (b) reversed label-edge (key=label, dst=node): the node receives
+        #     label(label(node)) next round -- the pointer jump
+        n = t.num_rows
+        own = pa.table({
+            "key": t["node"], "dst": pa.nulls(n, pa.int64()), "lbl": t["label"],
+        })
+        rev = pa.table({
+            "key": t["label"], "dst": t["node"], "lbl": pa.nulls(n, pa.int64()),
+        })
+        return pa.concat_tables([own, rev])
+
+    def deliver(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        lbl = g.column("lbl").to_numpy(zero_copy_only=False)
+        is_lbl = ~pd.isna(lbl)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        seg = np.ones(len(ks), dtype=bool)
+        if len(ks) > 1:
+            seg[1:] = ks[1:] != ks[:-1]
+        seg_id = np.cumsum(seg) - 1
+        n_seg = int(seg_id[-1]) + 1 if len(ks) else 0
+        # per-segment label (each node carries exactly one label row; a
+        # node reachable only as a reversed-label TARGET has none -> its
+        # own id is the safe upper bound)
+        seg_lbl = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
+        lo, li = lbl[order], is_lbl[order]
+        if li.any():
+            np.minimum.at(seg_lbl, seg_id[li], lo[li].astype(np.int64))
+        no_lbl = seg_lbl == np.iinfo(np.int64).max
+        if no_lbl.any():
+            seg_lbl[no_lbl] = ks[seg][no_lbl]
+        # messages: each edge row sends its source's label to dst; each
+        # source also keeps its own label
+        do = dst[order]
+        de = ~pd.isna(do)
+        out_node = np.concatenate([do[de].astype(np.int64), ks[seg]])
+        out_cand = np.concatenate([seg_lbl[seg_id[de]], seg_lbl])
+        return pa.table({"node": pa.array(out_node), "cand": pa.array(out_cand)})
+
+    def part_by_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part_id", pa.array(_ipart(t["key"].to_numpy(zero_copy_only=False),
+                                       num_partitions))
         )
-    )
-    for _ in range(rounds):
-        lbl_map = labels.to_pandas().set_index("node")["label"]
 
-        def relabel(batch: pa.Table, m=lbl_map) -> pa.Table:
-            nbr = batch.column("nbr").to_pandas().map(m).astype("int64")
-            return pa.table({"node": batch.column("node"), "cand": pa.array(nbr)})
-
-        prop = both.map_batches(relabel, batch_format="pyarrow")
-        from ray.data.aggregate import Min
-
-        new = prop.groupby("node").aggregate(Min("cand", alias_name="label"))
-        merged = new.to_pandas().set_index("node")["label"]
-        joined = lbl_map.to_frame().join(merged, rsuffix="_new")
-        joined["label"] = joined.min(axis=1).astype("int64")
-        if (joined["label"] == lbl_map).all():
+    static_edges = ekey.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    # seed the convergence check with the INITIAL sum: graphs whose initial
+    # labels are already the fixed point (diameter <= 1 clusters, the common
+    # near-dup case) then stop after a single confirming round
+    prev_sum = labels.sum("label")
+    for _ in range(max_rounds):
+        lrows = labels.map_batches(label_rows, batch_format="pyarrow")
+        msgs = (
+            static_edges.union(lrows)
+            .map_batches(part_by_key, batch_format="pyarrow")
+            .groupby("part_id")
+            .map_groups(deliver, batch_format="pyarrow")
+        )
+        labels = _grouped_min_labels(msgs, num_partitions).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
             break
-        import ray.data as _rd
-
-        labels = _rd.from_pandas(joined.reset_index()[["node", "label"]])
-        lbl_map = joined["label"]
+        prev_sum = s
     return labels

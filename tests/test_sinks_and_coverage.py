@@ -133,6 +133,30 @@ def test_label_propagation_matches_union_find():
         assert uf[n] == rep
 
 
+def test_label_propagation_chain_and_random_graph():
+    """Pointer-jump shortcuts must close a LONG chain in O(log n) join
+    rounds (plain min-propagation would need n rounds), and a random
+    multi-component graph must match union-find exactly."""
+    from rayrep.ops.dedup import label_propagation, union_find
+
+    rng = np.random.default_rng(7)
+    # chain 0-1-2-...-199 (diameter 199)
+    chain = [(i, i + 1) for i in range(199)]
+    # plus random clusters over a disjoint id range
+    ra = rng.integers(1000, 1400, size=300)
+    rb = rng.integers(1000, 1400, size=300)
+    edges = chain + list(zip(ra.tolist(), rb.tolist()))
+    nodes = sorted({x for e in edges for x in e})
+    uf = union_find(nodes, edges)
+    eds = rd.from_pandas(pd.DataFrame({"a": [a for a, _ in edges],
+                                       "b": [b for _, b in edges]}))
+    lp = label_propagation(eds, max_rounds=40).to_pandas()  # early-stops on convergence
+    assert len(lp) == len(nodes)
+    got = lp.set_index("node")["label"].to_dict()
+    for n in nodes:
+        assert got[n] == uf[n], f"node {n}: {got[n]} != {uf[n]}"
+
+
 def test_yaml_config_roundtrip(tmp_path):
     p = tmp_path / "cfg.json"
     p.write_text(json.dumps({"num_partitions": 7, "chaos_fraction": 0.5}))
