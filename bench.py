@@ -325,11 +325,87 @@ def main_delta_state() -> dict:
     return result
 
 
+def main_staged() -> dict:
+    """Staged-exchange bench on its TARGET topology assumption: a
+    constrained object store (slow/small plasma, fast shared filesystem).
+    Runs the same replay with exchange=groupby vs exchange=staged under a
+    small object_store_memory so the sort shuffle must spill, which is the
+    regime the staged mode exists for (COVERAGE.md claim)."""
+    import ray
+
+    from rayrep.config import EngineConfig
+    from rayrep.pipeline import replay
+
+    n_events = changelog_events()
+    cl = ensure_changelog(n_events)
+    budget_s = int(os.environ.get("BENCH_STAGED_TIMEOUT", "420"))
+    out = {}
+    for label, exchange in (("groupby_sort_shuffle", "groupby"),
+                            ("staged_filesystem", "staged")):
+        # one subprocess per mode with a hard wall-clock budget: under a
+        # constrained object store the in-memory sort can stall on spill
+        # backpressure for tens of minutes -- "did not finish" IS the result
+        code = (
+            "import ray, sys, time, shutil, os\n"
+            "sys.path.insert(0, %r)\n"
+            "ray.init(address='local', num_cpus=%d, include_dashboard=False,"
+            " logging_level='ERROR', object_store_memory=1_500_000_000)\n"
+            "from ray.data import DataContext\n"
+            "DataContext.get_current().enable_progress_bars = False\n"
+            "from rayrep.config import EngineConfig\n"
+            "from rayrep.pipeline import replay\n"
+            "lake = %r\n"
+            "shutil.rmtree(lake, ignore_errors=True)\n"
+            "t0 = time.perf_counter()\n"
+            "replay(EngineConfig(changelog_dir=%r, lake_dir=lake,"
+            " num_partitions=32, epochs_per_round=4, exchange=%r))\n"
+            "print('SEC', time.perf_counter() - t0)\n"
+            "shutil.rmtree(lake, ignore_errors=True)\n"
+            "ray.shutdown()\n"
+        ) % (os.path.dirname(os.path.abspath(__file__)), NUM_CPUS,
+             os.path.join(BENCH_ROOT, f"staged-lake-{exchange}"), cl, exchange)
+        try:
+            r = subprocess.run([sys.executable, "-u", "-c", code],
+                               capture_output=True, text=True, timeout=budget_s)
+            sec = None
+            for line in r.stdout.splitlines():
+                if line.startswith("SEC "):
+                    sec = float(line.split()[1])
+            if sec is None:
+                out[label] = {"sec": None, "note": "failed", "stderr": r.stderr[-300:]}
+            else:
+                out[label] = {"sec": round(sec, 2),
+                              "events_per_sec": round(n_events / sec)}
+        except subprocess.TimeoutExpired:
+            out[label] = {"sec": None,
+                          "note": f"did not finish within {budget_s}s (spill stall)"}
+        subprocess.run(["pkill", "-f", "raylet"], capture_output=True)
+        time.sleep(3)
+    result = {"metric": "exchange modes under a 1.5 GB object store (spill regime)",
+              "num_cpus": NUM_CPUS, "replay_events": n_events, **out}
+    def fmt(d):
+        if d.get("sec") is None:
+            return d.get("note", "failed")
+        return f"{d['sec']}s = {d['events_per_sec']:,} ev/s"
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    with open(path, "a") as f:
+        f.write(
+            f"\n## Staged-exchange run {time.strftime('%Y-%m-%d %H:%M:%S')} "
+            f"(object store capped at 1.5 GB -> sort shuffle must spill)\n\n"
+            f"- groupby sort shuffle: {fmt(out['groupby_sort_shuffle'])}\n"
+            f"- staged filesystem:    {fmt(out['staged_filesystem'])}\n"
+        )
+    return result
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
     elif "--delta-state" in sys.argv:
         print(json.dumps(main_delta_state()))
+    elif "--staged" in sys.argv:
+        print(json.dumps(main_staged()))
     else:
         print(json.dumps(main_bench("--headline-only" in sys.argv)))

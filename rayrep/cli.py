@@ -58,7 +58,21 @@ def main(argv=None) -> int:
     b.add_argument("changelog_dir")
     b.add_argument("--num-cpus", type=int, default=8)
 
+    c = sub.add_parser("compact", help="major-compact state chains + GC old files")
+    c.add_argument("lake_dir")
+    c.add_argument("--keep-epochs", type=int, default=0,
+                   help="retain superseded files newer than committed-N (time travel)")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "compact":
+        # pure filesystem maintenance — no Ray session needed
+        from rayrep.compact import compact_lake, gc_lake
+
+        res = {"compact": compact_lake(args.lake_dir),
+               "gc": gc_lake(args.lake_dir, keep_epochs=args.keep_epochs)}
+        print(json.dumps(res))
+        return 0
 
     if args.cmd == "gen":
         from rayrep.gen import GenSpec, write_changelog

@@ -578,6 +578,123 @@ def ngram_jaccard_verify(
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def ngram_jaccard_verify_ds(
+    ds: rd.Dataset, pairs: rd.Dataset, id_col: str = "doc_id",
+    text_col: str = "text", n: int = 3, threshold: float = 0.7,
+    num_partitions: int = 16, seed: int = 42,
+) -> rd.Dataset:
+    """Distributed exact n-gram Jaccard for a candidate-pair Dataset: each
+    doc's sorted-unique shingle-hash set rides two co-group attaches (one
+    per endpoint; variable-length list column), then the intersection size
+    is computed inside the second kernel. The per-pair loop runs on the
+    WORKERS over LSH-bounded candidates — never a driver loop (the plain
+    ``ngram_jaccard_verify`` stays as the small-scale DataFrame helper)."""
+    hasher = MinHasher(id_col=id_col, text_col=text_col, shingle_k=n, seed=seed)
+
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        g, off = hasher.shingle_hashes(
+            text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        )
+        sets, offsets = [], [0]
+        vals = []
+        for i in range(t.num_rows):
+            seg = np.unique(g[off[i] : off[i + 1]].view(np.int64))
+            vals.append(seg)
+            offsets.append(offsets[-1] + len(seg))
+        flat = np.concatenate(vals) if vals else np.empty(0, np.int64)
+        return pa.table({
+            id_col: t.column(id_col),
+            "shg": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat, pa.int64())
+            ),
+        })
+
+    sets_ds = ds.map_batches(shingle_sets, batch_format="pyarrow")
+    lt = pa.list_(pa.int64())
+
+    def part_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "part_id", pa.array(_ipart(t["key"].to_numpy(zero_copy_only=False),
+                                       num_partitions)))
+
+    def _match(key, is_set):
+        si = np.flatnonzero(is_set)
+        pi = np.flatnonzero(~is_set)
+        if len(si) == 0 or len(pi) == 0:
+            return pi[:0], si[:0]
+        sk = key[si]
+        o = np.argsort(sk)
+        pk = key[pi]
+        pos = np.minimum(np.searchsorted(sk[o], pk), len(o) - 1)
+        ok = sk[o][pos] == pk
+        return pi[ok], si[o[pos[ok]]]
+
+    u1 = pairs.map_batches(
+        lambda t: pa.table({"key": t["a"], "oth": t["b"],
+                            "shg": pa.nulls(t.num_rows, lt),
+                            "is_set": pa.array(np.zeros(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    ).union(sets_ds.map_batches(
+        lambda t: pa.table({"key": t[id_col], "oth": pa.nulls(t.num_rows, pa.int64()),
+                            "shg": t["shg"],
+                            "is_set": pa.array(np.ones(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    ))
+
+    def attach1(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
+        pr, sr = _match(key, g.column("is_set").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "a": pa.array(key[pr]),
+            "b": g.column("oth").take(pa.array(pr, pa.int64())),
+            "shg_a": g.column("shg").take(pa.array(sr, pa.int64())),
+        })
+
+    j1 = u1.map_batches(part_key, batch_format="pyarrow").groupby("part_id").map_groups(
+        attach1, batch_format="pyarrow")
+
+    u2 = j1.map_batches(
+        lambda t: pa.table({"key": t["b"], "oth": t["a"], "shg_a": t["shg_a"],
+                            "shg": pa.nulls(t.num_rows, lt),
+                            "is_set": pa.array(np.zeros(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    ).union(sets_ds.map_batches(
+        lambda t: pa.table({"key": t[id_col], "oth": pa.nulls(t.num_rows, pa.int64()),
+                            "shg_a": pa.nulls(t.num_rows, lt),
+                            "shg": t["shg"],
+                            "is_set": pa.array(np.ones(t.num_rows, bool))}),
+        batch_format="pyarrow",
+    ))
+
+    def attach2(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy()
+        pr, sr = _match(key, g.column("is_set").to_numpy(zero_copy_only=False))
+        if len(pr) == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        sa = g.column("shg_a").take(pa.array(pr, pa.int64())).to_pylist()
+        sb = g.column("shg").take(pa.array(sr, pa.int64())).to_pylist()
+        jac = np.empty(len(pr), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(sa, sb)):
+            # sorted-unique arrays -> linear-merge intersection via numpy
+            inter = len(np.intersect1d(np.asarray(x or [], np.int64),
+                                       np.asarray(y or [], np.int64),
+                                       assume_unique=True))
+            union = len(x or []) + len(y or []) - inter
+            jac[i] = inter / union if union else 0.0
+        keep = jac >= threshold
+        return pa.table({
+            "a": g.column("oth").take(pa.array(pr[keep], pa.int64())),
+            "b": pa.array(key[pr[keep]]),
+            "jaccard": pa.array(jac[keep]),
+        })
+
+    return u2.map_batches(part_key, batch_format="pyarrow").groupby("part_id").map_groups(
+        attach2, batch_format="pyarrow")
+
+
 # --------------------------------------------------- embedding near-dup
 def embedding_neardup(
     ds: rd.Dataset, id_col: str = "vec_id", emb_col: str = "embedding",

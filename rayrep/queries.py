@@ -457,6 +457,25 @@ def dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return out.astype({"doc_id": "int64", "rep": "int64"})
 
 
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Distributed exact n-gram Jaccard verification over planted
+    candidate pairs (orig, orig+10^6) on the pseudo-token corpus: copies
+    have identical shingle sets (jaccard exactly 1.0), distinct docs are
+    disjoint — so the SQL oracle reconstructs the full output. The
+    per-pair work runs on workers via two co-group attaches, not a driver
+    loop."""
+    from rayrep.ops.dedup import ngram_jaccard_verify_ds
+
+    docs = _planted_docs(sf_dir)
+    ids = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id"])["doc_id"].to_numpy()
+    pairs = rd.from_arrow(pa.table({"a": pa.array(ids),
+                                    "b": pa.array(ids + 1_000_000)}))
+    out = ngram_jaccard_verify_ds(docs, pairs, threshold=0.5).to_pandas()
+    out["jaccard"] = out["jaccard"].round(3)
+    return out
+
+
 def embedding_neardup_pairs(sf_dir: str) -> pd.DataFrame:
     """The driver's embeddings are near-orthogonal (no genuine near-dups),
     so the fixture plants deterministic exact copies (vec_id + 10^6); the
@@ -686,6 +705,7 @@ def queries() -> dict:
         "doc_fingerprint": doc_fingerprint,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_neardup_pairs": embedding_neardup_pairs,
         "ann_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -801,6 +821,10 @@ def oracle_sql() -> dict:
             )
             SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep
             FROM corpus
+        """,
+        "ngram_jaccard_pairs": """
+            SELECT doc_id AS a, doc_id + 1000000 AS b, 1.0 AS jaccard
+            FROM documents
         """,
         "embedding_neardup_pairs": """
             SELECT vec_id AS a, vec_id + 1000000 AS b, 1.0 AS cosine

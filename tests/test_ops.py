@@ -93,6 +93,25 @@ def test_ngram_jaccard_verify(docs_ds):
     assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_ngram_jaccard_verify_ds_matches_driver_version(docs_ds):
+    """The distributed (co-group) verifier must agree with the in-memory
+    helper on the same candidate pairs, including sub-threshold drops."""
+    from rayrep.ops.dedup import ngram_jaccard_verify_ds
+
+    cand = pd.DataFrame({"a": [0, 0, 0, 3], "b": [1, 2, 4, 5]})
+    want = ngram_jaccard_verify(docs_ds, cand, threshold=0.0)
+    pairs = rd.from_pandas(cand)
+    got = (
+        ngram_jaccard_verify_ds(docs_ds, pairs, threshold=0.0)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    want = want.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert np.allclose(got["jaccard"], want["jaccard"])
+
+
 def test_union_find():
     rep = union_find([1, 2, 3, 4], [(1, 2), (2, 3)])
     assert rep[1] == rep[2] == rep[3] == 1 and rep[4] == 4
@@ -153,5 +172,48 @@ def test_multimodal_plumbing():
     assert frames.groupby("media_id").size().min() >= 1
     audio = AudioFeatures(decoder="fake")(media)
     assert audio.num_rows == 32
+
+
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_has("PIL"), reason="container has Pillow; stub-raise test n/a")
+def test_multimodal_real_decoder_raises_without_libs():
+    media = synthesize_media_table(4)
     with pytest.raises(NotImplementedError):
         DecodeImage(decoder="real")(media)
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="Pillow not installed in this container")
+def test_multimodal_real_image_decode():
+    """Integration test for the REAL decode path — runs wherever Pillow
+    exists (skip-marked here; the sandbox ships no media libs)."""
+    import io
+
+    from PIL import Image
+
+    imgs = []
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.new("RGB", (48, 32), color=(i * 60, 10, 200)).save(buf, format="PNG")
+        imgs.append(buf.getvalue())
+    media = pa.table({
+        "media_id": pa.array(np.arange(4, dtype=np.int64)),
+        "kind": pa.array(["image"] * 4),
+        "payload": pa.array(imgs, pa.binary()),
+        "mime": pa.array(["image/png"] * 4),
+        "width": pa.array(np.full(4, 48, np.int32)),
+        "height": pa.array(np.full(4, 32, np.int32)),
+        "duration_ms": pa.array(np.zeros(4, np.int32)),
+    })
+    out = DecodeImage(decoder="real", feat_dim=16)(media)
+    assert out.num_rows == 4 and len(out["feature"][0].as_py()) == 16
+    # deterministic: same payload → same feature
+    out2 = DecodeImage(decoder="real", feat_dim=16)(media)
+    assert np.allclose(np.stack(out["feature"].to_numpy(zero_copy_only=False)),
+                       np.stack(out2["feature"].to_numpy(zero_copy_only=False)))
