@@ -367,15 +367,16 @@ class Applier:
         if n_in:
             kid = np.repeat(kid_row, lens)
             order = np.argsort(all_seq, kind="stable")
-            kid_s, ts_s, del_s = kid[order], all_ts[order], all_del[order]
-            win = self._sequential_win(kid_s, ts_s, seed)
+            win_s = self._sequential_win(kid[order], all_ts[order], seed)
+            win = np.empty(n_in, dtype=bool)
+            win[order] = win_s  # back to flattened-meta order
             ctr["applied"] = int(win.sum())
             ctr["conflict"] = int((~win).sum())
-            ctr["deleted"] = int((win & del_s).sum())
-            # which payload rows won sequentially (match by unique seq)
+            ctr["deleted"] = int((win & all_del).sum())
+            # a payload row IS the last element of its own meta lists, so
+            # its win bit is at position cumsum(lens)-1 — no seq search
+            row_win = win[np.cumsum(lens) - 1]
             pay_seq = payload.column("seq").to_numpy()
-            pos = np.searchsorted(all_seq[order], pay_seq)
-            row_win = win[pos]
             pay_ts = payload.column("ts").cast(pa.int64()).to_numpy()
             # ONE lexsort serves both collapses: day = ts // DAY is a
             # monotone coarsening of ts, so within a key the (day, ts, seq)
@@ -394,16 +395,21 @@ class Applier:
             key_argmax[o2] = klast
             day_argmax = np.zeros(len(o2), dtype=bool)
             day_argmax[o2] = dlast
-            dmask = key_argmax & row_win
-            # exactly one row per key by construction (argmax mask)
-            delta_state = self._events_as_state(payload.filter(pa.array(dmask)))
-            d_kid = kid_row[dmask]
-            # delta side output: the net change per (key, utc-day) — the
-            # day's argmax payload row, iff it won sequentially
+            d_kid = kid_row[key_argmax & row_win]
             if self.delta_output:
-                winners = payload.filter(pa.array(day_argmax & row_win))
+                # ONE full-table filter: key winners ⊆ day winners (a key's
+                # overall argmax is its last day's argmax), so the state
+                # rows are re-selected from the much smaller winners table
+                wmask = day_argmax & row_win
+                winners = payload.filter(pa.array(wmask))
+                delta_state = self._events_as_state(
+                    winners.filter(pa.array(key_argmax[wmask]))
+                )
             else:
                 winners = payload.schema.empty_table()
+                delta_state = self._events_as_state(
+                    payload.filter(pa.array(key_argmax & row_win))
+                )
         else:
             delta_state = self._state_schema().empty_table()
             d_kid = np.empty(0, dtype=np.int64)
@@ -567,7 +573,40 @@ class Applier:
     def _sequential_win(kid_s: np.ndarray, ts_s: np.ndarray, seed: pd.Series) -> np.ndarray:
         """win[i] ⇔ event i (inputs MUST be in seq order) has ts >= the
         running per-key max seeded from prior state — exactly the
-        one-event-at-a-time semantics, vectorized with grouped cummax."""
+        one-event-at-a-time semantics. Fast path: numpy segmented prefix
+        max (one stable lexsort + one accumulate — no pandas DataFrame
+        build, the hot-path profile's biggest Python cost); falls back to
+        pandas grouped cummax when seg_count × ts_range would overflow the
+        int64 offset trick."""
+        n = len(kid_s)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        ts_i = ts_s.astype(np.int64, copy=False)
+        order = np.lexsort((np.arange(n), kid_s))  # stable: keeps seq order per key
+        ks, to = kid_s[order], ts_i[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = ks[1:] != ks[:-1]
+        seg_id = (np.cumsum(first) - 1).astype(np.int64)
+        nseg = int(seg_id[-1]) + 1
+        tmin = int(to.min())
+        R = int(to.max()) - tmin + 2
+        if nseg * R < 2**62:
+            comp = seg_id * np.int64(R) + (to - tmin + 1)
+            incl = np.maximum.accumulate(comp) - seg_id * np.int64(R) - 1 + tmin
+            prev = np.empty(n, dtype=np.float64)
+            prev[0] = -np.inf
+            prev[1:] = incl[:-1]
+            prev[first] = -np.inf
+            starts = np.flatnonzero(first)
+            seg_len = np.diff(np.append(starts, n))
+            if len(seed):
+                sv = seed.reindex(ks[starts]).to_numpy(dtype=np.float64, na_value=-np.inf)
+            else:
+                sv = np.full(nseg, -np.inf)
+            win_o = to >= np.fmax(prev, np.repeat(sv, seg_len))
+            win = np.empty(n, dtype=bool)
+            win[order] = win_o
+            return win
         ev = pd.DataFrame({"kid": kid_s, "ts": ts_s})
         g = ev.groupby("kid", sort=False)["ts"]
         cm = g.cummax()
