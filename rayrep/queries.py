@@ -537,6 +537,38 @@ def ann_ivf_pruned(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id"]]
 
 
+def corpus_curation(sf_dir: str) -> pd.DataFrame:
+    """Composite training-data pipeline: TextStats quality scoring →
+    language ID → filter (english AND quality ≥ 0.5) → exact-dedup
+    winners — the end-to-end corpus-cleaning shape, all stages streaming.
+    Every heuristic is mirrored exactly in the SQL oracle (length /
+    punctuation / stopword math with LEAST/GREATEST clips)."""
+    from rayrep.ops.text import LangId, TextStats
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    scored = ds.map_batches(TextStats, batch_format="pyarrow", zero_copy_batch=True,
+                            concurrency=(1, 4))
+    scored = scored.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["lang_pred"], "en"),
+                    pc.greater_equal(t["quality"], 0.5))
+        return t.filter(m).select(["doc_id", "text"])
+
+    kept = scored.map_batches(keep, batch_format="pyarrow")
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id")
+        return pa.table({"doc_id": pa.array([pc.min(ids).as_py()], pa.int64())})
+
+    from rayrep.ops.dedup import add_content_hash
+
+    hashed = kept.map_batches(add_content_hash, batch_format="pyarrow")
+    return hashed.groupby("content_hash").map_groups(
+        dedup_group, batch_format="pyarrow"
+    ).to_pandas()
+
+
 # ------------------------------------------------- windows / as-of joins
 def sessionize_users(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min gap) per user — the streaming-window custom
@@ -602,14 +634,13 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------- flagship CDC replay
-def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
-    """The flagship with a DRIVER ORACLE: a changelog derived
-    deterministically from the driver's events table (first event per user
-    = I, rest = U, seq = event_id) replayed through the REAL engine —
-    augment → hash shuffle → Applier actors → exactly-once manifests — on
-    a custom payload schema. The converged lake table must equal the
-    DuckDB ``row_number() over (partition by user order by ts, event_id)``
-    LWW query. Exercises the engine end-to-end, not a re-implementation."""
+def _replay_events_through_engine(sf_dir: str, with_deletes: bool) -> pd.DataFrame:
+    """A changelog derived deterministically from the driver's events
+    table (first event per user = I; `event_id % 7 == 0` = D when
+    ``with_deletes``, payload nulled per the reference's deleted-rows
+    rule; rest = U; seq = event_id) replayed through the REAL engine —
+    augment → hash shuffle → Applier → exactly-once manifests — on a
+    custom payload schema, returning the converged lake table."""
     import tempfile
 
     from rayrep.config import EngineConfig
@@ -619,19 +650,31 @@ def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
     t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
     t = t.take(pc.sort_indices(t["event_id"])).combine_chunks()
     uid = t["user_id"].to_numpy()
+    eid = t["event_id"].to_numpy()
     first = ~pd.Series(uid).duplicated().to_numpy()
     n = t.num_rows
+    if with_deletes:
+        is_del = (eid % 7 == 0) & ~first
+        op = np.where(first, "I", np.where(is_del, "D", "U"))
+    else:
+        is_del = np.zeros(n, dtype=bool)
+        op = np.where(first, "I", "U")
+    del_mask = pa.array(is_del)
+
+    def _null_if_del(col, typ):
+        return pc.if_else(del_mask, pa.nulls(n, typ), col)
+
     cl_tbl = pa.table({
         "seq": t["event_id"],
         "txn_id": pa.nulls(n, pa.int64()),
-        "op": pa.array(np.where(first, "I", "U")),
+        "op": pa.array(op),
         "schema_ver": pa.array(np.ones(n, np.int32)),
         "conv_id": t["user_id"].cast(pa.string()),
         "turn_idx": pa.array(np.zeros(n, np.int32)),
         "event_id": t["event_id"],
-        "event_type": t["event_type"],
-        "value": t["value"],
-        "props": t["props"],
+        "event_type": _null_if_del(t["event_type"].combine_chunks(), pa.string()),
+        "value": _null_if_del(t["value"].combine_chunks(), pa.float64()),
+        "props": _null_if_del(t["props"].combine_chunks(), pa.string()),
         "ts": t["ts"],
         "ddl": pa.nulls(n, pa.string()),
     })
@@ -654,6 +697,21 @@ def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
     return out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
+def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
+    """The flagship with a DRIVER ORACLE: real-engine replay of an
+    events-derived changelog; converged table must equal the DuckDB
+    ``row_number()`` LWW query. End-to-end, not a re-implementation."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False)
+
+
+def cdc_replay_deletes(sf_dir: str) -> pd.DataFrame:
+    """Flagship variant with TOMBSTONES driver-oracled: every 7th event is
+    a delete (payload nulled); a user whose LWW-latest event is a delete
+    must be ABSENT from the converged table, and a delete overwritten by a
+    later event resurrects the row — mirrored exactly in the SQL."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True)
 
 
 def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
@@ -713,7 +771,9 @@ def queries() -> dict:
         "sessionize_users": sessionize_users,
         "asof_click_value": asof_click_value,
         "multimodal_features": multimodal_features,
+        "corpus_curation": corpus_curation,
         "cdc_replay_events": cdc_replay_events,
+        "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_transcripts": cdc_replay_transcripts,
     }
 
@@ -840,6 +900,49 @@ def oracle_sql() -> dict:
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_replay_deletes": """
+            WITH e AS (
+                SELECT *,
+                       (event_id % 7 = 0 AND row_number() OVER
+                            (PARTITION BY user_id ORDER BY event_id) > 1) AS is_del
+                FROM events
+            ), r AS (
+                SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM r WHERE rn = 1 AND NOT is_del
+        """,
+        "corpus_curation": r"""
+            WITH s AS (
+                SELECT doc_id, text,
+                    length(text) AS nc,
+                    length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x IN ('the','and','of','a','to','in','is','it','that','for'))) AS en,
+                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x IN ('der','die','das','und','ist','ich','nicht','ein','zu','mit'))) AS de,
+                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x IN ('le','la','les','et','est','un','une','pas','que','pour'))) AS fr,
+                    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x IN ('el','la','los','y','es','un','una','que','no','por'))) AS es,
+                    greatest(len(regexp_split_to_array(text, '\s+')), 1) AS tok_n
+                FROM documents
+            ), q AS (
+                SELECT doc_id, text, en, de, fr, es,
+                    least(greatest(nc / 200.0, 0), 1) * 0.4
+                    + least(greatest(1 - 4.0 * n_punct / greatest(nc, 1), 0), 1) * 0.3
+                    + least(greatest(5.0 * en / tok_n, 0), 1) * 0.3 AS quality
+                FROM s
+            ), f AS (
+                SELECT doc_id, text FROM q
+                WHERE quality >= 0.5
+                  AND NOT (en = 0 AND de = 0 AND fr = 0 AND es = 0)
+                  AND en >= de AND en >= fr AND en >= es
+            )
+            SELECT min(doc_id) AS doc_id FROM f GROUP BY text
         """,
         "token_stats": r"""
             SELECT doc_id,
