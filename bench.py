@@ -50,9 +50,15 @@ def changelog_events() -> int:
     return max(100_000, n * EVENTS_PER_SF_ROW)
 
 
+TEXT_PAD = int(os.environ.get("BENCH_TEXT_PAD", "0"))
+
+
 def ensure_changelog(n_events: int) -> str:
-    """Generate (once) the deterministic bench changelog for this sf tier."""
-    cl = os.path.join(BENCH_ROOT, f"cl-{sf_tag()}-{n_events}-e4")
+    """Generate (once) the deterministic bench changelog for this sf tier.
+    ``BENCH_TEXT_PAD`` pads texts to ~N bytes (realistic transcript turns
+    are hundreds of bytes; 0 keeps the short debug payload)."""
+    tag = f"cl-{sf_tag()}-{n_events}-e4" + (f"-p{TEXT_PAD}" if TEXT_PAD else "")
+    cl = os.path.join(BENCH_ROOT, tag)
     marker = os.path.join(cl, "_gen_manifest.json")
     if not os.path.exists(marker):
         from rayrep.gen import GenSpec, write_changelog
@@ -67,6 +73,7 @@ def ensure_changelog(n_events: int) -> str:
                 max_turns=50,
                 n_epochs=4,
                 zipf_a=1.1,
+                text_pad=TEXT_PAD,
             ),
         )
     return cl

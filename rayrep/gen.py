@@ -55,6 +55,12 @@ class GenSpec:
     # columns null = "unchanged", CHANGES.txt:173); requires replaying with
     # EngineConfig.changed_cells_updates=True
     changed_cells_frac: float = 0.0
+    # pad every text to roughly this many bytes (0 = the short debug
+    # payload). Realistic transcript turns are hundreds of bytes — payload
+    # width is what the map-side combiner's byte collapse is for. Padding
+    # is deterministic (derived from the unique prefix), so the per-turn
+    # text-equality invariant still identifies the winning writer.
+    text_pad: int = 0
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), sort_keys=True)
@@ -152,6 +158,9 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
     seq_str = pa.array(seq).cast(pa.string())
     turn_str = pa.array(turn_idx).cast(pa.string())
     text = pc.binary_join_element_wise(conv_arr, turn_str, seq_str, "-")
+    if spec.text_pad > 0:
+        filler = pa.scalar(" lorem-ipsum-filler-token" * max(1, spec.text_pad // 25))
+        text = pc.binary_join_element_wise(text, filler, " ")
     roles = np.array(["user", "assistant", "system", "tool"], dtype="U9")
     role = roles[(conv + turn_idx.astype(np.int64) + seq) % 4]
 
