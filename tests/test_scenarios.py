@@ -322,6 +322,54 @@ def test_tail_consumes_progressively_published_epochs(tmp_path):
     assert res["totals"]["input_rows"] == octr["input_rows"]
 
 
+def test_drop_column_evolution(tmp_path):
+    """DDL drop_column mid-stream: the dropped column disappears from the
+    canonical schema and the converged table; pre-drop rows keep their
+    remaining payload."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    drop = json.dumps({"action": "drop_column", "name": "tool"})
+    addv = json.dumps({"action": "add_column", "name": "tool", "type": "string"})
+    e0 = [ev(0, "DDL", None, None, ddl=addv, schema_ver=2, ts=0),
+          ev(1, "I", "a", 0, "x", ts=1, tool="search", schema_ver=2)]
+    e1 = [ev(2, "DDL", None, None, ddl=drop, schema_ver=3, ts=2),
+          ev(3, "I", "b", 0, "y", ts=3, schema_ver=3)]
+    write_epochs(d, e0, e1)
+    _, res = run(d, lake)
+    got = final_table_pandas(lake)
+    assert "tool" not in got.columns
+    assert sorted(got["text"]) == ["x", "y"]
+    assert res["schema_version"] == 3
+
+
+def test_empty_epoch_advances_frontier(tmp_path):
+    """A zero-row epoch file must advance the epoch manifest without
+    touching partitions or breaking the counter invariant."""
+    from rayrep.schema import CHANGELOG_SCHEMA
+
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_epochs(d, [ev(0, "I", "a", 0, "x", ts=0)], [])
+    # epoch 1 written empty via the helper (schema-typed, zero rows)
+    _, res = run(d, lake)
+    assert [e["epoch"] for e in res["epochs"]] == [0, 1]
+    assert list(final_table_pandas(lake)["text"]) == ["x"]
+
+
+def test_large_zipf_replay_matches_oracle(tmp_path):
+    """200k-event zipf(1.5) stream (heavy hot-key skew, map-combine on):
+    exact row AND counter parity with the sequential oracle."""
+    spec = GenSpec(seed=13, n_conversations=3000, max_turns=10,
+                   n_events=200_000, n_epochs=3, zipf_a=1.5)
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, spec)
+    cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=8,
+                       applier_concurrency=3)
+    res = replay(cfg)
+    oracle_df, octr = replay_oracle(generate_changelog(spec))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    for k in ("applied", "conflict", "deleted", "input_rows"):
+        assert res["totals"][k] == octr[k], k
+
+
 def test_epoch_with_only_ddl_events(tmp_path):
     """An epoch containing nothing but a DDL event must advance the epoch
     manifest and the schema version without touching partitions."""
