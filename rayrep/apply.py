@@ -378,38 +378,49 @@ class Applier:
             row_win = win[np.cumsum(lens) - 1]
             pay_seq = payload.column("seq").to_numpy()
             pay_ts = payload.column("ts").cast(pa.int64()).to_numpy()
-            # ONE lexsort serves both collapses: day = ts // DAY is a
-            # monotone coarsening of ts, so within a key the (day, ts, seq)
-            # order equals the (ts, seq) order — last-of-key is the key
-            # argmax, last-of-(key, day) is the day's net winner
-            day = pay_ts // DAY_US
-            o2 = np.lexsort((pay_seq, pay_ts, day, kid_row))
-            k2, d2 = kid_row[o2], day[o2]
+            # per-key argmax payload row = the key's new state iff it won.
+            # (Sound: any same-key event dominating a payload row is itself
+            # dominated by its own batch's payload argmax, so the global
+            # per-key argmax is always present among payload rows and is a
+            # sequential winner whenever anything beat the state seed.)
+            o2 = np.lexsort((pay_seq, pay_ts, kid_row))
+            k2 = kid_row[o2]
             klast = np.ones(len(o2), dtype=bool)
-            dlast = np.ones(len(o2), dtype=bool)
             if len(o2) > 1:
-                knew = k2[1:] != k2[:-1]
-                klast[:-1] = knew
-                dlast[:-1] = knew | (d2[1:] != d2[:-1])
+                klast[:-1] = k2[1:] != k2[:-1]
             key_argmax = np.zeros(len(o2), dtype=bool)
             key_argmax[o2] = klast
-            day_argmax = np.zeros(len(o2), dtype=bool)
-            day_argmax[o2] = dlast
-            d_kid = kid_row[key_argmax & row_win]
+            smask = key_argmax & row_win
+            d_kid = kid_row[smask]
             if self.delta_output:
-                # ONE full-table filter: key winners ⊆ day winners (a key's
-                # overall argmax is its last day's argmax), so the state
-                # rows are re-selected from the much smaller winners table
-                wmask = day_argmax & row_win
+                # daily delta = per (key, utc-day) argmax among the rows
+                # that WON sequentially. Restricting to winners FIRST
+                # matters: the unrestricted day argmax can be a conflict
+                # loser (a cross-day ts inversion raises the running max
+                # between two same-day rows), which would drop the day's
+                # real net image. Residual caveat (documented): if a day's
+                # true last winner was collapsed inside a batch under a
+                # same-(key,day) row that later lost globally, the nearest
+                # retained winning image is emitted instead — requires a
+                # cross-day ts inversion landing inside one batch.
+                day = pay_ts // DAY_US
+                wi = np.flatnonzero(row_win)
+                o3 = np.lexsort((pay_seq[wi], pay_ts[wi], day[wi], kid_row[wi]))
+                dlast = np.ones(len(o3), dtype=bool)
+                if len(o3) > 1:
+                    kw, dw = kid_row[wi][o3], day[wi][o3]
+                    dlast[:-1] = (kw[1:] != kw[:-1]) | (dw[1:] != dw[:-1])
+                wmask = np.zeros(len(pay_seq), dtype=bool)
+                wmask[wi[o3[dlast]]] = True
                 winners = payload.filter(pa.array(wmask))
+                # state rows ⊆ day winners (the key argmax is its last
+                # day's winner) → re-select from the small winners table
                 delta_state = self._events_as_state(
-                    winners.filter(pa.array(key_argmax[wmask]))
+                    winners.filter(pa.array(smask[wmask]))
                 )
             else:
                 winners = payload.schema.empty_table()
-                delta_state = self._events_as_state(
-                    payload.filter(pa.array(key_argmax & row_win))
-                )
+                delta_state = self._events_as_state(payload.filter(pa.array(smask)))
         else:
             delta_state = self._state_schema().empty_table()
             d_kid = np.empty(0, dtype=np.int64)
@@ -449,12 +460,11 @@ class Applier:
         elif new_state.num_rows == 0:
             out, new_chain = None, list(chain)  # nothing changed: no new file
         elif len(chain) + 1 > self.compact_interval:
-            folded = fold_state_files(
-                [os.path.join(self.lake_dir, f) for f in chain]
-            ) if chain else self._state_schema().empty_table()
-            folded = self._conform_state(folded)
-            comb = pa.concat_tables([folded, self._conform_state(new_state)],
-                                    promote_options="permissive")
+            # fold via fold_state_chain (conforms EACH file before concat):
+            # a rename between delta epochs would otherwise strand the
+            # pre-rename rows' payload in a dead column and silently null it
+            folded = fold_state_chain(self.lake_dir, chain, self.target)
+            comb = pa.concat_tables([folded, self._conform_state(new_state)])
             out = comb.filter(pa.array(last_per_key_mask(comb)))
             new_chain = []
             live_rows = _live_count(out)  # exact recount at compaction
@@ -532,9 +542,11 @@ class Applier:
         """Per-key prior-state ts (the running-max seed), keyed in the
         current batch's factorization space; keys untouched this epoch are
         irrelevant and dropped."""
-        return self._seed_maps(state, uniques)[0]
+        return self._seed_maps(state, uniques, with_live=False)[0]
 
-    def _seed_maps(self, narrow: pa.Table, uniques) -> tuple[pd.Series, pd.Series]:
+    def _seed_maps(
+        self, narrow: pa.Table, uniques, with_live: bool = True
+    ) -> tuple[pd.Series, pd.Series]:
         """(per-key prior ts, per-key prior liveness) for keys touched this
         epoch, keyed in the batch factorization space — built from the
         NARROW chain fold (4 columns; the payload never leaves disk)."""
@@ -549,6 +561,8 @@ class Applier:
         st_ts = narrow.column("ts").cast(pa.int64()).to_numpy()[st_mask]
         seed = pd.Series(st_ts, index=st_kid)
         seed = seed[~seed.index.duplicated()]
+        if not with_live:  # changed-cells path needs only the ts seed
+            return seed, pd.Series(dtype=bool)
         st_dead = narrow.column("__deleted").to_numpy(zero_copy_only=False)[st_mask]
         live = pd.Series(~st_dead, index=st_kid)
         return seed, live[~live.index.duplicated()]

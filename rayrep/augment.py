@@ -44,6 +44,19 @@ class Augmenter:
         self.target = SchemaVersion.from_json(target_schema_json)
         self.num_partitions = num_partitions
         self.table_filter_regex = table_filter_regex or None
+        self.table_re = None
+        if self.table_filter_regex:
+            import pyarrow.compute as pc
+
+            try:
+                # probe the pattern against Arrow's RE2 dialect once; fall
+                # back to Python re for syntax RE2 lacks (lookaround,
+                # backrefs) so existing configs keep working
+                pc.match_substring_regex(pa.array(["x"]), self.table_filter_regex)
+            except pa.ArrowInvalid:
+                import re
+
+                self.table_re = re.compile(self.table_filter_regex)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -56,9 +69,13 @@ class Augmenter:
         # M7: table-filter hook (single logical table here, but the surface
         # exists: a `table` column is honored when present).
         if self.table_filter_regex is not None and "table" in batch.column_names:
-            # unanchored search semantics, vectorized (same kernel as M7's
-            # driver-query form in queries.py)
-            keep = pc.match_substring_regex(batch["table"], self.table_filter_regex)
+            if self.table_re is None:
+                # unanchored search semantics, vectorized (RE2 kernel)
+                keep = pc.match_substring_regex(batch["table"], self.table_filter_regex)
+            else:  # non-RE2 pattern: Python re fallback (rare config path)
+                keep = pa.array(
+                    [bool(self.table_re.search(t)) for t in batch["table"].to_pylist()]
+                )
             batch = batch.filter(keep)
         if batch.num_rows == 0:
             return self._empty()

@@ -61,7 +61,7 @@ def main(argv=None) -> int:
     c = sub.add_parser("compact", help="major-compact state chains + GC old files")
     c.add_argument("lake_dir")
     c.add_argument("--keep-epochs", type=int, default=0,
-                   help="retain superseded files newer than committed-N (time travel)")
+                   help="retain superseded files newer than committed-N (forensics; use `snapshot` for point-in-time)")
 
     args = p.parse_args(argv)
 

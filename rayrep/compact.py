@@ -35,7 +35,7 @@ def compact_lake(lake_dir: str) -> dict:
     the manifest at it. Driver-side loop over partitions; each fold is one
     bounded read+write (run it from a Ray task per partition for very
     large lakes). Returns {"compacted": n, "skipped": n}."""
-    from rayrep.apply import fold_state_chain, state_schema  # noqa: F401
+    from rayrep.apply import fold_state_chain
     from rayrep.registry import SchemaRegistry
     from rayrep.schema import SchemaVersion
 
@@ -60,8 +60,11 @@ def compact_lake(lake_dir: str) -> dict:
 
 def gc_lake(lake_dir: str, keep_epochs: int = 0) -> dict:
     """Delete state files that are NOT part of a live chain and are older
-    than ``committed_epoch - keep_epochs`` (retained ones serve epoch-level
-    time travel). Never touches manifests. Returns {"deleted": n, "kept": n}."""
+    than ``committed_epoch - keep_epochs``. Retained superseded files are
+    forensic artifacts only — a delta file without its chain prefix cannot
+    reconstruct a past epoch, so POINT-IN-TIME reconstruction should use
+    ``timetravel.as_of`` (changelog replay — exact at any T), not retained
+    state files. Never touches manifests. Returns {"deleted": n, "kept": n}."""
     deleted = kept = 0
     for part_id in _partition_ids(lake_dir):
         m = PartitionManifest.load(lake_dir, part_id)

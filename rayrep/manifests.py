@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass, field, fields
 
 COUNTER_KEYS = ["input_rows", "applied", "skipped", "conflict", "deleted"]
 
@@ -55,7 +55,16 @@ class PartitionManifest:
         if not os.path.exists(p):
             return cls(part_id=part_id)
         with open(p) as f:
-            return cls(**json.load(f))
+            d = json.load(f)
+        # migrate the pre-chain layout (single `state_file`) and tolerate
+        # unknown fields — an old lake must resume, not TypeError inside a
+        # Ray task. live_rows for migrated manifests starts at 0 and
+        # becomes exact again at the next compaction recount.
+        if "state_file" in d and "state_chain" not in d:
+            sf = d.get("state_file")
+            d["state_chain"] = [sf] if sf else []
+        known = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
 
     def save(self, lake_dir: str) -> None:
         p = self.path(lake_dir, self.part_id)
@@ -82,7 +91,9 @@ class EpochManifest:
         if not os.path.exists(p):
             return cls()
         with open(p) as f:
-            return cls(**json.load(f))
+            d = json.load(f)
+        known = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
 
     def save(self, lake_dir: str) -> None:
         os.makedirs(os.path.dirname(self.path(lake_dir)), exist_ok=True)

@@ -88,6 +88,35 @@ def exact_dedup_rows(
     return out.select_columns(ds.schema().names)
 
 
+def _sentinel_base(ids_np: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Per-doc-unique uint64 sentinel base for docs with no usable
+    signature content (shingle-less / token-less): derived from the id so
+    two such docs never collide in any band or bucket."""
+    if ids_np.dtype.kind in "iu":
+        base = ids_np[mask].astype(np.uint64)
+    else:
+        base = stable_hash_strings(ids_np[mask])
+    with np.errstate(over="ignore"):
+        return (base * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+
+
+def _cogroup_match(key: np.ndarray, is_right: np.ndarray):
+    """Inside one co-grouped partition: for each LEFT row (``~is_right``),
+    the index of the RIGHT row (unique per key) with the same key.
+    Returns (left_indices, right_indices) for the rows that matched — the
+    shared semi-join kernel of every sort-shuffle attach in this module."""
+    ri = np.flatnonzero(is_right)
+    li = np.flatnonzero(~is_right)
+    if len(ri) == 0 or len(li) == 0:
+        return li[:0], ri[:0]
+    rk = key[ri]
+    o = np.argsort(rk)
+    lk = key[li]
+    pos = np.minimum(np.searchsorted(rk[o], lk), len(o) - 1)
+    ok = rk[o][pos] == lk
+    return li[ok], ri[o[pos[ok]]]
+
+
 # ----------------------------------------------------------------- minhash
 class MinHasher:
     """Per-batch MinHash signatures over word-``shingle_k``-grams.
@@ -162,13 +191,8 @@ class MinHasher:
             # per-doc-unique sentinel signatures: shingle-less docs must
             # never band together (est. Jaccard between any two of them = 0)
             ids_np = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-            if ids_np.dtype.kind in "iu":
-                base = ids_np[empty].astype(np.uint64)
-            else:
-                base = stable_hash_strings(ids_np[empty])
             with np.errstate(over="ignore"):
-                base = (base * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
-                sig[empty] = base[:, None] * np.arange(
+                sig[empty] = _sentinel_base(ids_np, empty)[:, None] * np.arange(
                     1, self.num_perm + 1, dtype=np.uint64
                 )[None, :]
         n = batch.num_rows
@@ -328,19 +352,6 @@ def minhash_components(
     def _take(col, idx: np.ndarray):
         return col.take(pa.array(idx, pa.int64()))
 
-    def _match(key: np.ndarray, is_sig: np.ndarray):
-        """Positions: for each pair row, the index of its key's sig row."""
-        sig_idx = np.flatnonzero(is_sig)
-        pair_idx = np.flatnonzero(~is_sig)
-        if len(sig_idx) == 0 or len(pair_idx) == 0:
-            return pair_idx[:0], sig_idx[:0]
-        sk = key[sig_idx]
-        o = np.argsort(sk)
-        pk = key[pair_idx]
-        pos = np.minimum(np.searchsorted(sk[o], pk), len(o) - 1)
-        ok = sk[o][pos] == pk
-        return pair_idx[ok], sig_idx[o[pos[ok]]]
-
     # stage 1 (co-group by a): attach sig_a — join-free, the same
     # sort-shuffle primitive as the CDC applier (see label_propagation's
     # note on Ray 2.49 hash-join re-execution)
@@ -364,7 +375,7 @@ def minhash_components(
     def attach1(g: pa.Table) -> pa.Table:
         key = g.column("key").to_numpy()
         is_sig = g.column("is_sig").to_numpy(zero_copy_only=False)
-        pr, sr = _match(key, is_sig)
+        pr, sr = _cogroup_match(key, is_sig)
         return pa.table({"a": pa.array(key[pr]),
                          "b": _take(g.column("oth"), pr),
                          "sig_a": _take(g.column("sig"), sr)})
@@ -390,7 +401,7 @@ def minhash_components(
     def attach2_verify(g: pa.Table) -> pa.Table:
         key = g.column("key").to_numpy()
         is_sig = g.column("is_sig").to_numpy(zero_copy_only=False)
-        pr, sr = _match(key, is_sig)
+        pr, sr = _cogroup_match(key, is_sig)
         if len(pr) == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64())})
@@ -455,12 +466,7 @@ class SimHasher:
         if empty.any():
             # token-less docs: per-doc-unique sentinel, never hamming-close
             ids_np = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-            if ids_np.dtype.kind in "iu":
-                base = ids_np[empty].astype(np.uint64)
-            else:
-                base = stable_hash_strings(ids_np[empty])
-            with np.errstate(over="ignore"):
-                sh[empty] = (base * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+            sh[empty] = _sentinel_base(ids_np, empty)
         return batch.append_column("simhash", pa.array(sh.view(np.int64)))
 
 
@@ -618,18 +624,6 @@ def ngram_jaccard_verify_ds(
             "part_id", pa.array(_ipart(t["key"].to_numpy(zero_copy_only=False),
                                        num_partitions)))
 
-    def _match(key, is_set):
-        si = np.flatnonzero(is_set)
-        pi = np.flatnonzero(~is_set)
-        if len(si) == 0 or len(pi) == 0:
-            return pi[:0], si[:0]
-        sk = key[si]
-        o = np.argsort(sk)
-        pk = key[pi]
-        pos = np.minimum(np.searchsorted(sk[o], pk), len(o) - 1)
-        ok = sk[o][pos] == pk
-        return pi[ok], si[o[pos[ok]]]
-
     u1 = pairs.map_batches(
         lambda t: pa.table({"key": t["a"], "oth": t["b"],
                             "shg": pa.nulls(t.num_rows, lt),
@@ -644,7 +638,7 @@ def ngram_jaccard_verify_ds(
 
     def attach1(g: pa.Table) -> pa.Table:
         key = g.column("key").to_numpy()
-        pr, sr = _match(key, g.column("is_set").to_numpy(zero_copy_only=False))
+        pr, sr = _cogroup_match(key, g.column("is_set").to_numpy(zero_copy_only=False))
         return pa.table({
             "a": pa.array(key[pr]),
             "b": g.column("oth").take(pa.array(pr, pa.int64())),
@@ -669,7 +663,7 @@ def ngram_jaccard_verify_ds(
 
     def attach2(g: pa.Table) -> pa.Table:
         key = g.column("key").to_numpy()
-        pr, sr = _match(key, g.column("is_set").to_numpy(zero_copy_only=False))
+        pr, sr = _cogroup_match(key, g.column("is_set").to_numpy(zero_copy_only=False))
         if len(pr) == 0:
             return pa.table({"a": pa.array([], pa.int64()),
                              "b": pa.array([], pa.int64()),
@@ -878,9 +872,13 @@ def label_propagation(
 
     def deliver(g: pa.Table) -> pa.Table:
         key = g.column("key").to_numpy()
-        dst = g.column("dst").to_numpy(zero_copy_only=False)
-        lbl = g.column("lbl").to_numpy(zero_copy_only=False)
-        is_lbl = ~pd.isna(lbl)
+        # validity masks + fill_null keep ids exact int64 end to end — a
+        # float64 round-trip (to_numpy on null-bearing columns) would
+        # silently round ids above 2^53 (e.g. content-hash-derived nodes)
+        dst = pc.fill_null(g.column("dst"), 0).to_numpy(zero_copy_only=False)
+        dst_valid = pc.is_valid(g.column("dst")).to_numpy(zero_copy_only=False)
+        lbl = pc.fill_null(g.column("lbl"), 0).to_numpy(zero_copy_only=False)
+        is_lbl = pc.is_valid(g.column("lbl")).to_numpy(zero_copy_only=False)
         order = np.argsort(key, kind="stable")
         ks = key[order]
         seg = np.ones(len(ks), dtype=bool)
@@ -894,15 +892,15 @@ def label_propagation(
         seg_lbl = np.full(n_seg, np.iinfo(np.int64).max, dtype=np.int64)
         lo, li = lbl[order], is_lbl[order]
         if li.any():
-            np.minimum.at(seg_lbl, seg_id[li], lo[li].astype(np.int64))
+            np.minimum.at(seg_lbl, seg_id[li], lo[li])
         no_lbl = seg_lbl == np.iinfo(np.int64).max
         if no_lbl.any():
             seg_lbl[no_lbl] = ks[seg][no_lbl]
         # messages: each edge row sends its source's label to dst; each
         # source also keeps its own label
         do = dst[order]
-        de = ~pd.isna(do)
-        out_node = np.concatenate([do[de].astype(np.int64), ks[seg]])
+        de = dst_valid[order]
+        out_node = np.concatenate([do[de], ks[seg]])
         out_cand = np.concatenate([seg_lbl[seg_id[de]], seg_lbl])
         return pa.table({"node": pa.array(out_node), "cand": pa.array(out_cand)})
 

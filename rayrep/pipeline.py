@@ -401,13 +401,14 @@ def tail(
 # --------------------------------------------------------------------- reads
 def committed_state_chains(lake_dir: str) -> list[list[str]]:
     """Per-partition state chains (relative paths, oldest→newest) from the
-    committed manifests."""
+    committed manifests (loaded via PartitionManifest so pre-chain-layout
+    lakes migrate transparently)."""
     chains = []
     for mp in sorted(glob.glob(os.path.join(lake_dir, "_manifests", "p*.json"))):
-        with open(mp) as f:
-            m = json.load(f)
-        if m.get("state_chain"):
-            chains.append(m["state_chain"])
+        part_id = int(re.search(r"p(\d+)\.json$", mp).group(1))
+        m = PartitionManifest.load(lake_dir, part_id)
+        if m.state_chain:
+            chains.append(m.state_chain)
     return chains
 
 

@@ -341,6 +341,52 @@ def test_drop_column_evolution(tmp_path):
     assert res["schema_version"] == 3
 
 
+def test_rename_between_deltas_survives_compaction(tmp_path):
+    """Regression: a column rename between delta epochs must not strand
+    pre-rename rows' payload when the chain compacts — the fold conforms
+    each file to the current schema BEFORE merging."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    rename = json.dumps({"action": "rename_column", "from": "text", "to": "body"})
+    e0 = [ev(0, "I", "a", 0, "keepme", ts=0)]
+    e1 = [ev(1, "DDL", None, None, ddl=rename, schema_ver=2, ts=1)]
+    e2 = [{**ev(2, "I", "b", 0, None, ts=2, schema_ver=2), "text": None}]
+    e3 = [{**ev(3, "I", "c", 0, None, ts=3, schema_ver=2), "text": None}]
+    write_epochs(d, e0, e1, e2, e3)
+    # post-rename epochs carry the payload under the NEW name
+    for i, val in ((2, "post1"), (3, "post2")):
+        p = os.path.join(d, f"epoch-{i:05d}.parquet")
+        t = pq.read_table(p)
+        t = t.rename_columns(["body" if c == "text" else c for c in t.column_names])
+        t = t.set_column(t.schema.get_field_index("body"), "body",
+                         pa.array([val], pa.string()))
+        pq.write_table(t, p)
+    # compact on every second epoch so the rename sits mid-chain
+    _, _ = run(d, lake, state_snapshot_interval=2)
+    got = final_table_pandas(lake).set_index("conv_id")
+    assert "body" in got.columns and "text" not in got.columns
+    assert got.loc["a", "body"] == "keepme"      # pre-rename payload intact
+    assert got.loc["b", "body"] == "post1" and got.loc["c", "body"] == "post2"
+
+
+def test_manifest_old_format_migrates(tmp_path):
+    """A round-1-layout manifest (single `state_file`) must load as a
+    one-entry chain instead of raising TypeError on resume."""
+    import json as _json
+
+    from rayrep.manifests import PartitionManifest
+
+    lake = str(tmp_path / "lake")
+    os.makedirs(os.path.join(lake, "_manifests"))
+    old = {"part_id": 0, "epoch": 3, "last_seq": 99,
+           "state_file": "part-00000/state-e00003.parquet",
+           "counters": {}, "epoch_counters": {}, "max_ts_us": 7}
+    with open(os.path.join(lake, "_manifests", "p00000.json"), "w") as f:
+        _json.dump(old, f)
+    m = PartitionManifest.load(lake, 0)
+    assert m.state_chain == ["part-00000/state-e00003.parquet"]
+    assert m.epoch == 3 and m.last_seq == 99
+
+
 def test_empty_epoch_advances_frontier(tmp_path):
     """A zero-row epoch file must advance the epoch manifest without
     touching partitions or breaking the counter invariant."""

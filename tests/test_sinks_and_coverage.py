@@ -58,6 +58,36 @@ def test_delta_side_output_combined_net_daily(tmp_path):
     assert list(delta["text"]) == ["y", "z"]     # net image per day
 
 
+def test_combined_delta_day_winner_across_batches(tmp_path):
+    """Regression: a (key, day)'s unrestricted argmax can be a conflict
+    LOSER (a cross-day ts inversion raises the running max in between);
+    the daily delta must then emit the day's real last winner from
+    another batch, not drop the day entirely."""
+    from rayrep.apply import Applier
+    from rayrep.augment import Augmenter
+    from rayrep.combine import combine_batch
+    from rayrep.schema import CANONICAL_SCHEMA_V2, CHANGELOG_SCHEMA, SchemaVersion
+
+    day = 86_400_000_000
+    sv = SchemaVersion(2, CANONICAL_SCHEMA_V2).to_json()
+    aug = Augmenter(sv, 1)
+    b1 = pa.Table.from_pylist(
+        [ev(3, "I", "a", 0, "A-day0", ts=5_000_000),
+         ev(5, "U", "a", 0, "X-day1", ts=day + 1_000_000)],
+        schema=CHANGELOG_SCHEMA)
+    b2 = pa.Table.from_pylist(
+        [ev(10, "U", "a", 0, "B-day0-stale", ts=6_000_000)],  # loses to X
+        schema=CHANGELOG_SCHEMA)
+    group = pa.concat_tables([combine_batch(aug(b1), by_day=True),
+                              combine_batch(aug(b2), by_day=True)])
+    lake = str(tmp_path / "lake")
+    summary = Applier(lake, 0, sv)(group)
+    assert summary["applied"][0].as_py() == 2
+    assert summary["conflict"][0].as_py() == 1
+    delta = pq.read_table(glob.glob(os.path.join(lake, "delta", "*.parquet"))[0]).to_pandas()
+    assert sorted(delta["text"]) == ["A-day0", "X-day1"]  # day0's real winner kept
+
+
 def test_delta_disabled(tmp_path):
     d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
     write_epochs(d, [ev(0, "I", "a", 0, "x", ts=0)])
