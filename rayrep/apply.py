@@ -35,7 +35,9 @@ an optional cross-call cache keyed by manifest epoch).
 
 from __future__ import annotations
 
+import glob
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -43,6 +45,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from rayrep.combine import DAY_US
 from rayrep.manifests import PartitionManifest, merge_counters, zero_counters
 from rayrep.schema import SchemaVersion
 
@@ -108,18 +111,54 @@ def lww_last_rows(comb: pa.Table) -> pa.Table:
     kid = _key_ids(comb)
     ts = comb.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     seq = comb.column("__seq").to_numpy()
-    order = np.lexsort((seq, ts, kid))
-    kid_s = kid[order]
-    last = np.ones(len(order), dtype=bool)
-    if len(order) > 1:
-        last[:-1] = kid_s[1:] != kid_s[:-1]
-    return comb.take(pa.array(order[last]))
+    return comb.filter(pa.array(group_argmax_mask(kid, ts, seq)))
 
 
 def _live_count(state: pa.Table) -> int:
     if state.num_rows == 0:
         return 0
     return int(state.num_rows - (pc.sum(state["__deleted"]).as_py() or 0))
+
+
+def group_argmax_mask(
+    kid: np.ndarray, ts: np.ndarray, seq: np.ndarray, day: np.ndarray | None = None
+) -> np.ndarray:
+    """Input-order mask marking each (kid[, day]) group's argmax-(ts, seq)
+    row — THE LWW tie-break rule, defined once (every winner-selection site
+    shares this; a divergent copy caused the combined-delta drop bug)."""
+    n = len(kid)
+    o = np.lexsort((seq, ts, day, kid)) if day is not None else np.lexsort((seq, ts, kid))
+    last = np.ones(n, dtype=bool)
+    if n > 1:
+        k = kid[o]
+        if day is not None:
+            d = day[o]
+            last[:-1] = (k[1:] != k[:-1]) | (d[1:] != d[:-1])
+        else:
+            last[:-1] = k[1:] != k[:-1]
+    m = np.zeros(n, dtype=bool)
+    m[o[last]] = True
+    return m
+
+
+def _fsync_path(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def write_parquet_atomic(table: pa.Table, path: str) -> None:
+    """write → fsync(file) → rename → fsync(dir): the manifest that will
+    reference this file is fsynced before ITS rename, so the data must be
+    at least as durable or a power loss could commit a manifest pointing
+    at unflushed bytes."""
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    _fsync_path(tmp)
+    os.replace(tmp, path)
+    _fsync_path(os.path.dirname(path))
 
 
 def last_per_key_mask(comb: pa.Table) -> np.ndarray:
@@ -307,21 +346,26 @@ class Applier:
         if len(kid_w):
             ts_w = ts_us[win]
             seq_w = events.column("seq").to_numpy()[win]
-            ow = np.lexsort((seq_w, ts_w, kid_w))
-            wlast = np.ones(len(ow), dtype=bool)
-            if len(ow) > 1:
-                wk = kid_w[ow]
-                wlast[:-1] = wk[1:] != wk[:-1]
-            sel = ow[wlast]
-            delta_state = self._events_as_state(winners.take(pa.array(sel)))
-            d_kid = kid_w[sel]
+            kmask = group_argmax_mask(kid_w, ts_w, seq_w)
+            delta_state = self._events_as_state(winners.filter(pa.array(kmask)))
+            d_kid = kid_w[kmask]
+            if self.delta_output:
+                # S7 delta = NET applied image per (key, utc-day): the SAME
+                # contract as the combined path, so a resumed round that
+                # falls back to this per-event path never leaves
+                # mixed-granularity delta files for one epoch
+                dmask = group_argmax_mask(kid_w, ts_w, seq_w, day=ts_w // DAY_US)
+                delta_rows = winners.filter(pa.array(dmask))
+            else:
+                delta_rows = winners.schema.empty_table()
         else:
             delta_state = self._state_schema().empty_table()
             d_kid = np.empty(0, dtype=np.int64)
+            delta_rows = events.schema.empty_table()
         live_delta = self._live_delta(delta_state, d_kid, prior_live)
         last_seq = int(seq.max()) if n_in else manifest.last_seq
         return self._commit(
-            part_id, manifest, delta_state, winners, ctr, last_seq, rng,
+            part_id, manifest, delta_state, delta_rows, ctr, last_seq, rng,
             chain=manifest.state_chain, live_rows=manifest.live_rows + live_delta,
         )
 
@@ -383,14 +427,7 @@ class Applier:
             # dominated by its own batch's payload argmax, so the global
             # per-key argmax is always present among payload rows and is a
             # sequential winner whenever anything beat the state seed.)
-            o2 = np.lexsort((pay_seq, pay_ts, kid_row))
-            k2 = kid_row[o2]
-            klast = np.ones(len(o2), dtype=bool)
-            if len(o2) > 1:
-                klast[:-1] = k2[1:] != k2[:-1]
-            key_argmax = np.zeros(len(o2), dtype=bool)
-            key_argmax[o2] = klast
-            smask = key_argmax & row_win
+            smask = group_argmax_mask(kid_row, pay_ts, pay_seq) & row_win
             d_kid = kid_row[smask]
             if self.delta_output:
                 # daily delta = per (key, utc-day) argmax among the rows
@@ -403,15 +440,12 @@ class Applier:
                 # same-(key,day) row that later lost globally, the nearest
                 # retained winning image is emitted instead — requires a
                 # cross-day ts inversion landing inside one batch.
-                day = pay_ts // DAY_US
                 wi = np.flatnonzero(row_win)
-                o3 = np.lexsort((pay_seq[wi], pay_ts[wi], day[wi], kid_row[wi]))
-                dlast = np.ones(len(o3), dtype=bool)
-                if len(o3) > 1:
-                    kw, dw = kid_row[wi][o3], day[wi][o3]
-                    dlast[:-1] = (kw[1:] != kw[:-1]) | (dw[1:] != dw[:-1])
+                dmask = group_argmax_mask(
+                    kid_row[wi], pay_ts[wi], pay_seq[wi], day=pay_ts[wi] // DAY_US
+                )
                 wmask = np.zeros(len(pay_seq), dtype=bool)
-                wmask[wi[o3[dlast]]] = True
+                wmask[wi[dmask]] = True
                 winners = payload.filter(pa.array(wmask))
                 # state rows ⊆ day winners (the key argmax is its last
                 # day's winner) → re-select from the small winners table
@@ -451,9 +485,11 @@ class Applier:
         epoch's DELTA appended to ``chain`` — unless that would exceed
         ``compact_interval``, in which case the chain is folded here and a
         full image is written instead (minor compaction)."""
-        assert ctr["applied"] + ctr["skipped"] + ctr["conflict"] == ctr["input_rows"], (
-            "A3 invariant violated"
-        )  # metrics-gated checkpoint (CHANGES.txt:113-116)
+        if ctr["applied"] + ctr["skipped"] + ctr["conflict"] != ctr["input_rows"]:
+            # metrics-gated checkpoint (CHANGES.txt:113-116): refuse to
+            # commit — a real `raise`, not an assert, so `python -O` cannot
+            # compile the exactly-once gate away
+            raise RuntimeError(f"A3 invariant violated for p{part_id}: {ctr}")
 
         if chain is None:
             out, new_chain = new_state, []
@@ -477,15 +513,26 @@ class Applier:
             os.makedirs(os.path.dirname(spath), exist_ok=True)
             tmp = spath + ".tmp"
             pq.write_table(out, tmp)
+            _fsync_path(tmp)  # data durable BEFORE the manifest can reference it
             self._maybe_chaos(rng)  # crash point A: state written but not visible
             os.replace(tmp, spath)
+            _fsync_path(os.path.dirname(spath))
             new_chain.append(os.path.relpath(spath, self.lake_dir))
             if out.num_rows:
                 m = pc.max(out["ts"]).value
                 if m is not None:
                     max_ts = max(max_ts, int(m))
-        if self.delta_output and delta_events.num_rows:
-            self._write_delta(part_id, delta_events)
+        if self.delta_output:
+            # drop uncommitted delta leftovers for this partition (epoch >
+            # committed): a crash plus a changed epochs_per_round would
+            # otherwise strand an orphan file double-counting these changes
+            for p in glob.glob(os.path.join(
+                    self.lake_dir, "delta", f"p{part_id:05d}-e*.parquet")):
+                e = int(re.search(r"-e(\d+)\.parquet$", p).group(1))
+                if e > manifest.epoch:
+                    os.remove(p)
+            if delta_events.num_rows:
+                self._write_delta(part_id, delta_events)
         self._maybe_chaos(rng)  # crash point B: state visible, manifest not
 
         new_manifest = PartitionManifest(
@@ -707,17 +754,19 @@ class Applier:
 
     # ------------------------------------------------------------ side output
     def _write_delta(self, part_id: int, events: pa.Table) -> None:
-        """Daily-delta side output (S7): exactly this epoch's APPLIED
-        (winning) changes — conflict losers never changed lake state and are
-        excluded — stamped with a forced-UTC yyyymmdd (CHANGES.txt:123,55).
-        One deterministic file per (partition, epoch) so retries overwrite."""
+        """Daily-delta side output (S7): the NET applied image per
+        (key, utc-day) for this epoch — conflict losers never changed lake
+        state and are excluded; intermediate same-day versions collapse to
+        the day's winner (one contract for BOTH the combined and per-event
+        paths, so resume fallbacks never mix granularities) — stamped with
+        a forced-UTC yyyymmdd (CHANGES.txt:123,55). One deterministic file
+        per (partition, epoch) so retries overwrite."""
         date = pc.strftime(events.column("ts"), format="%Y%m%d")
         out = events.append_column("change_date", date)
         ddir = os.path.join(self.lake_dir, "delta")
         os.makedirs(ddir, exist_ok=True)
         path = os.path.join(ddir, f"p{part_id:05d}-e{self.epoch:05d}.parquet")
-        pq.write_table(out, path + ".tmp")
-        os.replace(path + ".tmp", path)
+        write_parquet_atomic(out, path)
 
     def _summary(
         self,

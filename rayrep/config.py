@@ -43,16 +43,17 @@ class EngineConfig:
     # shuffle — fewer rows/bytes through the sort exchange, identical
     # final state AND counters. Auto-disabled per round when the round
     # overlaps a committed watermark (resume of a partial epoch), in
-    # changed-cells mode, in dry-run, and for the staged exchange. With
-    # combining on, the daily-delta side output holds the NET change per
-    # (key, utc-day) instead of every applied event (documented in S7).
+    # changed-cells mode, in dry-run, and for the staged exchange.
     map_combine: bool = True
     # Large batches keep block counts low through the sort shuffle (fewer
     # blocks to merge in the reduce); at ~90 B/row of text this is ~12 MB
     # per batch — well inside worker heap even × concurrency.
     batch_size: int = 131072
     # Ops / semantics
-    delta_output: bool = True        # daily-delta side output (CHANGES.txt:123, --delta CHANGES.txt:118)
+    # Daily-delta side output (CHANGES.txt:123, --delta CHANGES.txt:118):
+    # the NET applied image per (key, utc-day) per epoch — one contract in
+    # both the combined and per-event paths.
+    delta_output: bool = True
     delta_tables: list[str] = field(default_factory=lambda: ["transcripts"])
     table_filter_regex: str = ""     # applier table filter (CHANGES.txt:41-42); "" = all
     changed_cells_updates: bool = False  # U rows may carry nulls = "unchanged" (CHANGES.txt:173)

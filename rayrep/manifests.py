@@ -80,6 +80,9 @@ class EpochManifest:
     last_epoch: int = -1
     totals: dict[str, int] = field(default_factory=zero_counters)
     replication_delay_s: float = 0.0
+    # pinned at first commit: resuming with a different partition count
+    # would route keys to fresh partitions and silently duplicate rows
+    num_partitions: int = 0
 
     @staticmethod
     def path(lake_dir: str) -> str:

@@ -197,6 +197,12 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         persist_dir=cfg.lake_dir, initial_json=cfg.initial_schema_json or None
     )
     em = EpochManifest.load(cfg.lake_dir)
+    if em.last_epoch >= 0 and em.num_partitions and em.num_partitions != cfg.num_partitions:
+        raise ValueError(
+            f"lake {cfg.lake_dir} was committed with num_partitions="
+            f"{em.num_partitions}; resuming with {cfg.num_partitions} would "
+            "route keys to different partitions and duplicate state rows"
+        )
     start = em.last_epoch + 1
     totals = dict(em.totals)
     per_epoch = []
@@ -308,17 +314,16 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             max_ts = max(max_ts, row["max_ts_us"])
             chaos_retries += row["chaos_retries"]
         # A3: the metrics-gated barrier (CHANGES.txt:113-116) — refuse to
-        # advance the checkpoint if counters don't reconcile.
-        assert ctr["applied"] + ctr["skipped"] + ctr["conflict"] == ctr["input_rows"], (
-            f"epoch {epoch}: counter invariant violated: {ctr}"
-        )
+        # advance the checkpoint if counters don't reconcile. A real raise,
+        # not an assert: `python -O` must not remove the exactly-once gate.
+        if ctr["applied"] + ctr["skipped"] + ctr["conflict"] != ctr["input_rows"]:
+            raise RuntimeError(f"epoch {epoch}: counter invariant violated: {ctr}")
         # cumulative totals come from the atomically-committed partition
         # manifests — robust to any crash/resume window
         totals = aggregate_partition_counters(cfg.lake_dir)
         delay_s = max(0.0, time.time() - max_ts / 1e6) if max_ts else 0.0
-        EpochManifest(last_epoch=epoch, totals=totals, replication_delay_s=delay_s).save(
-            cfg.lake_dir
-        )
+        EpochManifest(last_epoch=epoch, totals=totals, replication_delay_s=delay_s,
+                      num_partitions=cfg.num_partitions).save(cfg.lake_dir)
         entry = {
             "epoch": epoch,
             "round_epochs": [e for e, _ in rnd],

@@ -21,22 +21,60 @@ from .test_scenarios import ev, run, write_epochs
 
 
 def test_delta_side_output_contents(tmp_path):
-    """S7 without map-side combining: the delta dir holds exactly the
-    APPLIED (winning) changes — conflict losers excluded — stamped with
-    the forced-UTC yyyymmdd (CHANGES.txt:123,55 analog)."""
+    """S7 (per-event path): the delta holds the NET applied image per
+    (key, utc-day) — the same contract as the combined path, so resume
+    fallbacks never mix granularities. Conflict losers and superseded
+    same-day versions are excluded; UTC yyyymmdd stamped
+    (CHANGES.txt:123,55 analog)."""
+    day2 = 86_400_000_000
     d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
     rows = [ev(0, "I", "a", 0, "x", ts=0),
-            ev(1, "U", "a", 0, "y", ts=5_000_000),
-            ev(2, "U", "a", 0, "stale", ts=1_000_000),   # conflict loser
-            ev(3, "D", "a", 0, ts=10_000_000)]
+            ev(1, "U", "a", 0, "y", ts=5_000_000),        # same-day net winner
+            ev(2, "I", "b", 0, "w", ts=0),
+            ev(3, "U", "b", 0, "loser", ts=-5_000_000),   # conflict (older ts)
+            ev(4, "D", "a", 0, ts=day2)]                  # day-2 tombstone
     write_epochs(d, rows)
-    run(d, lake, map_combine=False)
+    _, res = run(d, lake, map_combine=False)
+    assert res["totals"]["conflict"] == 1
     files = glob.glob(os.path.join(lake, "delta", "*.parquet"))
     assert files
-    delta = pq.read_table(files[0]).to_pandas()
-    assert len(delta) == 3                      # three winners; loser excluded
-    assert set(delta["change_date"]) == {"20231114"}
-    assert set(delta["op"]) == {"I", "U", "D"}
+    delta = pd.concat([pq.read_table(f).to_pandas() for f in files]) \
+        .sort_values(["change_date", "conv_id"])
+    # net images: (a, day1)=y, (b, day1)=w, (a, day2)=D; x and the loser excluded
+    assert list(delta["change_date"]) == ["20231114", "20231114", "20231115"]
+    assert list(delta["op"]) == ["U", "I", "D"]
+    assert list(delta["text"])[:2] == ["y", "w"]
+
+
+def test_orphan_delta_cleanup_and_partition_pinning(tmp_path):
+    """(a) A delta file left by a crashed uncommitted round (epoch above
+    the committed one) is removed at the next commit instead of
+    double-counting; (b) resuming a lake with a different num_partitions
+    fails fast instead of silently splitting keys."""
+    from rayrep.pipeline import replay as _replay
+
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_epochs(d, [ev(0, "I", "a", 0, "x", ts=0)], [ev(1, "U", "a", 0, "y", ts=5)])
+    cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=4,
+                       applier_concurrency=2)
+    _replay(cfg, end_epoch=0)
+    # fake an orphan from a crashed future round
+    ddir = os.path.join(lake, "delta")
+    orphan = os.path.join(ddir, glob.glob(os.path.join(ddir, "p*-e00000.parquet"))[0]
+                          .split("/")[-1].replace("e00000", "e00099"))
+    import shutil
+
+    shutil.copy(glob.glob(os.path.join(ddir, "p*-e00000.parquet"))[0], orphan)
+    _replay(cfg)  # applies epoch 1 → cleanup must remove the orphan
+    assert not os.path.exists(orphan)
+    # partition-count pinning
+    import dataclasses
+
+    import pytest as _pytest
+
+    bad = dataclasses.replace(cfg, num_partitions=cfg.num_partitions * 2)
+    with _pytest.raises(ValueError, match="num_partitions"):
+        _replay(bad)
 
 
 def test_delta_side_output_combined_net_daily(tmp_path):
