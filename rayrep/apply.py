@@ -525,10 +525,12 @@ class Applier:
         if self.delta_output:
             # drop uncommitted delta leftovers for this partition (epoch >
             # committed): a crash plus a changed epochs_per_round would
-            # otherwise strand an orphan file double-counting these changes
+            # otherwise strand an orphan file double-counting these changes.
+            # Per-partition subdir → the scan is O(this partition's files),
+            # and the lake never accumulates one giant flat directory.
             for p in glob.glob(os.path.join(
-                    self.lake_dir, "delta", f"p{part_id:05d}-e*.parquet")):
-                e = int(re.search(r"-e(\d+)\.parquet$", p).group(1))
+                    self.lake_dir, "delta", f"p{part_id:05d}", "e*.parquet")):
+                e = int(re.search(r"e(\d+)\.parquet$", p).group(1))
                 if e > manifest.epoch:
                     os.remove(p)
             if delta_events.num_rows:
@@ -763,9 +765,9 @@ class Applier:
         per (partition, epoch) so retries overwrite."""
         date = pc.strftime(events.column("ts"), format="%Y%m%d")
         out = events.append_column("change_date", date)
-        ddir = os.path.join(self.lake_dir, "delta")
+        ddir = os.path.join(self.lake_dir, "delta", f"p{part_id:05d}")
         os.makedirs(ddir, exist_ok=True)
-        path = os.path.join(ddir, f"p{part_id:05d}-e{self.epoch:05d}.parquet")
+        path = os.path.join(ddir, f"e{self.epoch:05d}.parquet")
         write_parquet_atomic(out, path)
 
     def _summary(

@@ -36,7 +36,7 @@ def test_delta_side_output_contents(tmp_path):
     write_epochs(d, rows)
     _, res = run(d, lake, map_combine=False)
     assert res["totals"]["conflict"] == 1
-    files = glob.glob(os.path.join(lake, "delta", "*.parquet"))
+    files = glob.glob(os.path.join(lake, "delta", "p*", "e*.parquet"))
     assert files
     delta = pd.concat([pq.read_table(f).to_pandas() for f in files]) \
         .sort_values(["change_date", "conv_id"])
@@ -59,12 +59,11 @@ def test_orphan_delta_cleanup_and_partition_pinning(tmp_path):
                        applier_concurrency=2)
     _replay(cfg, end_epoch=0)
     # fake an orphan from a crashed future round
-    ddir = os.path.join(lake, "delta")
-    orphan = os.path.join(ddir, glob.glob(os.path.join(ddir, "p*-e00000.parquet"))[0]
-                          .split("/")[-1].replace("e00000", "e00099"))
+    committed = glob.glob(os.path.join(lake, "delta", "p*", "e00000.parquet"))[0]
+    orphan = committed.replace("e00000", "e00099")
     import shutil
 
-    shutil.copy(glob.glob(os.path.join(ddir, "p*-e00000.parquet"))[0], orphan)
+    shutil.copy(committed, orphan)
     _replay(cfg)  # applies epoch 1 → cleanup must remove the orphan
     assert not os.path.exists(orphan)
     # partition-count pinning
@@ -79,9 +78,8 @@ def test_orphan_delta_cleanup_and_partition_pinning(tmp_path):
 
 def test_delta_side_output_combined_net_daily(tmp_path):
     """S7 with map-side combining: the delta holds the NET change per
-    (key, utc-day) — one row, the day's winning image (documented
-    semantic difference; every applied event is not reconstructible after
-    the combine collapses payloads)."""
+    (key, utc-day) — one row, the day's winning image (the same contract
+    as the per-event path)."""
     d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
     day2 = 86_400_000_000
     rows = [ev(0, "I", "a", 0, "x", ts=0),
@@ -90,7 +88,7 @@ def test_delta_side_output_combined_net_daily(tmp_path):
     write_epochs(d, rows)
     _, res = run(d, lake, map_combine=True)
     assert res["totals"]["applied"] == 3
-    files = glob.glob(os.path.join(lake, "delta", "*.parquet"))
+    files = glob.glob(os.path.join(lake, "delta", "p*", "e*.parquet"))
     delta = pq.read_table(files[0]).to_pandas().sort_values("change_date")
     assert list(delta["change_date"]) == ["20231114", "20231115"]
     assert list(delta["text"]) == ["y", "z"]     # net image per day
@@ -122,7 +120,7 @@ def test_combined_delta_day_winner_across_batches(tmp_path):
     summary = Applier(lake, 0, sv)(group)
     assert summary["applied"][0].as_py() == 2
     assert summary["conflict"][0].as_py() == 1
-    delta = pq.read_table(glob.glob(os.path.join(lake, "delta", "*.parquet"))[0]).to_pandas()
+    delta = pq.read_table(glob.glob(os.path.join(lake, "delta", "p*", "e*.parquet"))[0]).to_pandas()
     assert sorted(delta["text"]) == ["A-day0", "X-day1"]  # day0's real winner kept
 
 
