@@ -228,21 +228,39 @@ def top_orders(sf_dir: str) -> pd.DataFrame:
     )
 
 
+class _BroadcastLookup:
+    """J2 broadcast-lookup stage: the small side is `ray.put` ONCE as two
+    sorted numpy arrays (fetched per actor in __init__, never re-shipped
+    per batch); each batch resolves values via np.searchsorted — no Python
+    dict hashing per row."""
+
+    def __init__(self, r, key_col: str, out_col: str):
+        keys, vals = ray.get(r)
+        self.keys, self.vals = keys, vals
+        self.key_col, self.out_col = key_col, out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        k = batch.column(self.key_col).to_numpy()
+        pos = np.searchsorted(self.keys, k)
+        pos = np.minimum(pos, len(self.keys) - 1)
+        # inner-join semantics of the oracles: every key resolves by
+        # construction (FK into the dim table)
+        return batch.append_column(self.out_col, pa.array(self.vals[pos]))
+
+
+def _broadcast_sorted(keys: np.ndarray, vals: np.ndarray):
+    order = np.argsort(keys)
+    return ray.put((keys[order], vals[order]))
+
+
 def orders_by_segment(sf_dir: str) -> pd.DataFrame:
     """Broadcast join (J2 pattern): customer dim is ray.put once, looked up
     per batch — no shuffle join for a small side."""
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
-    ).to_pandas()
-    ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
-
-    class Lookup:
-        def __init__(self, r):
-            self.m = ray.get(r)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            seg = batch.column("o_custkey").to_pandas().map(self.m)
-            return batch.append_column("c_mktsegment", pa.array(seg.astype(str)))
+    )
+    ref = _broadcast_sorted(cust["c_custkey"].to_numpy(),
+                            cust["c_mktsegment"].to_numpy(zero_copy_only=False))
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
@@ -250,7 +268,9 @@ def orders_by_segment(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ds.map_batches(Lookup, fn_constructor_kwargs={"r": ref},
+        ds.map_batches(_BroadcastLookup,
+                       fn_constructor_kwargs={"r": ref, "key_col": "o_custkey",
+                                              "out_col": "c_mktsegment"},
                        batch_format="pyarrow", concurrency=(1, 4))
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="revenue"))
@@ -261,26 +281,22 @@ def orders_by_segment(sf_dir: str) -> pd.DataFrame:
 
 
 def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
-    """Two chained broadcast lookups (customer → nation) — the multi-dim
-    star-join without any shuffle."""
+    """Two chained broadcast lookups (customer → nation), pre-composed
+    driver-side into ONE custkey→nation map — the multi-dim star-join
+    without any shuffle."""
     cust = pq.read_table(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    ).to_pandas()
+    )
     nat = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    ).to_pandas()
-    cust_to_nation = dict(
-        zip(cust["c_custkey"], cust["c_nationkey"].map(dict(zip(nat["n_nationkey"], nat["n_name"]))))
     )
-    ref = ray.put(cust_to_nation)
-
-    class Lookup:
-        def __init__(self, r):
-            self.m = ray.get(r)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            n = batch.column("o_custkey").to_pandas().map(self.m)
-            return batch.append_column("n_name", pa.array(n.astype(str)))
+    nk = nat["n_nationkey"].to_numpy()
+    nv = nat["n_name"].to_numpy(zero_copy_only=False)
+    no = np.argsort(nk)
+    ck = cust["c_custkey"].to_numpy()
+    cn = cust["c_nationkey"].to_numpy()
+    names = nv[no][np.minimum(np.searchsorted(nk[no], cn), len(no) - 1)]
+    ref = _broadcast_sorted(ck, names)
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
@@ -288,13 +304,64 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ds.map_batches(Lookup, fn_constructor_kwargs={"r": ref},
+        ds.map_batches(_BroadcastLookup,
+                       fn_constructor_kwargs={"r": ref, "key_col": "o_custkey",
+                                              "out_col": "n_name"},
                        batch_format="pyarrow", concurrency=(1, 4))
         .groupby("n_name")
         .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="revenue"))
         .to_pandas()
     )
     out["revenue"] = out["revenue"].round(3)
+    return out
+
+
+def top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Grouped top-k (§2.6): top-3 orders by price per market segment.
+    Partial top-k per batch (each batch keeps only its local top-3 per
+    segment) before the tiny grouped finalize — the shuffle carries at
+    most 3 × segments rows per batch, never the orders table."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    ref = _broadcast_sorted(cust["c_custkey"].to_numpy(),
+                            cust["c_mktsegment"].to_numpy(zero_copy_only=False))
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def topk(group: pa.Table, k: int = 3) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("o_totalprice", "descending"),
+                                                ("o_orderkey", "ascending")])
+        return group.take(idx[:k]).select(["c_mktsegment", "o_orderkey", "o_totalprice"])
+
+    looked = ds.map_batches(
+        _BroadcastLookup,
+        fn_constructor_kwargs={"r": ref, "key_col": "o_custkey",
+                               "out_col": "c_mktsegment"},
+        batch_format="pyarrow", concurrency=(1, 4),
+    )
+
+    def local_prune(t: pa.Table, k: int = 3) -> pa.Table:
+        seg = t.column("c_mktsegment").to_numpy(zero_copy_only=False)
+        price = t.column("o_totalprice").to_numpy()
+        okey = t.column("o_orderkey").to_numpy()
+        codes, _ = pd.factorize(seg, sort=False)
+        order = np.lexsort((okey, -price, codes))
+        cs = codes[order]
+        # rank within segment = position since segment start (cs is sorted)
+        seg_start = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            seg_start[1:] = cs[1:] != cs[:-1]
+        start_pos = np.maximum.accumulate(np.where(seg_start, np.arange(len(cs)), 0))
+        keep = (np.arange(len(cs)) - start_pos) < k
+        return t.take(pa.array(order[keep]))
+
+    out = (
+        looked.map_batches(local_prune, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pyarrow")
+        .to_pandas()
+    )
     return out
 
 
@@ -751,6 +818,7 @@ def queries() -> dict:
         "doc_len_buckets": doc_len_buckets,
         "q1_pricing_summary": q1_pricing_summary,
         "top_orders": top_orders,
+        "top_orders_per_segment": top_orders_per_segment,
         "orders_by_segment": orders_by_segment,
         "revenue_by_nation": revenue_by_nation,
         "order_priority_revenue": order_priority_revenue,
@@ -830,6 +898,12 @@ def oracle_sql() -> dict:
         "top_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, o_totalprice
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            QUALIFY row_number() OVER (PARTITION BY c_mktsegment
+                ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
         """,
         "orders_by_segment": """
             SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 3) AS revenue

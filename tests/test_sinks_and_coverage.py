@@ -199,6 +199,21 @@ def test_label_propagation_matches_union_find():
         assert uf[n] == rep
 
 
+def test_label_propagation_huge_ids_exact():
+    """Regression: node ids above 2^53 (e.g. content-hash-derived) must
+    survive the null-bearing columns exactly — a float64 round-trip would
+    silently round them to neighboring values."""
+    from rayrep.ops.dedup import label_propagation
+
+    base = (1 << 62) + 1  # not representable as float64 (rounds to 2^62)
+    edges = [(base, base + 1), (base + 1, base + 3), (base + 10, base + 10)]
+    eds = rd.from_pandas(pd.DataFrame({"a": [a for a, _ in edges],
+                                       "b": [b for _, b in edges]}))
+    lp = label_propagation(eds).to_pandas().set_index("node")["label"].to_dict()
+    assert lp[base] == base and lp[base + 1] == base and lp[base + 3] == base
+    assert lp[base + 10] == base + 10
+
+
 def test_label_propagation_chain_and_random_graph():
     """Pointer-jump shortcuts must close a LONG chain in O(log n) join
     rounds (plain min-propagation would need n rounds), and a random
