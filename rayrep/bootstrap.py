@@ -21,6 +21,7 @@ import json
 import os
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -100,14 +101,19 @@ def bootstrap_snapshot(
         concurrency=(1, 4),
     )
     os.makedirs(changelog_dir, exist_ok=True)
-    out = os.path.join(changelog_dir, f"epoch-{epoch:05d}.parquet")
-    tbl = pa.concat_tables(
-        [b for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)]
-    )  # snapshot prefixes at test scale fit one file; scale path: write_parquet dir per epoch
-    import pyarrow.parquet as pq
-
-    pq.write_table(tbl.cast(CHANGELOG_SCHEMA), out)
-    manifest = {"rows": tbl.num_rows, "next_seq": ray.get(allocator.total.remote())}
+    # distributed write: each worker writes its own part files into a temp
+    # dir, then ONE atomic rename publishes the epoch (same protocol as
+    # gen.publish_epoch) — nothing snapshot-sized ever touches the driver
+    out = os.path.join(changelog_dir, f"epoch-{epoch:05d}")
+    tmp = out + f".tmp{os.getpid()}"
+    ds.write_parquet(tmp)
+    os.replace(tmp, out)
+    rows = sum(
+        pq.read_metadata(os.path.join(out, f)).num_rows
+        for f in os.listdir(out)
+        if f.endswith(".parquet")
+    )
+    manifest = {"rows": rows, "next_seq": ray.get(allocator.total.remote())}
     with open(os.path.join(changelog_dir, "_bootstrap_manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest

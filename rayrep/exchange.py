@@ -62,7 +62,9 @@ def write_staged(batch: pa.Table, sdir: str) -> pa.Table:
         pdir = os.path.join(sdir, f"p{pid:05d}")
         os.makedirs(pdir, exist_ok=True)
         name = f"s{int(s.min())}-{int(s.max())}-{len(s)}.parquet"
-        tmp = os.path.join(pdir, name + f".tmp{os.getpid()}")
+        # "_"-prefixed tmp: pyarrow dataset discovery ignores it, so a
+        # crashed writer's orphan never corrupts StagedApplier's read
+        tmp = os.path.join(pdir, f"_tmp{os.getpid()}-" + name)
         pq.write_table(part, tmp)
         os.replace(tmp, os.path.join(pdir, name))
     return pa.table({"rows": pa.array([batch.num_rows], pa.int64())})

@@ -2,9 +2,9 @@
 
 - ``topk_cosine``: brute-force cosine top-k — the correctness baseline.
   The query matrix is broadcast once (``ray.put``), each batch does one
-  normalized matmul and emits only its local top-k, the tiny per-batch
-  winners are merged by a global sort+limit. Shuffled bytes: O(batches×k),
-  never the corpus.
+  normalized matmul and emits only its local top-k; the tiny per-batch
+  winners are merged by one grouped in-memory sort. Shuffled bytes:
+  O(batches×k), never the corpus.
 - ``IVFIndex``: the scale path — coarse k-means centroids trained on a
   driver-side sample, assignments per batch, search restricted to the
   ``nprobe`` closest cells.
@@ -38,6 +38,12 @@ class _BatchTopK:
         self.id_col, self.emb_col = id_col, emb_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # e.g. an IVF probe filtered a block empty
+            return pa.table({
+                "query_idx": pa.array([], pa.int32()),
+                self.id_col: pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            })
         m = _normalize(_stack(batch.column(self.emb_col)))         # (N, d)
         sims = m @ self.q.T                                        # (N, Q)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
@@ -69,7 +75,6 @@ def topk_cosine(
         fn_constructor_kwargs=dict(query_ref=ref, k=k, id_col=id_col, emb_col=emb_col),
         batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
     )
-    ranked = partial.sort(["query_idx", "cosine", id_col], descending=[False, True, False])
 
     def head_per_query(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -79,7 +84,9 @@ def topk_cosine(
         )
         return group.take(idx[:k])
 
-    return ranked.groupby("query_idx").map_groups(head_per_query, batch_format="pyarrow")
+    # the groupby re-shuffles anyway and head_per_query sorts in-group, so
+    # a global pre-sort of the tiny per-batch winners would be wasted work
+    return partial.groupby("query_idx").map_groups(head_per_query, batch_format="pyarrow")
 
 
 class IVFIndex:
@@ -94,6 +101,8 @@ class IVFIndex:
         self.centroids: np.ndarray | None = None
 
     def train(self, sample: np.ndarray) -> "IVFIndex":
+        if len(sample) == 0:
+            raise ValueError("cannot train an IVF index on an empty sample")
         x = _normalize(np.asarray(sample, dtype=np.float32))
         rng = np.random.default_rng(self.seed)
         c = x[rng.choice(len(x), size=min(self.n_cells, len(x)), replace=False)]

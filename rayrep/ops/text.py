@@ -88,8 +88,10 @@ class TextStats:
         if tok_counts is None:
             tok_counts = pc.count_substring_regex(text, pattern=TOKEN_RE).cast(pa.int64())
         # whitespace token count on TRIMMED text (defined identically to the
-        # SQL oracle: length(regexp_split_to_array(trim(text), '\s+')))
-        trimmed = pc.utf8_trim_whitespace(text)
+        # SQL oracle: length(regexp_split_to_array(trim(text), '\s+'));
+        # DuckDB trim() strips ASCII spaces only, so trim exactly " " here —
+        # utf8_trim_whitespace would also strip tabs/newlines and diverge)
+        trimmed = pc.utf8_trim(text, " ")
         ws_counts = pc.add(
             pc.count_substring_regex(trimmed, pattern=r"\s+").cast(pa.int64()), 1
         )

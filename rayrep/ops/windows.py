@@ -109,6 +109,16 @@ def asof_join(
     # explicitly per partition so every group emits the same schema even
     # when a genuine left column is all-null within one partition
     right_only = [n for n, _ in union_fields if n not in lcols]
+    # the output schema is FIXED up front so every partition emits
+    # identical blocks (an empty-left group must not change the schema)
+    type_of = dict(union_fields)
+    out_names = list(lcols) + [
+        (vc + suffix) if vc in lcols else vc for vc in value_cols
+    ]
+    out_schema = pa.schema(
+        [(n, type_of[n.removesuffix(suffix)] if n not in type_of else type_of[n])
+         for n in out_names]
+    )
 
     def per_part(group: pa.Table) -> pa.Table:
         df = group.to_pandas()
@@ -124,18 +134,19 @@ def asof_join(
         if right_tiebreak:
             r = r.drop(columns=[right_tiebreak])
         if not len(l):
-            return pa.Table.from_pandas(l, preserve_index=False)
+            return out_schema.empty_table()
         l = l.sort_values(ts_col, kind="stable")
-        r = r.sort_values(ts_col, kind="stable")
+        # explicit match marker: inner-asof must keep matched rows whose
+        # VALUE happens to be NULL (a value-null test would drop them,
+        # diverging from SQL ASOF JOIN) and must drop unmatched rows even
+        # when value_cols is empty
+        r = r.assign(__m=np.int8(1)).sort_values(ts_col, kind="stable")
         merged = pd.merge_asof(
             l, r, on=ts_col, by=key, direction="backward", suffixes=("", suffix)
         )
-        match_col = (value_cols[0] + suffix) if value_cols and (value_cols[0] in lcols) else (
-            value_cols[0] if value_cols else None
-        )
-        if match_col is not None:
-            merged = merged[merged[match_col].notna()]
-        return pa.Table.from_pandas(merged, preserve_index=False)
+        merged = merged[merged["__m"].notna()]
+        tbl = pa.Table.from_pandas(merged[out_names], preserve_index=False)
+        return tbl.cast(out_schema)
 
     return _with_part(both, key, num_partitions).groupby("part_id").map_groups(
         per_part, batch_format="pyarrow"

@@ -241,11 +241,14 @@ class _BroadcastLookup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = batch.column(self.key_col).to_numpy()
-        pos = np.searchsorted(self.keys, k)
-        pos = np.minimum(pos, len(self.keys) - 1)
-        # inner-join semantics of the oracles: every key resolves by
-        # construction (FK into the dim table)
-        return batch.append_column(self.out_col, pa.array(self.vals[pos]))
+        pos = np.minimum(np.searchsorted(self.keys, k), len(self.keys) - 1)
+        hit = self.keys[pos] == k
+        out = batch.append_column(self.out_col, pa.array(self.vals[pos]))
+        if hit.all():  # FK-by-construction fast path
+            return out
+        # inner-join semantics: rows whose key is absent from the dim are
+        # DROPPED, never silently assigned a neighboring key's value
+        return out.filter(pa.array(hit))
 
 
 def _broadcast_sorted(keys: np.ndarray, vals: np.ndarray):
@@ -428,19 +431,22 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
 
 # ------------------------------------------------------- training-data ops
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Min-id + count per distinct text via fully-vectorized grouped
+    aggregates — at corpus scale a map_groups UDF here would mean one
+    Python call per UNIQUE document (the anti-pattern this file bans)."""
+    from ray.data.aggregate import Count, Min
+
     from rayrep.ops.dedup import add_content_hash
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow", zero_copy_batch=True)
-
-    def keep(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id")
-        return pa.table({
-            "doc_id": pa.array([pc.min(ids).as_py()], pa.int64()),
-            "dup_count": pa.array([group.num_rows], pa.int64()),
-        })
-
-    return hashed.groupby("content_hash").map_groups(keep, batch_format="pyarrow").to_pandas()
+    out = (
+        hashed.select_columns(["content_hash", "doc_id"])
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="dup_count"))
+        .to_pandas()
+    )
+    return out[["doc_id", "dup_count"]]
 
 
 def token_stats(sf_dir: str) -> pd.DataFrame:
@@ -624,16 +630,18 @@ def corpus_curation(sf_dir: str) -> pd.DataFrame:
 
     kept = scored.map_batches(keep, batch_format="pyarrow")
 
-    def dedup_group(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id")
-        return pa.table({"doc_id": pa.array([pc.min(ids).as_py()], pa.int64())})
+    from ray.data.aggregate import Min
 
     from rayrep.ops.dedup import add_content_hash
 
     hashed = kept.map_batches(add_content_hash, batch_format="pyarrow")
-    return hashed.groupby("content_hash").map_groups(
-        dedup_group, batch_format="pyarrow"
-    ).to_pandas()
+    out = (
+        hashed.select_columns(["content_hash", "doc_id"])
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()
+    )
+    return out[["doc_id"]]
 
 
 # ------------------------------------------------- windows / as-of joins

@@ -53,29 +53,37 @@ class SchemaRegistry:
         return os.path.join(self.persist_dir, "schema_versions")
 
     def _load_history(self) -> None:
+        import json
+
         for path in sorted(glob.glob(os.path.join(self._dir(), "v*.json"))):
             with open(path) as f:
-                sv = SchemaVersion.from_json(f.read())
+                raw = f.read()
+            sv = SchemaVersion.from_json(raw)
             self.versions[sv.version] = sv
+            seq = json.loads(raw).get("applied_ddl_seq")
+            if seq is not None:
+                self.applied_ddl_seqs.add(seq)
+        # legacy side file (pre round-2 layout)
         seqs = os.path.join(self._dir(), "applied_seqs.json")
         if os.path.exists(seqs):
-            import json
-
             with open(seqs) as f:
-                self.applied_ddl_seqs = set(json.load(f))
+                self.applied_ddl_seqs |= set(json.load(f))
 
-    def _persist(self, sv: SchemaVersion) -> None:
+    def _persist(self, sv: SchemaVersion, applied_seq: int | None = None) -> None:
+        """ONE atomic rename per version: the applied DDL seq rides inside
+        the version file itself. (Two separate files had a crash window —
+        schema persisted but seq lost — after which resume re-applied the
+        DDL onto the evolved schema and wedged on 'column already exists'.)"""
         if not self.persist_dir:
             return
+        import json
+
         os.makedirs(self._dir(), exist_ok=True)
         path = os.path.join(self._dir(), f"v{sv.version:05d}.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(sv.to_json())
-        os.replace(tmp, path)
-        atomic_write_json(
-            os.path.join(self._dir(), "applied_seqs.json"), sorted(self.applied_ddl_seqs)
-        )
+        d = json.loads(sv.to_json())
+        if applied_seq is not None:
+            d["applied_ddl_seq"] = applied_seq
+        atomic_write_json(path, d)
 
     # -- DDL application (M9) ------------------------------------------------
     def apply_ddl_events(self, events: list[tuple[int, str]]) -> int:
@@ -87,7 +95,7 @@ class SchemaRegistry:
             nxt = apply_ddl(self.current(), ddl_json)
             self.versions[nxt.version] = nxt
             self.applied_ddl_seqs.add(seq)
-            self._persist(nxt)
+            self._persist(nxt, applied_seq=seq)
         return self.current_version()
 
     def current_version(self) -> int:
