@@ -76,6 +76,57 @@ def test_lww_apply_matches_sequential_oracle(tmp_path_factory, events):
         )
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(event_st, min_size=1, max_size=30),
+       st.lists(st.integers(0, 3), min_size=30, max_size=30))
+def test_combined_apply_matches_oracle_for_any_batching(
+    tmp_path_factory, events, batch_of
+):
+    """Map-side combining must reproduce the sequential oracle's rows AND
+    counters for ANY assignment of events to source batches — batch
+    boundaries are where combiner bugs hide (a batch-local winner can be a
+    global loser and vice versa). Events keep their seq order inside each
+    batch, like real epoch slices."""
+    from rayrep.augment import Augmenter
+    from rayrep.combine import combine_batch
+
+    cl = build_changelog(events)
+    sv = SchemaVersion(2, CANONICAL_SCHEMA_V2)
+    aug = Augmenter(sv.to_json(), 1)
+    groups: dict[int, list[int]] = {}
+    for i in range(cl.num_rows):
+        groups.setdefault(batch_of[i], []).append(i)
+    parts = []
+    for _, idxs in sorted(groups.items()):
+        b = cl.take(pa.array(idxs, pa.int64()))
+        parts.append(combine_batch(aug(b), by_day=True))
+    group = pa.concat_tables(parts)
+
+    lake = str(tmp_path_factory.mktemp("lakec"))
+    app = Applier(lake, 0, sv.to_json(), delta_output=False)
+    summary = app(group)
+    ctr = {k: summary[k][0].as_py() for k in
+           ["input_rows", "applied", "skipped", "conflict", "deleted"]}
+    odf, octr = replay_oracle(cl)
+    assert ctr == octr, f"counters {ctr} != oracle {octr}"
+
+    def live(lakedir):
+        from rayrep.apply import fold_state_chain
+        from rayrep.manifests import PartitionManifest
+
+        chain = PartitionManifest.load(lakedir, 0).state_chain
+        s = fold_state_chain(lakedir, chain, sv)
+        df = s.filter(pa.compute.invert(s["__deleted"])).to_pandas()
+        return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    got = live(lake)
+    assert len(got) == len(odf)
+    if len(odf):
+        pd.testing.assert_series_equal(got["text"].reset_index(drop=True),
+                                       odf["text"].reset_index(drop=True),
+                                       check_names=False)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(event_st, min_size=1, max_size=20),
        st.lists(event_st, min_size=0, max_size=20))
