@@ -276,6 +276,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             "chaos_fraction": cfg.chaos_fraction,
             "chaos_seed": cfg.chaos_seed,
             "compact_interval": cfg.state_snapshot_interval,
+            "durable_sync": cfg.durable_sync,
         }
         stage_stats = None
         if cfg.exchange == "staged":

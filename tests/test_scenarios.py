@@ -203,6 +203,18 @@ def test_changed_cells_update_merges_non_null(tmp_path):
     assert got["role"].iloc[0] == "assistant"     # changed cell applied
 
 
+def test_durable_sync_mode_matches_oracle(tmp_path):
+    """durable_sync=True (fsync before manifest commit, power-loss
+    durability) must be behavior-identical; only the sync cost differs."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    spec = GenSpec(seed=5, n_conversations=20, max_turns=4, n_events=300, n_epochs=2)
+    write_changelog(d, spec)
+    _, res = run(d, lake, durable_sync=True)
+    oracle_df, octr = replay_oracle(generate_changelog(spec))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    assert res["totals"]["applied"] == octr["applied"]
+
+
 # ---------------------------------------------------------- combine parity
 def test_uncombined_replay_matches_oracle(tmp_path):
     """map_combine=False (the fallback path used when a resumed round
