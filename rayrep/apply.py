@@ -384,11 +384,15 @@ class Applier:
         rng: np.random.Generator,
     ) -> tuple[dict, PartitionManifest]:
         """Reducer for map-side-combined input (rayrep/combine.py): rows are
-        per-(key[, day])-per-source-batch winner payloads + (ts, seq, del)
-        meta lists for every original event. Reproduces the exact sequential
-        counters from the meta lists and folds winner payloads into state by
-        the same LWW argmax. Precondition (driver-enforced): no event seq is
-        at or below this partition's committed watermark."""
+        the per-key weak-prefix-max payload rows of each source batch plus
+        (ts, seq, del) meta lists for every original event. Reproduces the
+        exact sequential counters from the meta lists and folds winner
+        payloads into state by the same LWW argmax. Every event that can
+        win sequentially is present as a payload row (the prefix-max
+        retention invariant), so both the state image and the per-(key,day)
+        daily deltas are EXACTLY the per-event path's. Precondition
+        (driver-enforced): no event seq is at or below this partition's
+        committed watermark."""
         from rayrep.combine import COMBINE_META, DAY_US, _arr
 
         group = decode_transport(group)
@@ -424,29 +428,24 @@ class Applier:
             ctr["applied"] = int(win.sum())
             ctr["conflict"] = int((~win).sum())
             ctr["deleted"] = int((win & all_del).sum())
-            # a payload row IS the last element of its own meta lists, so
-            # its win bit is at position cumsum(lens)-1 — no seq search
-            row_win = win[np.cumsum(lens) - 1]
+            # each payload row is a real event inside its own meta list;
+            # its win bit is found by seq (seqs are globally unique)
             pay_seq = payload.column("seq").to_numpy()
             pay_ts = payload.column("ts").cast(pa.int64()).to_numpy()
+            row_win = win_s[np.searchsorted(all_seq[order], pay_seq)]
             # per-key argmax payload row = the key's new state iff it won.
-            # (Sound: any same-key event dominating a payload row is itself
-            # dominated by its own batch's payload argmax, so the global
-            # per-key argmax is always present among payload rows and is a
-            # sequential winner whenever anything beat the state seed.)
+            # (Sound: the global per-key argmax is a weak prefix max of its
+            # batch, so it is always present among payload rows, and if it
+            # loses — only possible to the prior-state seed — every event
+            # of the key loses.)
             smask = group_argmax_mask(kid_row, pay_ts, pay_seq) & row_win
             d_kid = kid_row[smask]
             if self.delta_output:
                 # daily delta = per (key, utc-day) argmax among the rows
-                # that WON sequentially. Restricting to winners FIRST
-                # matters: the unrestricted day argmax can be a conflict
-                # loser (a cross-day ts inversion raises the running max
-                # between two same-day rows), which would drop the day's
-                # real net image. Residual caveat (documented): if a day's
-                # true last winner was collapsed inside a batch under a
-                # same-(key,day) row that later lost globally, the nearest
-                # retained winning image is emitted instead — requires a
-                # cross-day ts inversion landing inside one batch.
+                # that WON sequentially — EXACT: every event that can win
+                # is retained as a payload row (prefix-max retention), and
+                # row_win is its true sequential win bit, so this argmax
+                # equals the per-event path's day winner.
                 wi = np.flatnonzero(row_win)
                 dmask = group_argmax_mask(
                     kid_row[wi], pay_ts[wi], pay_seq[wi], day=pay_ts[wi] // DAY_US

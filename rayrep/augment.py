@@ -40,10 +40,15 @@ class Augmenter:
         target_schema_json: str,
         num_partitions: int,
         table_filter_regex: str = "",
+        carry_txn: bool = False,
     ):
         self.target = SchemaVersion.from_json(target_schema_json)
         self.num_partitions = num_partitions
         self.table_filter_regex = table_filter_regex or None
+        # txn_id is pure lineage — nothing downstream computes on it, so by
+        # default it is consumed here instead of shipped through the sort
+        # exchange (8 B/row; cfg.txn_lineage restores carrying it).
+        self.carry_txn = carry_txn
         self.table_re = None
         if self.table_filter_regex:
             import pyarrow.compute as pc
@@ -94,6 +99,8 @@ class Augmenter:
         for name, col in meta_cols.items():
             if name == "schema_ver":
                 continue  # consumed here; dead weight through the shuffle
+            if name == "txn_id" and not self.carry_txn:
+                continue  # lineage-off: recoverable from the changelog
             out = out.append_column(name, col)
         out = out.append_column("part_id", pid)
         return out
@@ -106,11 +113,8 @@ class Augmenter:
 
     def _empty(self) -> pa.Table:
         fields = list(self.target.schema)
-        fields += [
-            pa.field("seq", pa.int64()),
-            pa.field("txn_id", pa.int64()),
-            pa.field("op", pa.string()),
-            pa.field("part_id", pa.int32()),
-        ]
-        schema = pa.schema(fields)
-        return schema.empty_table()
+        fields.append(pa.field("seq", pa.int64()))
+        if self.carry_txn:
+            fields.append(pa.field("txn_id", pa.int64()))
+        fields += [pa.field("op", pa.string()), pa.field("part_id", pa.int32())]
+        return pa.schema(fields).empty_table()

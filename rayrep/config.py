@@ -45,6 +45,19 @@ class EngineConfig:
     # overlaps a committed watermark (resume of a partial epoch), in
     # changed-cells mode, in dry-run, and for the staged exchange.
     map_combine: bool = True
+    # Second-level combine: re-combine already-combined rows across source
+    # batches before the shuffle (rayrep/combine.combine_combined). Under
+    # zipf skew a hot key's per-batch winners duplicate across every batch;
+    # this collapses them once more at map side. Exact (meta lists are
+    # re-grouped, never dropped). Only active when map_combine is.
+    map_combine2: bool = True
+    # Carry the source transaction id through the shuffle into state/delta
+    # outputs. Off by default: txn lineage is recoverable from the
+    # changelog itself (seq is dense and the manifests record per-epoch seq
+    # ranges), and the column is dead weight through the sort exchange
+    # (~8 B/row). The reference's txn boundary handling (uuidBuffer,
+    # CHANGES.txt:168-170) maps to our epoch/manifest atomicity either way.
+    txn_lineage: bool = False
     # Large batches keep block counts low through the sort shuffle (fewer
     # blocks to merge in the reduce); at ~90 B/row of text this is ~12 MB
     # per batch — well inside worker heap even × concurrency.

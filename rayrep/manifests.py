@@ -103,6 +103,37 @@ class EpochManifest:
         atomic_write_json(self.path(lake_dir), asdict(self))
 
 
+@dataclass
+class LakeMeta:
+    """Lake-level invariants, pinned atomically BEFORE any partition commit
+    (the epoch manifest is written only after a whole epoch commits, which
+    left a crash window where a resume with a different partition count
+    could pass validation). Also records the lake's state-fold semantics
+    (row-LWW vs changed-cells) so readers fold the chain correctly without
+    being told."""
+
+    num_partitions: int = 0
+    changed_cells: bool = False
+    per_cell: bool = False
+
+    @staticmethod
+    def path(lake_dir: str) -> str:
+        return os.path.join(lake_dir, "_manifests", "lake.json")
+
+    @classmethod
+    def load(cls, lake_dir: str) -> "LakeMeta | None":
+        p = cls.path(lake_dir)
+        if not os.path.exists(p):
+            return None  # pre-LakeMeta lake (migration: EpochManifest pin)
+        with open(p) as f:
+            d = json.load(f)
+        known = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    def save(self, lake_dir: str) -> None:
+        atomic_write_json(self.path(lake_dir), asdict(self))
+
+
 def atomic_write_json(path: str, obj) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"

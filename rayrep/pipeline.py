@@ -43,6 +43,7 @@ from rayrep.config import EngineConfig
 from rayrep.manifests import (
     COUNTER_KEYS,
     EpochManifest,
+    LakeMeta,
     PartitionManifest,
     atomic_write_json,
     merge_counters,
@@ -122,6 +123,7 @@ def _augment(
     table_filter_regex: str = "",
     batch_size: int = 16384,
     concurrency: int | None = None,
+    carry_txn: bool = False,
 ):
     """Attach the augmenter stage. With ``concurrency=None`` it runs as
     stateless tasks (elastic, no idle CPU reservation — an idle actor pool
@@ -132,6 +134,7 @@ def _augment(
         target_schema_json=target_json,
         num_partitions=num_partitions,
         table_filter_regex=table_filter_regex,
+        carry_txn=carry_txn,
     )
     if concurrency is None:
         return ds.map_batches(
@@ -171,7 +174,7 @@ _APPLIER_CACHE: dict = {}
 def _augment_task_fn(batch: pa.Table, kwargs: dict) -> pa.Table:
     # Schema parse + regex compile cost ~µs; caching per process via lru
     # keeps the task path as cheap as the actor path.
-    key = kwargs["target_schema_json"], kwargs["num_partitions"], kwargs["table_filter_regex"]
+    key = tuple(sorted((k, str(v)) for k, v in kwargs.items()))
     aug = _AUG_CACHE.get(key)
     if aug is None:
         aug = Augmenter(**kwargs)
@@ -197,12 +200,36 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         persist_dir=cfg.lake_dir, initial_json=cfg.initial_schema_json or None
     )
     em = EpochManifest.load(cfg.lake_dir)
-    if em.last_epoch >= 0 and em.num_partitions and em.num_partitions != cfg.num_partitions:
+    lm = LakeMeta.load(cfg.lake_dir)
+    if lm is None:
+        # Migration fallback for pre-LakeMeta lakes: the epoch-manifest pin
+        # (written after the first full epoch) or, inside the epoch-0 crash
+        # window, the committed partition ids (0..P-1 → max+1 is a lower
+        # bound on the routing width the keys were hashed with).
+        committed_parts = em.num_partitions
+        if not committed_parts:
+            ids = [
+                int(re.search(r"p(\d+)\.json$", p).group(1))
+                for p in glob.glob(os.path.join(cfg.lake_dir, "_manifests", "p*.json"))
+            ]
+            if ids and max(ids) + 1 > cfg.num_partitions:
+                committed_parts = max(ids) + 1
+        lm = LakeMeta(num_partitions=committed_parts or cfg.num_partitions,
+                      changed_cells=cfg.changed_cells_updates)
+    if lm.num_partitions != cfg.num_partitions:
         raise ValueError(
             f"lake {cfg.lake_dir} was committed with num_partitions="
-            f"{em.num_partitions}; resuming with {cfg.num_partitions} would "
+            f"{lm.num_partitions}; resuming with {cfg.num_partitions} would "
             "route keys to different partitions and duplicate state rows"
         )
+    if lm.changed_cells != cfg.changed_cells_updates:
+        raise ValueError(
+            f"lake {cfg.lake_dir} was written with changed_cells="
+            f"{lm.changed_cells}; its state chain cannot be folded under "
+            f"changed_cells={cfg.changed_cells_updates} semantics"
+        )
+    if not cfg.dry_run:
+        lm.save(cfg.lake_dir)  # pin BEFORE any partition commit
     start = em.last_epoch + 1
     totals = dict(em.totals)
     per_epoch = []
@@ -234,6 +261,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                     cfg.table_filter_regex,
                     cfg.batch_size,
                     cfg.augmenter_concurrency,
+                    carry_txn=cfg.txn_lineage,
                 )
             )
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
@@ -254,7 +282,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                 if any(m is None or m <= wm for m in mins):
                     combine = False
         if combine:
-            from rayrep.combine import combine_batch
+            from rayrep.combine import combine_batch, combine_combined
 
             ds = ds.map_batches(
                 combine_batch,
@@ -262,6 +290,16 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
+            if cfg.map_combine2:
+                # second level: collapse cross-batch duplicates of hot keys
+                # (a combined batch spans several source batches' winners)
+                ds = ds.map_batches(
+                    combine_combined,
+                    fn_kwargs={"keep_all_pmax": cfg.delta_output},
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                    batch_size=cfg.batch_size,
+                )
         if cfg.dry_run:
             # STDOUT/JSON debug sink (CHANGES.txt:43,143): no side effects.
             for row in ds.limit(5).take_all():

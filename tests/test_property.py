@@ -127,6 +127,64 @@ def test_combined_apply_matches_oracle_for_any_batching(
                                        check_names=False)
 
 
+@settings(max_examples=60, deadline=None)
+@given(st.lists(event_st, min_size=1, max_size=30),
+       st.lists(st.integers(0, 3), min_size=30, max_size=30))
+def test_combined_daily_delta_matches_per_event_path(
+    tmp_path_factory, events, batch_of
+):
+    """The daily-delta side output (S7) must be IDENTICAL between the
+    per-event path and the combined path for ANY batching — the round-2
+    prefix-argmax retention could drop or substitute a day's net image
+    when a cross-batch ts inversion killed a batch's day winner; the
+    prefix-max retention (round 3) makes it exact. Also runs the
+    second-level combine (combine_combined) in the chain."""
+    import glob
+
+    from rayrep.augment import Augmenter
+    from rayrep.combine import combine_batch, combine_combined
+
+    cl = build_changelog(events)
+    sv = SchemaVersion(2, CANONICAL_SCHEMA_V2)
+
+    def read_deltas(lakedir):
+        files = sorted(glob.glob(os.path.join(lakedir, "delta", "p*", "e*.parquet")))
+        if not files:
+            return pd.DataFrame(columns=["conv_id", "turn_idx", "change_date",
+                                         "seq", "text"])
+        df = pa.concat_tables([pq.read_table(f) for f in files]).to_pandas()
+        return (df[["conv_id", "turn_idx", "change_date", "seq", "text"]]
+                .sort_values(["conv_id", "turn_idx", "change_date"])
+                .reset_index(drop=True))
+
+    # per-event path
+    lake_pe = str(tmp_path_factory.mktemp("pe"))
+    tbl = cl.append_column("part_id", pa.array([0] * cl.num_rows, pa.int32()))
+    Applier(lake_pe, 0, sv.to_json(), delta_output=True)(tbl)
+
+    # combined path: arbitrary batching + second-level combine
+    aug = Augmenter(sv.to_json(), 1)
+    groups: dict[int, list[int]] = {}
+    for i in range(cl.num_rows):
+        groups.setdefault(batch_of[i], []).append(i)
+    parts = [
+        combine_batch(aug(cl.take(pa.array(idxs, pa.int64()))), by_day=True)
+        for _, idxs in sorted(groups.items())
+    ]
+    group = combine_combined(pa.concat_tables(parts).combine_chunks(),
+                             keep_all_pmax=True)
+    lake_cb = str(tmp_path_factory.mktemp("cb"))
+    app = Applier(lake_cb, 0, sv.to_json(), delta_output=True)
+    summary = app(group)
+
+    pd.testing.assert_frame_equal(read_deltas(lake_pe), read_deltas(lake_cb))
+    # counters must also match the sequential oracle
+    _, octr = replay_oracle(cl)
+    ctr = {k: summary[k][0].as_py() for k in
+           ["input_rows", "applied", "skipped", "conflict", "deleted"]}
+    assert ctr == octr
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(event_st, min_size=1, max_size=20),
        st.lists(event_st, min_size=0, max_size=20))
