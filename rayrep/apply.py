@@ -174,14 +174,18 @@ def last_per_key_mask(comb: pa.Table) -> np.ndarray:
     return ~pd.Series(kid[::-1]).duplicated().to_numpy()[::-1]
 
 
-def fold_state_files(paths: list[str], columns: list[str] | None = None) -> pa.Table:
+def fold_state_files(
+    paths: list[str], columns: list[str] | None = None, by_version: bool = False
+) -> pa.Table:
     """Merge-on-read: concat a partition's state chain (base + per-epoch
     deltas, oldest→newest) and keep each key's newest row. ``columns``
     prunes the read (the per-epoch counter seed needs only 4 narrow
-    columns, never the payload). The engine columns (conv_id, turn_idx,
-    ts, __seq, __deleted) are rename-stable, so a permissive concat is
-    safe here; full-payload folds must conform per file first
-    (``fold_state_chain``)."""
+    columns, never the payload). ``by_version=True`` selects the per-key
+    argmax-(ts, __seq) row instead of the positional last — required for
+    per-cell lakes, where late events append chain rows with OLDER
+    versions. The engine columns (conv_id, turn_idx, ts, __seq,
+    __deleted) are rename-stable, so a permissive concat is safe here;
+    full-payload folds must conform per file first (``fold_state_chain``)."""
     tabs = [pq.read_table(p, columns=columns) for p in paths]
     comb = (
         pa.concat_tables(tabs, promote_options="permissive")
@@ -190,6 +194,10 @@ def fold_state_files(paths: list[str], columns: list[str] | None = None) -> pa.T
     )
     if comb.num_rows == 0:
         return comb
+    if by_version:
+        kid = _key_ids(comb)
+        ts = comb.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return comb.filter(pa.array(group_argmax_mask(kid, ts, comb.column("__seq").to_numpy())))
     return comb.filter(pa.array(last_per_key_mask(comb)))
 
 
@@ -231,6 +239,81 @@ def fold_state_chain(lake_dir: str, chain: list[str], target: SchemaVersion) -> 
     return comb.filter(pa.array(last_per_key_mask(comb)))
 
 
+def _segmented_last_pos(seg_id: np.ndarray, mark: np.ndarray) -> np.ndarray:
+    """Running 'position of the last True so far' per segment (rows are
+    segment-contiguous): the per-segment reset comes free from packing
+    (seg_id, pos+1) into one int64 and taking a prefix max — the same
+    compressed-accumulate trick as _sequential_win."""
+    n = len(seg_id)
+    val = np.where(mark, np.arange(n, dtype=np.int64), np.int64(-1))
+    base = seg_id * np.int64(n + 1)
+    return np.maximum.accumulate(base + val + 1) - base - 1  # -1 = none yet
+
+
+def fold_cells(comb: pa.Table, payload_cols: list[str]) -> pa.Table:
+    """Changed-cells fold (CHANGES.txt:173 / HBase per-cell versioning,
+    README.md:18): ONE state row per (conv_id, turn_idx) from a chain of
+    full/partial state rows. Ordering is by (ts, __seq) — the HBase version
+    order; for row-level-conflict chains this coincides with apply order
+    because every chain row won at its time (nondecreasing ts per key).
+    Per column the final value is the LAST NON-NULL among rows strictly
+    after the key's last delete in that order (a delete masks every older
+    cell version, CHANGES.txt:184); the key is a tombstone iff its last
+    version is a delete. Fully vectorized — lexsort + per-segment
+    running-max position tricks, no pandas (this replaces the round-2
+    ``to_pandas().groupby().agg("last")`` fold, the last pandas-object hot
+    path in the engine)."""
+    n = comb.num_rows
+    if n == 0:
+        return comb
+    kid = _key_ids(comb)
+    ts = comb.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    seqv = comb.column("__seq").to_numpy()
+    order = np.lexsort((seqv, ts, kid))
+    s = comb.take(pa.array(order))
+    ks = kid[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    seg_id = (np.cumsum(first) - 1).astype(np.int64)
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], n) - 1  # last row per key
+    deleted = s.column("__deleted").to_numpy(zero_copy_only=False)
+    # the key's FINAL last-delete position, broadcast back to every row
+    # (the running value at earlier rows would let pre-delete cells leak)
+    lastdel = _segmented_last_pos(seg_id, deleted)[ends]
+    seg_len = np.diff(np.append(starts, n))
+    cur = np.arange(n, dtype=np.int64) > np.repeat(lastdel, seg_len)
+    ends_arr = pa.array(ends)
+    out_cols = {}
+    for name in payload_cols:
+        col = s.column(name)
+        if name in ("conv_id", "turn_idx", "ts"):
+            out_cols[name] = col.take(ends_arr)  # key/version cols: last row
+            continue
+        valid = cur & ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        take_at = _segmented_last_pos(seg_id, valid)[ends]
+        idx = pa.array(np.maximum(take_at, 0), pa.int64(), mask=take_at < 0)
+        out_cols[name] = col.take(idx)  # null index → null cell
+    tbl = pa.table(out_cols)
+    tbl = tbl.append_column("__seq", s.column("__seq").take(ends_arr))
+    tbl = tbl.append_column("__deleted", s.column("__deleted").take(ends_arr))
+    return tbl
+
+
+def fold_state_chain_cells(
+    lake_dir: str, chain: list[str], target: SchemaVersion
+) -> pa.Table:
+    """Changed-cells merge-on-read: conform each chain file to the target
+    schema first (renames don't strand old cells), then cell-fold."""
+    tabs = [
+        conform_state(pq.read_table(os.path.join(lake_dir, f)), target) for f in chain
+    ]
+    if not tabs:
+        return state_schema(target).empty_table()
+    comb = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+    return fold_cells(comb, [f.name for f in target.schema])
+
+
 def state_dir(lake_dir: str, part_id: int) -> str:
     # no "=" in the dir name: hive-partition inference would add a spurious
     # column on read_parquet of the state files
@@ -248,6 +331,7 @@ class Applier:
         epoch: int,
         target_schema_json: str,
         changed_cells: bool = False,
+        per_cell: bool = False,
         delta_output: bool = True,
         chaos_fraction: float = 0.0,
         chaos_seed: int = 1234,
@@ -259,6 +343,11 @@ class Applier:
         self.target = SchemaVersion.from_json(target_schema_json)
         self.payload_cols = [f.name for f in self.target.schema]
         self.changed_cells = changed_cells
+        # HBase parity option: conflicts resolve per (key, COLUMN) by
+        # version (ts, seq) instead of rejecting a ts-inverted partial
+        # update wholesale — a late event's cells apply to columns no newer
+        # event touched. Only meaningful with changed_cells.
+        self.per_cell = per_cell and changed_cells
         self.delta_output = delta_output
         self.chaos_fraction = chaos_fraction
         self.chaos_seed = chaos_seed
@@ -316,17 +405,8 @@ class Applier:
         events = group.filter(pa.array(keep)) if n_skipped else group
 
         if self.changed_cells:
-            # changed-cells needs every prior payload cell → full-fold read
-            # and a full state rewrite each epoch (no delta path)
-            prev_state = self._load_state_full(manifest)
-            new_state, ctr, winners = self._merge(prev_state, events)
-            ctr["input_rows"] = n_in
-            ctr["skipped"] = n_skipped
-            last_seq = int(seq.max()) if n_in else manifest.last_seq
-            live = _live_count(new_state)
-            return self._commit(
-                part_id, manifest, new_state, winners, ctr, last_seq, rng,
-                chain=None, live_rows=live,
+            return self._apply_once_cells(
+                part_id, events, manifest, rng, n_in, n_skipped, seq
             )
 
         # --- delta path: epoch cost ∝ delta size, never partition state ---
@@ -374,6 +454,88 @@ class Applier:
         return self._commit(
             part_id, manifest, delta_state, delta_rows, ctr, last_seq, rng,
             chain=manifest.state_chain, live_rows=manifest.live_rows + live_delta,
+        )
+
+    def _apply_once_cells(
+        self,
+        part_id: int,
+        events: pa.Table,
+        manifest: PartitionManifest,
+        rng: np.random.Generator,
+        n_in: int,
+        n_skipped: int,
+        seq: np.ndarray,
+    ) -> tuple[dict, PartitionManifest]:
+        """Changed-cells DELTA path (round 3): every winning PARTIAL row
+        enters the state chain as-is — "null = unchanged" can only be
+        resolved against prior cells, and that resolution happens at fold
+        time (``fold_cells``, read/compaction), so the epoch writes
+        O(delta) rows instead of the round-2 full-state rewrite + pandas
+        merge. Conflict semantics:
+
+        - default (row-level): a ts-inverted partial update is rejected
+          entirely (``conflict``), even for columns the newer event left
+          untouched — a documented deviation from HBase pinned by the
+          in-repo oracle;
+        - ``per_cell=True``: HBase parity — no row-level rejection; every
+          non-skipped event applies and each CELL resolves by (ts, seq)
+          at fold time (a delete masks only older versions)."""
+        conv = events.column("conv_id").to_numpy(zero_copy_only=False)
+        ts_us = events.column("ts").cast(pa.int64()).to_numpy()
+        is_del = events.column("op").to_numpy(zero_copy_only=False) == "D"
+        codes, uniques = pd.factorize(conv, sort=False)
+        kid = (codes.astype(np.int64) << 32) | events.column(
+            "turn_idx"
+        ).to_numpy().astype(np.int64)
+        narrow = self._load_state_narrow(manifest)
+        seed, prior_live = self._seed_maps(narrow, uniques)
+        if self.per_cell:
+            win = np.ones(len(kid), dtype=bool)
+        else:
+            win = self._sequential_win(kid, ts_us, seed)
+        ctr = zero_counters()
+        ctr["input_rows"] = n_in
+        ctr["skipped"] = n_skipped
+        ctr["applied"] = int(win.sum())
+        ctr["conflict"] = int((~win).sum())
+        ctr["deleted"] = int((win & is_del).sum())
+        winners = events if win.all() else events.filter(pa.array(win))
+        delta_state = self._events_as_state(winners)
+
+        # liveness bookkeeping: the key's liveness flips to the epoch's
+        # argmax-(ts, seq) winner — unless (per-cell mode) the prior state
+        # version is NEWER, in which case it is unchanged.
+        kid_w, ts_w = kid[win], ts_us[win]
+        live_delta = 0
+        if len(kid_w):
+            seq_w = events.column("seq").to_numpy()[win]
+            kmask = group_argmax_mask(kid_w, ts_w, seq_w)
+            d_kid = kid_w[kmask]
+            now_live = ~is_del[win][kmask]
+            if len(prior_live):
+                was = (
+                    pd.Series(d_kid).map(prior_live).fillna(False)
+                    .to_numpy(dtype=bool)
+                )
+            else:
+                was = np.zeros(len(d_kid), dtype=bool)
+            if self.per_cell and len(seed):
+                pri = pd.Series(d_kid).map(seed).to_numpy(dtype=np.float64)
+                upd = ~(ts_w[kmask] < pri)  # NaN (no prior) compares False
+            else:
+                upd = np.ones(len(d_kid), dtype=bool)
+            live_delta = int(np.where(upd, now_live, was).sum() - was.sum())
+
+        # daily-delta side output: per-EVENT winning partial rows — a
+        # documented exception to the net-image contract (ADVICE r2): a
+        # per-(key, day) argmax would destroy cell granularity, and partial
+        # patches are only meaningful event-by-event to a consumer.
+        delta_rows = winners if self.delta_output else events.schema.empty_table()
+        last_seq = int(seq.max()) if n_in else manifest.last_seq
+        return self._commit(
+            part_id, manifest, delta_state, delta_rows, ctr, last_seq, rng,
+            chain=manifest.state_chain,
+            live_rows=manifest.live_rows + live_delta,
         )
 
     def _apply_once_combined(
@@ -502,12 +664,25 @@ class Applier:
         elif new_state.num_rows == 0:
             out, new_chain = None, list(chain)  # nothing changed: no new file
         elif len(chain) + 1 > self.compact_interval:
-            # fold via fold_state_chain (conforms EACH file before concat):
-            # a rename between delta epochs would otherwise strand the
-            # pre-rename rows' payload in a dead column and silently null it
-            folded = fold_state_chain(self.lake_dir, chain, self.target)
-            comb = pa.concat_tables([folded, self._conform_state(new_state)])
-            out = comb.filter(pa.array(last_per_key_mask(comb)))
+            # fold conforms EACH file before concat: a rename between delta
+            # epochs would otherwise strand the pre-rename rows' payload in
+            # a dead column and silently null it
+            if self.changed_cells:
+                # cells must fold across the WHOLE chain + new delta in one
+                # pass ("last non-null after last delete" is not composable
+                # with a row-LWW prefix fold)
+                tabs = [
+                    conform_state(
+                        pq.read_table(os.path.join(self.lake_dir, f)), self.target
+                    )
+                    for f in chain
+                ]
+                comb = pa.concat_tables(tabs + [self._conform_state(new_state)])
+                out = fold_cells(comb, self.payload_cols)
+            else:
+                folded = fold_state_chain(self.lake_dir, chain, self.target)
+                comb = pa.concat_tables([folded, self._conform_state(new_state)])
+                out = comb.filter(pa.array(last_per_key_mask(comb)))
             new_chain = []
             live_rows = _live_count(out)  # exact recount at compaction
         else:
@@ -561,45 +736,6 @@ class Applier:
     def _maybe_chaos(self, rng: np.random.Generator) -> None:
         if self.chaos_fraction > 0 and rng.random() < self.chaos_fraction:
             raise ChaosError("injected applier failure")
-
-    # ------------------------------------------------------------- LWW merge
-    def _merge(self, state: pa.Table, events: pa.Table) -> tuple[pa.Table, dict, pa.Table]:
-        """Vectorized per-key LWW fold of ``events`` (seq-sorted) over
-        ``state``. Winner per key = argmax (ts, seq); an event loses
-        (``conflict``) iff its ts is below the running per-key max at its
-        position — identical to replaying one event at a time. Returns
-        (new_state, counters, winning events) — the winners feed the delta
-        side-output (S7: exactly the APPLIED changes)."""
-        ctr = zero_counters()
-        if events.num_rows == 0:
-            return state, ctr, events
-
-        conv = events.column("conv_id").to_numpy(zero_copy_only=False)
-        ts_us = events.column("ts").cast(pa.int64()).to_numpy()
-        is_del = events.column("op").to_numpy(zero_copy_only=False) == "D"
-        # dense collision-free key id: factorized conv << 32 | turn
-        codes, uniques = pd.factorize(conv, sort=False)
-        kid = (codes.astype(np.int64) << 32) | events.column("turn_idx").to_numpy().astype(
-            np.int64
-        )
-        seed = self._seed_from_state(state, uniques)
-        win = self._sequential_win(kid, ts_us, seed)  # ties → higher seq wins
-        ctr["applied"] = int(win.sum())
-        ctr["conflict"] = int((~win).sum())
-        ctr["deleted"] = int((win & is_del).sum())
-
-        winners = events.filter(pa.array(win))
-        if self.changed_cells:
-            new_state = self._merge_changed_cells(state, winners, seed, uniques)
-        else:
-            new_state = self._merge_full_rows(state, winners)
-        return new_state, ctr, winners
-
-    def _seed_from_state(self, state: pa.Table, uniques) -> pd.Series:
-        """Per-key prior-state ts (the running-max seed), keyed in the
-        current batch's factorization space; keys untouched this epoch are
-        irrelevant and dropped."""
-        return self._seed_maps(state, uniques, with_live=False)[0]
 
     def _seed_maps(
         self, narrow: pa.Table, uniques, with_live: bool = True
@@ -692,48 +828,6 @@ class Applier:
     def _events_as_state(self, events: pa.Table) -> pa.Table:
         return events_as_state(events, self.payload_cols)
 
-    def _merge_full_rows(self, state: pa.Table, winners: pa.Table) -> pa.Table:
-        """Default convention (FIXTURES.md §2): U events carry ALL columns, so
-        the new state per key is simply the argmax-(ts,seq) row over
-        state ∪ winning events."""
-        w = self._events_as_state(winners)
-        state = self._conform_state(state)
-        comb = pa.concat_tables([state, w], promote_options="permissive") if state.num_rows else w
-        return lww_last_rows(comb)
-
-    def _merge_changed_cells(
-        self, state: pa.Table, winners: pa.Table, seed: pd.Series, uniques
-    ) -> pa.Table:
-        """Changed-cells mode (CHANGES.txt:173): a null payload cell in a `U`
-        event means "unchanged" — the final value per (key, column) is the
-        last non-null among winners after the key's last delete, seeded with
-        prior state. Documented contract deviations from the reference's
-        per-cell HBase versioning: (a) NULL cannot be explicitly assigned;
-        (b) conflict resolution is ROW-level, not per-column — a ts-inverted
-        partial update is rejected entirely, even for columns the newer
-        event left untouched (the in-repo oracle pins this semantic)."""
-        w = self._events_as_state(winners)
-        state = self._conform_state(state)
-        comb = pa.concat_tables([state, w], promote_options="permissive") if state.num_rows else w
-        if comb.num_rows == 0:
-            return comb
-        df = comb.to_pandas()
-        df = df.sort_values(["conv_id", "turn_idx", "ts", "__seq"], kind="stable")
-        grp = df.groupby(["conv_id", "turn_idx"], sort=False)
-        # delete generation: values before a key's last D must not leak forward
-        gen = grp["__deleted"].cumsum()
-        df["_gen"] = gen
-        last_gen = grp["_gen"].transform("max")
-        cur = df[df["_gen"] == last_gen]
-        g2 = cur.groupby(["conv_id", "turn_idx"], sort=False)
-        agg = {c: "last" for c in self.payload_cols if c not in ("conv_id", "turn_idx")}
-        agg["__seq"] = "last"
-        agg["__deleted"] = "last"
-        out = g2.agg(agg).reset_index()  # pandas `last` = last non-null per column
-        out["ts"] = g2["ts"].max().reset_index(drop=True)
-        out = out[self.payload_cols + STATE_META]
-        return pa.Table.from_pandas(out, schema=self._state_schema(), preserve_index=False)
-
     NARROW_COLS = ["conv_id", "turn_idx", "ts", "__deleted"]
 
     def _state_schema(self) -> pa.Schema:
@@ -741,11 +835,6 @@ class Applier:
 
     def _conform_state(self, state: pa.Table) -> pa.Table:
         return conform_state(state, self.target)
-
-    def _load_state_full(self, manifest: PartitionManifest) -> pa.Table:
-        """Full-payload fold of the chain — only the changed-cells path and
-        compaction epochs pay this; delta epochs read NARROW_COLS only."""
-        return fold_state_chain(self.lake_dir, manifest.state_chain, self.target)
 
     def _load_state_narrow(self, manifest: PartitionManifest) -> pa.Table:
         if not manifest.state_chain:
@@ -759,7 +848,8 @@ class Applier:
             ).empty_table()
         return fold_state_files(
             [os.path.join(self.lake_dir, f) for f in manifest.state_chain],
-            columns=self.NARROW_COLS,
+            columns=self.NARROW_COLS + (["__seq"] if self.per_cell else []),
+            by_version=self.per_cell,
         )
 
     # ------------------------------------------------------------ side output

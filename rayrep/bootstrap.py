@@ -105,8 +105,19 @@ def bootstrap_snapshot(
     # dir, then ONE atomic rename publishes the epoch (same protocol as
     # gen.publish_epoch) — nothing snapshot-sized ever touches the driver
     out = os.path.join(changelog_dir, f"epoch-{epoch:05d}")
+    # idempotent retry: sweep stale temp dirs from crashed runs, and remove
+    # a pre-existing published epoch before the rename (os.replace onto a
+    # non-empty directory raises OSError, which would make a repeated
+    # bootstrap non-idempotent)
+    import glob as _glob
+    import shutil
+
+    for stale in _glob.glob(out + ".tmp*"):
+        shutil.rmtree(stale, ignore_errors=True)
     tmp = out + f".tmp{os.getpid()}"
     ds.write_parquet(tmp)
+    if os.path.isdir(out):
+        shutil.rmtree(out)
     os.replace(tmp, out)
     rows = sum(
         pq.read_metadata(os.path.join(out, f)).num_rows

@@ -35,18 +35,21 @@ def compact_lake(lake_dir: str) -> dict:
     the manifest at it. Driver-side loop over partitions; each fold is one
     bounded read+write (run it from a Ray task per partition for very
     large lakes). Returns {"compacted": n, "skipped": n}."""
-    from rayrep.apply import fold_state_chain
+    from rayrep.apply import fold_state_chain, fold_state_chain_cells
+    from rayrep.manifests import LakeMeta
     from rayrep.registry import SchemaRegistry
     from rayrep.schema import SchemaVersion
 
     target = SchemaVersion.from_json(SchemaRegistry(persist_dir=lake_dir).current_json())
+    lm = LakeMeta.load(lake_dir)
+    fold_fn = fold_state_chain_cells if (lm and lm.changed_cells) else fold_state_chain
     compacted = skipped = 0
     for part_id in _partition_ids(lake_dir):
         m = PartitionManifest.load(lake_dir, part_id)
         if len(m.state_chain) <= 1:
             skipped += 1
             continue
-        folded = fold_state_chain(lake_dir, m.state_chain, target)
+        folded = fold_fn(lake_dir, m.state_chain, target)
         out = os.path.join(
             lake_dir, f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet"
         )

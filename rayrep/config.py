@@ -70,6 +70,11 @@ class EngineConfig:
     delta_tables: list[str] = field(default_factory=lambda: ["transcripts"])
     table_filter_regex: str = ""     # applier table filter (CHANGES.txt:41-42); "" = all
     changed_cells_updates: bool = False  # U rows may carry nulls = "unchanged" (CHANGES.txt:173)
+    # With changed_cells_updates: resolve conflicts per (key, COLUMN) by
+    # version (ts, seq) — HBase parity (README.md:18) — instead of the
+    # default row-level rule that rejects a ts-inverted partial update
+    # wholesale. Per-cell lakes fold by version order at read time.
+    per_cell_conflicts: bool = False
     # Durability: rename-atomic commits alone make the sink exactly-once
     # under process/VM crashes (the tested chaos/resume model). True adds
     # fsync of state/delta data before each manifest commit, extending the

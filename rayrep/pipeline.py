@@ -215,18 +215,21 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             if ids and max(ids) + 1 > cfg.num_partitions:
                 committed_parts = max(ids) + 1
         lm = LakeMeta(num_partitions=committed_parts or cfg.num_partitions,
-                      changed_cells=cfg.changed_cells_updates)
+                      changed_cells=cfg.changed_cells_updates,
+                      per_cell=cfg.per_cell_conflicts and cfg.changed_cells_updates)
     if lm.num_partitions != cfg.num_partitions:
         raise ValueError(
             f"lake {cfg.lake_dir} was committed with num_partitions="
             f"{lm.num_partitions}; resuming with {cfg.num_partitions} would "
             "route keys to different partitions and duplicate state rows"
         )
-    if lm.changed_cells != cfg.changed_cells_updates:
+    if lm.changed_cells != cfg.changed_cells_updates or lm.per_cell != (
+        cfg.per_cell_conflicts and cfg.changed_cells_updates
+    ):
         raise ValueError(
             f"lake {cfg.lake_dir} was written with changed_cells="
-            f"{lm.changed_cells}; its state chain cannot be folded under "
-            f"changed_cells={cfg.changed_cells_updates} semantics"
+            f"{lm.changed_cells}/per_cell={lm.per_cell}; its state chain "
+            "cannot be folded under different conflict semantics"
         )
     if not cfg.dry_run:
         lm.save(cfg.lake_dir)  # pin BEFORE any partition commit
@@ -310,6 +313,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             "epoch": epoch,
             "target_schema_json": target_json,
             "changed_cells": cfg.changed_cells_updates,
+            "per_cell": cfg.per_cell_conflicts,
             "delta_output": cfg.delta_output,
             "chaos_fraction": cfg.chaos_fraction,
             "chaos_seed": cfg.chaos_seed,
@@ -460,9 +464,10 @@ def final_table(lake_dir: str) -> rd.Dataset:
     """The converged lake table as a streaming Dataset (live rows only).
 
     Merge-on-read: one task per partition folds its state chain (base +
-    per-epoch deltas → newest row per key) and conforms it to the current
-    registry schema — P parallel reads, no shuffle."""
-    from rayrep.apply import fold_state_chain
+    per-epoch deltas → newest row per key; changed-cells lakes fold "last
+    non-null cell after last delete" instead, per LakeMeta) and conforms
+    it to the current registry schema — P parallel reads, no shuffle."""
+    from rayrep.apply import fold_state_chain, fold_state_chain_cells
     from rayrep.registry import SchemaRegistry
 
     chains = committed_state_chains(lake_dir)
@@ -472,12 +477,15 @@ def final_table(lake_dir: str) -> rd.Dataset:
                        pa.field("__deleted", pa.bool_())]).empty_table()
         )
     target_json = SchemaRegistry(persist_dir=lake_dir).current_json()
+    lm = LakeMeta.load(lake_dir)
+    cells = bool(lm and lm.changed_cells)
 
     def fold(batch: pa.Table) -> pa.Table:
         target = SchemaVersion.from_json(target_json)
+        fold_fn = fold_state_chain_cells if cells else fold_state_chain
         outs = []
         for files in batch.column("files").to_pylist():
-            t = fold_state_chain(lake_dir, files, target)
+            t = fold_fn(lake_dir, files, target)
             outs.append(
                 t.filter(pc.invert(t["__deleted"])).drop_columns(["__seq", "__deleted"])
             )

@@ -241,6 +241,13 @@ class _BroadcastLookup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         k = batch.column(self.key_col).to_numpy()
+        if len(self.keys) == 0:
+            # inner-join vs an empty dim = no rows (searchsorted would
+            # otherwise index keys[-1] on the empty array)
+            out = batch.append_column(
+                self.out_col, pa.nulls(batch.num_rows, pa.string())
+            )
+            return out.slice(0, 0)
         pos = np.minimum(np.searchsorted(self.keys, k), len(self.keys) - 1)
         hit = self.keys[pos] == k
         out = batch.append_column(self.out_col, pa.array(self.vals[pos]))
@@ -709,57 +716,175 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
 
 
 # --------------------------------------------------- flagship CDC replay
-def _replay_events_through_engine(sf_dir: str, with_deletes: bool) -> pd.DataFrame:
+def _parquet_col_max(path: str, col: str) -> int | None:
+    """Max of an int column from Parquet row-group statistics (no data read)."""
+    md = pq.read_metadata(path)
+    names = md.schema.to_arrow_schema().names
+    if col not in names:
+        return None
+    ci = names.index(col)
+    mx = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(ci).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
+def _emit_changelog_batch(
+    batch: pa.Table,
+    cl_dir: str,
+    B: int,
+    with_deletes: bool,
+    first_ref,
+    with_ddl: bool,
+) -> pa.Table:
+    """Per-batch changelog emitter (runs on workers): derive I/U/D ops,
+    split rows into 4 contiguous-seq epochs by event_id, and write each
+    slice as its own part file (tmp+rename; unique names) — the whole
+    fixture build is a streaming map, nothing event-sized ever touches
+    the driver (round-2 built it via a full driver-side pq.read_table)."""
+    import uuid
+
+    n = batch.num_rows
+    eid = batch.column("event_id").to_numpy()
+    if with_deletes:
+        fk, fv = ray.get(first_ref)  # sorted user_id → min event_id
+        uid = batch.column("user_id").to_numpy()
+        pos = np.searchsorted(fk, uid)
+        first = fv[np.minimum(pos, len(fk) - 1)] == eid
+        is_del = (eid % 7 == 0) & ~first
+        op = np.where(first, "I", np.where(is_del, "D", "U"))
+    else:
+        is_del = np.zeros(n, dtype=bool)
+        op = np.full(n, "U", dtype="U1")  # full-row upserts: I/U identical
+    del_mask = pa.array(is_del)
+
+    def _null_if_del(col, typ):
+        return pc.if_else(del_mask, pa.nulls(n, typ), _arr_c(col))
+
+    cols = {
+        # with_ddl: seq = 2*event_id leaves an odd gap for the DDL row
+        "seq": pa.array(eid * 2 if with_ddl else eid),
+        "txn_id": pa.nulls(n, pa.int64()),
+        "op": pa.array(op),
+        "schema_ver": pa.array(np.ones(n, np.int32)),
+        "conv_id": batch.column("user_id").cast(pa.string()),
+        "turn_idx": pa.array(np.zeros(n, np.int32)),
+        "event_id": batch.column("event_id"),
+        "event_type": _null_if_del(batch.column("event_type"), pa.string()),
+        "value": _null_if_del(batch.column("value"), pa.float64()),
+        "props": _null_if_del(batch.column("props"), pa.string()),
+        "ts": batch.column("ts"),
+        "ddl": pa.nulls(n, pa.string()),
+    }
+    epoch = np.minimum(3, eid * 4 // B).astype(np.int64)
+    if with_ddl:
+        # post-DDL rows (epochs 2,3 ⇔ event_id >= ceil(B/2)) carry the
+        # evolved column, populated deterministically; pre-DDL files
+        # physically LACK it (file-level schema evolution, like binlog
+        # events written under the then-active schema)
+        thr = (B + 1) // 2
+        post = eid >= thr
+        note = pa.array(
+            np.where(post, eid.astype("U20"), None), pa.string(),
+            mask=~post,
+        )
+        cols["note"] = note
+        cols["schema_ver"] = pa.array(np.where(post, 2, 1).astype(np.int32))
+    tbl = pa.table(cols)
+    for e in np.unique(epoch):
+        sub = tbl.filter(pa.array(epoch == e))
+        if with_ddl and e < 2:
+            sub = sub.drop_columns(["note"])
+        edir = os.path.join(cl_dir, f"epoch-{int(e):05d}")
+        os.makedirs(edir, exist_ok=True)
+        fp = os.path.join(edir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(sub, fp + ".tmp")
+        os.replace(fp + ".tmp", fp)
+    return pa.table({"rows": pa.array([n], pa.int64())})
+
+
+def _arr_c(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _replay_events_through_engine(
+    sf_dir: str, with_deletes: bool, with_ddl: bool = False
+) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
-    table (first event per user = I; `event_id % 7 == 0` = D when
-    ``with_deletes``, payload nulled per the reference's deleted-rows
-    rule; rest = U; seq = event_id) replayed through the REAL engine —
-    augment → hash shuffle → Applier → exactly-once manifests — on a
-    custom payload schema, returning the converged lake table."""
+    table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
+    per the reference's deleted-rows rule; seq ∝ event_id; optional
+    mid-stream add_column DDL when ``with_ddl``) replayed through the
+    REAL engine — augment → hash shuffle → Applier → exactly-once
+    manifests — on a custom payload schema, returning the converged lake
+    table. The fixture itself is built DISTRIBUTED (map_batches writes
+    the epoch part files; the only driver-side state is the small
+    user→first-event map for the deletes variant)."""
+    import json as _json
     import tempfile
 
     from rayrep.config import EngineConfig
     from rayrep.pipeline import final_table, replay
     from rayrep.schema import SchemaVersion
 
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    t = t.take(pc.sort_indices(t["event_id"])).combine_chunks()
-    uid = t["user_id"].to_numpy()
-    eid = t["event_id"].to_numpy()
-    first = ~pd.Series(uid).duplicated().to_numpy()
-    n = t.num_rows
+    path = os.path.join(sf_dir, "events.parquet")
+    max_eid = _parquet_col_max(path, "event_id")
+    ds = rd.read_parquet(path, columns=EVENT_COLS[:5] + ["props"])
+    if max_eid is None:  # stats missing: one tiny distributed aggregate
+        from ray.data.aggregate import Max
+
+        max_eid = ds.select_columns(["event_id"]).aggregate(Max("event_id"))[
+            "max(event_id)"
+        ]
+    B = int(max_eid) + 1
+    first_ref = None
     if with_deletes:
-        is_del = (eid % 7 == 0) & ~first
-        op = np.where(first, "I", np.where(is_del, "D", "U"))
-    else:
-        is_del = np.zeros(n, dtype=bool)
-        op = np.where(first, "I", "U")
-    del_mask = pa.array(is_del)
+        from ray.data.aggregate import Min
 
-    def _null_if_del(col, typ):
-        return pc.if_else(del_mask, pa.nulls(n, typ), col)
+        fm = (
+            ds.select_columns(["user_id", "event_id"])
+            .groupby("user_id")
+            .aggregate(Min("event_id", alias_name="min_eid"))
+            .to_pandas()  # small: one row per user
+        )
+        fk = fm["user_id"].to_numpy()
+        order = np.argsort(fk)
+        first_ref = ray.put((fk[order], fm["min_eid"].to_numpy()[order]))
 
-    cl_tbl = pa.table({
-        "seq": t["event_id"],
-        "txn_id": pa.nulls(n, pa.int64()),
-        "op": pa.array(op),
-        "schema_ver": pa.array(np.ones(n, np.int32)),
-        "conv_id": t["user_id"].cast(pa.string()),
-        "turn_idx": pa.array(np.zeros(n, np.int32)),
-        "event_id": t["event_id"],
-        "event_type": _null_if_del(t["event_type"].combine_chunks(), pa.string()),
-        "value": _null_if_del(t["value"].combine_chunks(), pa.float64()),
-        "props": _null_if_del(t["props"].combine_chunks(), pa.string()),
-        "ts": t["ts"],
-        "ddl": pa.nulls(n, pa.string()),
-    })
     d = tempfile.mkdtemp(prefix="rayrep_qe_")
     cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
     os.makedirs(cl)
-    bounds = np.linspace(0, n, 5).astype(np.int64)
-    for e in range(4):
-        pq.write_table(cl_tbl.slice(int(bounds[e]), int(bounds[e + 1] - bounds[e])),
-                       os.path.join(cl, f"epoch-{e:05d}.parquet"))
+    counts = ds.map_batches(
+        _emit_changelog_batch,
+        fn_kwargs={"cl_dir": cl, "B": B, "with_deletes": with_deletes,
+                   "first_ref": first_ref, "with_ddl": with_ddl},
+        batch_format="pyarrow",
+    ).take_all()  # tiny: one count row per batch
+    assert sum(r["rows"] for r in counts) > 0
+    if with_ddl:
+        # DDL row at seq 2*ceil(B/2)-1: strictly between epoch 1's and
+        # epoch 2's data seqs, in epoch 2's directory
+        thr = (B + 1) // 2
+        ddl_row = pa.table({
+            "seq": pa.array([2 * thr - 1], pa.int64()),
+            "txn_id": pa.nulls(1, pa.int64()),
+            "op": pa.array(["DDL"]),
+            "schema_ver": pa.array([2], pa.int32()),
+            "conv_id": pa.nulls(1, pa.string()),
+            "turn_idx": pa.nulls(1, pa.int32()),
+            "event_id": pa.nulls(1, pa.int64()),
+            "event_type": pa.nulls(1, pa.string()),
+            "value": pa.nulls(1, pa.float64()),
+            "props": pa.nulls(1, pa.string()),
+            "ts": pa.array([pd.Timestamp("2024-01-01")], pa.timestamp("us")),
+            "ddl": pa.array([_json.dumps(
+                {"action": "add_column", "name": "note", "type": "string"})]),
+            "note": pa.nulls(1, pa.string()),
+        })
+        pq.write_table(ddl_row, os.path.join(cl, "epoch-00002", "part-ddl.parquet"))
+
     sv = SchemaVersion(1, pa.schema([
         pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
         pa.field("event_id", pa.int64()), pa.field("event_type", pa.string()),
@@ -771,7 +896,10 @@ def _replay_events_through_engine(sf_dir: str, with_deletes: bool) -> pd.DataFra
     replay(cfg)
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
-    return out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+    keep = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    if with_ddl:
+        keep.append("note")
+    return out[keep]
 
 
 def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
@@ -787,6 +915,18 @@ def cdc_replay_deletes(sf_dir: str) -> pd.DataFrame:
     must be ABSENT from the converged table, and a delete overwritten by a
     later event resurrects the row — mirrored exactly in the SQL."""
     return _replay_events_through_engine(sf_dir, with_deletes=True)
+
+
+def cdc_replay_evolution(sf_dir: str) -> pd.DataFrame:
+    """The schema-evolution flagship WITH A DRIVER ORACLE: an events-derived
+    changelog with one mid-stream ``add_column`` DDL replayed through the
+    real engine (registry picks up the DDL between rounds; pre-DDL epoch
+    files physically lack the column; pre-DDL state rows are conformed with
+    nulls at merge-on-read). The DuckDB oracle mirrors it exactly: LWW
+    winner per user plus ``note`` = CAST(event_id AS VARCHAR) only for
+    post-DDL winners (event_id >= ceil((max+1)/2)), NULL backfill
+    otherwise."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False, with_ddl=True)
 
 
 def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
@@ -850,6 +990,7 @@ def queries() -> dict:
         "corpus_curation": corpus_curation,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
+        "cdc_replay_evolution": cdc_replay_evolution,
         "cdc_replay_transcripts": cdc_replay_transcripts,
     }
 
@@ -980,6 +1121,14 @@ def oracle_sql() -> dict:
         """,
         "cdc_replay_events": """
             SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_replay_evolution": """
+            SELECT event_id, ts, user_id, event_type, value, props,
+                   CASE WHEN event_id >= (SELECT (max(event_id) + 2) // 2
+                                          FROM events)
+                        THEN CAST(event_id AS VARCHAR) END AS note
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,

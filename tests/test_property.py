@@ -185,6 +185,70 @@ def test_combined_daily_delta_matches_per_event_path(
     assert ctr == octr
 
 
+cc_event_st = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(0, len(KEYS) - 1),
+    st.integers(0, 5),
+    st.integers(0, 2),  # cell mask: 0=both, 1=text only, 2=role only
+)
+
+
+def build_cc_changelog(events) -> pa.Table:
+    rows = []
+    for seq, (op, ki, ts, mask) in enumerate(events):
+        conv, turn = KEYS[ki]
+        text = None if (op == "D" or mask == 2) else f"{conv}{turn}-{seq}"
+        role = None if (op == "D" or mask == 1) else f"r{seq}"
+        rows.append({
+            "seq": seq, "txn_id": 0, "op": op, "schema_ver": 2,
+            "conv_id": conv, "turn_idx": turn, "role": role, "text": text,
+            "tool": None, "ts": T0_US + ts * 1_000_000, "ddl": None,
+        })
+    return pa.Table.from_pylist(rows, schema=CHANGELOG_SCHEMA)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(cc_event_st, min_size=1, max_size=30),
+       st.integers(0, 30))
+def test_changed_cells_delta_path_matches_oracle(tmp_path_factory, events, split):
+    """Changed-cells DELTA path (round 3): partial updates applied as
+    per-epoch chain deltas + read-time cell fold must equal the sequential
+    merging oracle for any I/U/D interleaving, any cell mask, any epoch
+    split — including compaction (interval 1 forces a cells fold every
+    epoch on the second lake)."""
+    from rayrep.apply import fold_state_chain_cells
+    from rayrep.manifests import PartitionManifest
+
+    cl = build_cc_changelog(events)
+    sv = SchemaVersion(2, CANONICAL_SCHEMA_V2)
+    split = min(split, cl.num_rows)
+    odf, octr = replay_oracle(cl, changed_cells=True)
+
+    for interval in (4, 1):
+        lake = str(tmp_path_factory.mktemp(f"cc{interval}"))
+        ctr = {"input_rows": 0, "applied": 0, "skipped": 0, "conflict": 0,
+               "deleted": 0}
+        for epoch, chunk in ((0, cl.slice(0, split)), (1, cl.slice(split))):
+            if chunk.num_rows == 0:
+                continue
+            t = chunk.append_column("part_id", pa.array([0] * chunk.num_rows, pa.int32()))
+            s = Applier(lake, epoch, sv.to_json(), changed_cells=True,
+                        delta_output=False, compact_interval=interval)(t)
+            for k in ctr:
+                ctr[k] += s[k][0].as_py()
+        assert ctr == octr, f"counters {ctr} != oracle {octr}"
+        chain = PartitionManifest.load(lake, 0).state_chain
+        state = fold_state_chain_cells(lake, chain, sv)
+        live = state.filter(pa.compute.invert(state["__deleted"])).to_pandas()
+        live = live.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert len(live) == len(odf)
+        if len(odf):
+            for col in ("text", "role"):
+                pd.testing.assert_series_equal(
+                    live[col].reset_index(drop=True),
+                    odf[col].reset_index(drop=True), check_names=False)
+
+
 @settings(max_examples=40, deadline=None)
 @given(st.lists(event_st, min_size=1, max_size=20),
        st.lists(event_st, min_size=0, max_size=20))

@@ -203,6 +203,75 @@ def test_changed_cells_update_merges_non_null(tmp_path):
     assert got["role"].iloc[0] == "assistant"     # changed cell applied
 
 
+def test_changed_cells_delta_chain_multi_epoch(tmp_path):
+    """Changed-cells mode is now a DELTA path: multiple epochs append
+    partial-row deltas to the chain (O(delta) per epoch) and the cell fold
+    happens at read/compaction. Low compact_interval forces a mid-stream
+    cells compaction; results must still equal the merging oracle."""
+    from rayrep.gen import generate_changelog
+
+    spec = GenSpec(seed=13, n_conversations=25, max_turns=4, n_events=800,
+                   n_epochs=6, changed_cells_frac=0.7)
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(d, spec)
+    _, res = run(d, lake, changed_cells_updates=True, state_snapshot_interval=2)
+    oracle_df, octr = replay_oracle(generate_changelog(spec), changed_cells=True)
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    assert res["totals"]["applied"] == octr["applied"]
+    assert res["totals"]["conflict"] == octr["conflict"]
+
+
+def test_per_cell_conflicts_hbase_semantics(tmp_path):
+    """per_cell_conflicts=True (HBase parity): a ts-INVERTED partial update
+    still applies to columns no newer event touched; per column the max
+    (ts, seq) non-null version wins; a delete masks only OLDER versions."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    e0 = [
+        ev(0, "I", "a", 0, "t0", ts=0, role="r0"),
+        # newer event updates text only (role null = unchanged)
+        {**ev(1, "U", "a", 0, "t10", ts=10), "role": None},
+        # LATE partial update at ts=5: row-level mode would reject it;
+        # per-cell mode applies its role (no newer event touched role)
+        # but must NOT override text (t10 is a newer version)
+        {**ev(2, "U", "a", 0, "t5", ts=5), "role": "r5"},
+        # late delete at ts=3 masks nothing newer; row 'a' stays live
+        ev(3, "D", "a", 0, ts=3),
+        # second key: delete at ts=20, then LATE update at ts=15 → masked
+        ev(4, "I", "b", 0, "b0", ts=0),
+        ev(5, "D", "b", 0, ts=20),
+        {**ev(6, "U", "b", 0, "b15", ts=15), "role": "rb"},
+    ]
+    write_epochs(d, e0)
+    _, res = run(d, lake, changed_cells_updates=True, per_cell_conflicts=True)
+    got = final_table_pandas(lake).set_index("conv_id")
+    assert got.loc["a", "text"] == "t10"       # newest text version
+    assert got.loc["a", "role"] == "r5"        # late cell applied per-cell
+    assert "b" not in got.index                # delete at ts=20 wins for b
+    assert res["totals"]["conflict"] == 0      # no row-level rejections
+    assert res["totals"]["applied"] == 7
+
+
+def test_per_cell_multi_epoch_and_prior_state(tmp_path):
+    """Per-cell resolution across EPOCHS: a later epoch's out-of-order
+    event must resolve against prior-state cell versions, incl. liveness
+    bookkeeping when the prior version is newer than the whole epoch."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    e0 = [ev(0, "I", "a", 0, "t20", ts=20, role="r20"),
+          ev(1, "I", "b", 0, "b20", ts=20)]
+    # epoch 1 arrives later but carries OLDER versions
+    e1 = [{**ev(2, "U", "a", 0, "t15", ts=15), "role": None},  # text older → masked
+          ev(3, "D", "b", 0, ts=10)]                           # delete older → no-op
+    write_epochs(d, e0, e1)
+    _, res = run(d, lake, changed_cells_updates=True, per_cell_conflicts=True)
+    got = final_table_pandas(lake).set_index("conv_id")
+    assert got.loc["a", "text"] == "t20" and got.loc["a", "role"] == "r20"
+    assert got.loc["b", "text"] == "b20"       # late delete masked by newer I
+    assert len(got) == 2
+    # resume validation: per-cell lake refuses row-level resume
+    with pytest.raises(ValueError, match="conflict semantics"):
+        run(d, lake, changed_cells_updates=True)
+
+
 def test_durable_sync_mode_matches_oracle(tmp_path):
     """durable_sync=True (fsync before manifest commit, power-loss
     durability) must be behavior-identical; only the sync cost differs."""
