@@ -88,10 +88,10 @@ def cdc_daily_counts(sf_dir: str) -> pd.DataFrame:
             "day": day, "event_type": batch.column("event_type"),
             "value": batch.column("value"),
         })
-        df = t.to_pandas().groupby(["day", "event_type"], as_index=False).agg(
-            n=("value", "size"), sum_value=("value", "sum")
+        agg = pa.TableGroupBy(t, ["day", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
         )
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return agg.rename_columns(["day", "event_type", "n", "sum_value"])
 
     ds = _events(sf_dir, columns=["ts", "event_type", "value"])
     partials = ds.map_batches(partial, batch_format="pyarrow")
@@ -120,11 +120,11 @@ def cdc_counters(sf_dir: str) -> pd.DataFrame:
     """Per-table row/event counters (A1/T5): counts + distinct writers."""
     ds = _events(sf_dir, columns=["event_type", "user_id"])
     # exact distinct: per-batch local dedup (shrinks the shuffle), then a
-    # two-level groupby — dedup pairs, count pairs per type
+    # two-level groupby — dedup pairs, count pairs per type. Arrow-native:
+    # a grouped count IS a distinct-pairs projection
     pairs = ds.map_batches(
-        lambda t: pa.Table.from_pandas(
-            t.to_pandas().drop_duplicates(["event_type", "user_id"]), preserve_index=False
-        ),
+        lambda t: pa.TableGroupBy(t, ["event_type", "user_id"]).aggregate([])
+        ,
         batch_format="pyarrow",
     )
     from ray.data.aggregate import Count

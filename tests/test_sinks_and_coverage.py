@@ -10,6 +10,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 import ray.data as rd
 
 from rayrep.compact import gc_lake
@@ -187,14 +188,16 @@ def test_compact_and_gc_lake(tmp_path):
     pd.testing.assert_frame_equal(final_table_pandas(lake), table_before)
 
 
-def test_label_propagation_matches_union_find():
+@pytest.mark.parametrize("convergence", ["sum", "count"])
+def test_label_propagation_matches_union_find(convergence):
     from rayrep.ops.dedup import label_propagation, union_find
 
     edges = [(1, 2), (2, 3), (5, 6), (8, 8)]
     uf = union_find([1, 2, 3, 5, 6, 8], edges)
     eds = rd.from_pandas(pd.DataFrame({"a": [a for a, _ in edges],
                                        "b": [b for _, b in edges]}))
-    lp = label_propagation(eds).to_pandas().set_index("node")["label"].to_dict()
+    lp = label_propagation(eds, convergence=convergence).to_pandas() \
+        .set_index("node")["label"].to_dict()
     for n, rep in lp.items():
         assert uf[n] == rep
 
@@ -233,6 +236,11 @@ def test_label_propagation_chain_and_random_graph():
                                        "b": [b for _, b in edges]}))
     lp = label_propagation(eds, max_rounds=40).to_pandas()  # early-stops on convergence
     assert len(lp) == len(nodes)
+    # the overflow-free convergence mode must reach the same fixed point
+    lp2 = label_propagation(eds, max_rounds=40, convergence="count").to_pandas()
+    pd.testing.assert_frame_equal(
+        lp.sort_values("node").reset_index(drop=True),
+        lp2.sort_values("node").reset_index(drop=True))
     got = lp.set_index("node")["label"].to_dict()
     for n in nodes:
         assert got[n] == uf[n], f"node {n}: {got[n]} != {uf[n]}"
