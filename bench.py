@@ -295,12 +295,20 @@ def main_delta_state() -> dict:
     out = {}
     try:
         warmup()
-        for label, interval in (("full_rewrite_interval1", 1), ("delta_interval8", 8)):
-            lake = os.path.join(BENCH_ROOT, f"lt-lake-{os.getpid()}-{interval}")
+        for label, interval, cc in (
+            ("full_rewrite_interval1", 1, False),
+            ("delta_interval8", 8, False),
+            # round 3: changed-cells mode is a delta path too — tail
+            # epochs must be O(delta), not O(state) (the round-2 mode
+            # rewrote full partition state per epoch)
+            ("delta_interval8_changed_cells", 8, True),
+        ):
+            lake = os.path.join(BENCH_ROOT, f"lt-lake-{os.getpid()}-{label}")
             shutil.rmtree(lake, ignore_errors=True)
             res = replay(EngineConfig(
                 changelog_dir=cl, lake_dir=lake, num_partitions=32,
                 epochs_per_round=1, state_snapshot_interval=interval,
+                changed_cells_updates=cc,
             ))
             walls = [e["wall_s"] for e in res["epochs"]]
             tail = walls[1:]
@@ -328,6 +336,9 @@ def main_delta_state() -> dict:
             f"{out['full_rewrite_interval1']['tail_epoch_mean_s']}s (O(state) per epoch)\n"
             f"- delta chain (interval=8):  tail epoch mean "
             f"{out['delta_interval8']['tail_epoch_mean_s']}s (O(delta) write + narrow seed read)\n"
+            f"- changed-cells delta (interval=8): tail epoch mean "
+            f"{out['delta_interval8_changed_cells']['tail_epoch_mean_s']}s "
+            f"(per-event partial-row deltas, cell fold at read/compaction)\n"
         )
     return result
 

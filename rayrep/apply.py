@@ -546,23 +546,34 @@ class Applier:
         rng: np.random.Generator,
     ) -> tuple[dict, PartitionManifest]:
         """Reducer for map-side-combined input (rayrep/combine.py): rows are
-        the per-key weak-prefix-max payload rows of each source batch plus
-        (ts, seq, del) meta lists for every original event. Reproduces the
-        exact sequential counters from the meta lists and folds winner
-        payloads into state by the same LWW argmax. Every event that can
-        win sequentially is present as a payload row (the prefix-max
-        retention invariant), so both the state image and the per-(key,day)
-        daily deltas are EXACTLY the per-event path's. Precondition
-        (driver-enforced): no event seq is at or below this partition's
-        committed watermark."""
+        the retained payload rows of each source batch plus (ts, seq, del)
+        meta lists for every original event. Reproduces the exact
+        sequential counters from the meta lists and folds winner payloads
+        into state by the same LWW argmax. Every event that can be a state
+        or day winner is present as a payload row (level-1 contiguous-range
+        group argmax composed with level-2 prefix-max retention — see the
+        combine module docstring), so both the state image and the
+        per-(key,day) daily deltas are EXACTLY the per-event path's.
+        Precondition (driver-enforced): no event seq is at or below this
+        partition's committed watermark."""
         from rayrep.combine import COMBINE_META, DAY_US, _arr
 
         group = decode_transport(group)
+        payload = group.drop_columns(COMBINE_META)
+        pay_seq = payload.column("seq").to_numpy()
+        pay_ts = payload.column("ts").cast(pa.int64()).to_numpy()
+        pay_del = pc.equal(payload.column("op"), "D").to_numpy(zero_copy_only=False)
+        # meta lists EXCLUDE each payload row's own (ts, seq, del) triple
+        # (combine.py ships it once, in the payload columns) — reconstruct
+        # the full event set by appending the payload rows' own triples
         m_seq = _arr(group.column("m_seq"))
         lens = pc.list_value_length(m_seq).to_numpy()
-        all_seq = pc.list_flatten(m_seq).to_numpy()
-        all_ts = pc.list_flatten(_arr(group.column("m_ts"))).to_numpy()
-        all_del = pc.list_flatten(_arr(group.column("m_del"))).to_numpy(zero_copy_only=False)
+        all_seq = np.concatenate([pc.list_flatten(m_seq).to_numpy(), pay_seq])
+        all_ts = np.concatenate(
+            [pc.list_flatten(_arr(group.column("m_ts"))).to_numpy(), pay_ts])
+        all_del = np.concatenate(
+            [pc.list_flatten(_arr(group.column("m_del"))).to_numpy(
+                zero_copy_only=False), pay_del])
         n_in = len(all_seq)
         if n_in and int(all_seq.min()) <= manifest.last_seq:
             raise RuntimeError(
@@ -578,11 +589,10 @@ class Applier:
 
         ctr = zero_counters()
         ctr["input_rows"] = n_in
-        payload = group.drop_columns(COMBINE_META)
         narrow = self._load_state_narrow(manifest)
         seed, prior_live = self._seed_maps(narrow, uniques)
         if n_in:
-            kid = np.repeat(kid_row, lens)
+            kid = np.concatenate([np.repeat(kid_row, lens), kid_row])
             order = np.argsort(all_seq, kind="stable")
             win_s = self._sequential_win(kid[order], all_ts[order], seed)
             win = np.empty(n_in, dtype=bool)
@@ -590,10 +600,8 @@ class Applier:
             ctr["applied"] = int(win.sum())
             ctr["conflict"] = int((~win).sum())
             ctr["deleted"] = int((win & all_del).sum())
-            # each payload row is a real event inside its own meta list;
-            # its win bit is found by seq (seqs are globally unique)
-            pay_seq = payload.column("seq").to_numpy()
-            pay_ts = payload.column("ts").cast(pa.int64()).to_numpy()
+            # each payload row is a real event; its win bit is found by
+            # seq (seqs are globally unique)
             row_win = win_s[np.searchsorted(all_seq[order], pay_seq)]
             # per-key argmax payload row = the key's new state iff it won.
             # (Sound: the global per-key argmax is a weak prefix max of its

@@ -16,25 +16,32 @@ An event can only win the sequential LWW fold if its ts is >= every
 earlier same-key event's ts *in this batch* (the per-key running max only
 grows as more context — other batches, prior state — is added, so a row
 dominated inside its own batch is dominated everywhere). Those rows are
-the key's WEAK PREFIX MAXIMA in seq order. Two retention modes:
+the key's WEAK PREFIX MAXIMA in seq order.
 
-- ``keep_all_pmax=False`` (state-only consumers, e.g. ``replay_batch``):
-  keep ONE row per key — the argmax-(ts, seq), which equals the last weak
-  prefix max. Sufficient for final state: the global per-key argmax is
-  always its batch's argmax, and if the argmax loses (only possible to the
-  prior-state seed) every event of the key loses.
-- ``keep_all_pmax=True`` (the engine path with daily-delta output): keep
-  EVERY weak prefix max. Required for exact per-(key, day) net images —
-  a day's true winner can be an *earlier* prefix max when a cross-batch
-  event with higher ts kills the later ones, so the reducer must have all
-  candidate payloads to pick the argmax among actual sequential winners.
-  (Round 2 kept only the per-(key, day) argmax, which could drop or
-  substitute a day image under cross-batch ts inversions — fixed here.)
+``combine_batch`` (level 1) retains ONE row per group — the
+argmax-(ts, seq), which equals the group's last weak prefix max; groups
+are (key) or, with ``by_day`` (the daily-delta engine path), (key, day).
+This is EXACT — for state, counters, AND the per-(key, day) day images —
+under the level-1 precondition that each batch is a CONTIGUOUS seq range
+(true by construction: batches come from in-order parquet blocks of one
+epoch slice). Proof sketch: external events' seqs all fall before or
+after the range, so every in-batch event faces the same external
+running-max threshold S at the range start; the winners among a group's
+prefix maxima (ascending in ts) are exactly those with ts >= S — a
+SUFFIX — so the day's winner-argmax is the group argmax or nothing.
 
-On the zipf-skewed bench stream the all-pmax mode still collapses
-update-heavy epochs substantially: with jittered timestamps the expected
-number of prefix maxima per k same-key rows is harmonic (~ln k), not k.
-Snapshot epochs are all-unique keys and pass through ~1:1.
+``combine_combined`` (level 2) re-combines already-combined rows across
+source batches (hot keys under zipf skew appear in many batches),
+merging their meta lists. Its input is a union of DISJOINT ranges, not
+one contiguous range, so with ``keep_all_pmax=True`` it retains EVERY
+weak prefix max among its payload rows — an external event *can* fall
+between two ranges and kill the later range's argmax, leaving an earlier
+prefix max as the true day winner. Rows are already ~1 per (key, day)
+per source range here, so the extra retention is bounded by genuine
+cross-range ts inversions (rare in forward-mostly CDC streams). The
+composition is exact: any globally-winning event is its range's group
+argmax (level 1) and survives level 2's prefix-max filter. State-only
+consumers pass ``keep_all_pmax=False`` for the tighter per-key argmax.
 
 Correctness precondition (enforced by the replay driver): every event seq
 in the round must be above every partition's committed watermark — always
@@ -42,11 +49,6 @@ true for normal forward replay. When a resumed round overlaps a partial
 commit the driver disables combining for that round and the applier runs
 the full per-event path (rare, same results). Changed-cells mode needs
 every partial row's payload, so it never combines.
-
-``combine_combined`` is the optional SECOND level: it re-combines
-already-combined rows across source batches (hot keys under zipf skew
-appear in many batches), merging their meta lists — the same retention
-argument applies because every surviving payload row is a real event.
 
 Reference analog: the replicator moved work map-side when augmentation
 was the CPU bottleneck (parallelized mutations generator,
@@ -101,20 +103,20 @@ def _prefix_max_mask(seg_id: np.ndarray, ts: np.ndarray) -> np.ndarray:
 
 
 def _retention(
-    kid: np.ndarray, ts: np.ndarray, seq: np.ndarray, keep_all_pmax: bool
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Shared collapse plan. Returns (order, retained_pos, list_offsets):
-    ``order`` sorts rows by (kid, seq); ``retained_pos`` are positions (in
-    sorted space) of the retained payload rows; ``list_offsets`` partitions
-    the sorted rows into len(retained_pos) contiguous meta groups, each
-    containing exactly its retained row."""
-    n = len(kid)
-    order = np.lexsort((seq, kid))
-    ks, to = kid[order], ts[order]
-    seg_first = np.ones(n, dtype=bool)
-    seg_first[1:] = ks[1:] != ks[:-1]
+    order: np.ndarray,
+    seg_first: np.ndarray,
+    ts_sorted: np.ndarray,
+    keep_all_pmax: bool,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared collapse plan over rows ALREADY sorted (``order``) with group
+    boundaries ``seg_first`` (groups must be seq-ascending internally).
+    Returns (retained_pos, list_offsets): positions (in sorted space) of
+    the retained payload rows, and offsets partitioning the sorted rows
+    into len(retained_pos) contiguous meta groups, each containing exactly
+    its retained row."""
+    n = len(order)
     seg_id = (np.cumsum(seg_first) - 1).astype(np.int64)
-    pmax = _prefix_max_mask(seg_id, to)
+    pmax = _prefix_max_mask(seg_id, ts_sorted)
     pm_idx = np.flatnonzero(pmax)
     seg_of = seg_id[pm_idx]
     last_of_seg = np.ones(len(pm_idx), dtype=bool)
@@ -123,22 +125,19 @@ def _retention(
         retained = pm_idx
         # list j = rows (retained[j-1], retained[j]] within the segment,
         # with the segment tail folded into the segment's last list
-        starts = np.zeros(n, dtype=bool)
-        starts[np.flatnonzero(seg_first)] = True
-        opens = pm_idx[~last_of_seg] + 1
-        starts[opens] = True
+        starts = seg_first.copy()
+        starts[pm_idx[~last_of_seg] + 1] = True
     else:
-        retained = pm_idx[last_of_seg]  # = per-key argmax-(ts, seq)
+        retained = pm_idx[last_of_seg]  # = per-group argmax-(ts, seq)
         starts = seg_first
     offsets = np.append(np.flatnonzero(starts), n)
-    return order, retained, offsets
+    return retained, offsets
 
 
 def combine_batch(batch: pa.Table, by_day: bool = False) -> pa.Table:
-    """Collapse one augmented batch to retained payload rows + meta lists.
-    ``by_day=True`` (the daily-delta engine path) retains every weak
-    prefix max so the reducer's per-(key, day) winner selection is exact;
-    ``by_day=False`` retains only the per-key argmax."""
+    """Collapse one augmented batch (a CONTIGUOUS seq range — see module
+    docstring) to one argmax-(ts, seq) payload row per (key[, utc-day])
+    group + meta lists covering every event."""
     n = batch.num_rows
     if n == 0:
         return combined_schema(batch.schema).empty_table()
@@ -149,17 +148,41 @@ def combine_batch(batch: pa.Table, by_day: bool = False) -> pa.Table:
     codes, _ = pd.factorize(conv, sort=False)
     kid = (codes.astype(np.int64) << 32) | turn
 
-    order, retained, offsets = _retention(kid, ts64, seq, keep_all_pmax=by_day)
+    if by_day:
+        day = ts64 // DAY_US
+        order = np.lexsort((seq, day, kid))
+        ks, ds_ = kid[order], day[order]
+        seg_first = np.ones(n, dtype=bool)
+        seg_first[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
+    else:
+        order = np.lexsort((seq, kid))
+        ks = kid[order]
+        seg_first = np.ones(n, dtype=bool)
+        seg_first[1:] = ks[1:] != ks[:-1]
+    retained, offsets = _retention(order, seg_first, ts64[order],
+                                   keep_all_pmax=False)
     s = batch.take(pa.array(order))
     out = s.take(pa.array(retained))
+    # the retained row's own (ts, seq, del) triple is EXCLUDED from its
+    # meta list — the reducer reconstructs it from the payload columns.
+    # Singleton groups (all of a snapshot epoch) then ship three EMPTY
+    # lists (offsets only) instead of ~17 duplicated bytes per row.
+    keep = np.ones(n, dtype=bool)
+    keep[retained] = False
+    # list j contains exactly one retained row, and exactly j retained
+    # rows precede list j — offsets shift down by their index
+    off_arr = pa.array((offsets - np.arange(len(offsets))).astype(np.int32),
+                       pa.int32())
     lists = [
         ("m_ts", _arr(s.column("ts").cast(pa.int64()))),
         ("m_seq", _arr(s.column("seq"))),
         ("m_del", _arr(pc.equal(s.column("op"), "D"))),
     ]
-    off_arr = pa.array(offsets.astype(np.int32), pa.int32())
+    keep_arr = pa.array(keep)
     for name, vals in lists:
-        out = out.append_column(name, pa.ListArray.from_arrays(off_arr, vals))
+        out = out.append_column(
+            name, pa.ListArray.from_arrays(off_arr, vals.filter(keep_arr))
+        )
     return out
 
 
@@ -180,16 +203,44 @@ def combine_combined(batch: pa.Table, keep_all_pmax: bool = True) -> pa.Table:
     codes, _ = pd.factorize(conv, sort=False)
     kid = (codes.astype(np.int64) << 32) | turn
 
-    order, retained, row_offsets = _retention(kid, ts64, seq, keep_all_pmax)
+    order = np.lexsort((seq, kid))
+    ks = kid[order]
+    seg_first = np.ones(n, dtype=bool)
+    seg_first[1:] = ks[1:] != ks[:-1]
+    retained, row_offsets = _retention(order, seg_first, ts64[order],
+                                       keep_all_pmax)
     if len(retained) == n:  # nothing to merge (all rows distinct keys)
         return batch
     s = batch.take(pa.array(order))
     out = s.take(pa.array(retained)).drop_columns(COMBINE_META)
-    # row-space boundaries → element-space offsets over the flattened lists
-    lens = pc.list_value_length(_arr(s.column("m_seq"))).to_numpy()
-    row_off = np.concatenate(([0], np.cumsum(lens)))
-    el_offsets = pa.array(row_off[row_offsets].astype(np.int32), pa.int32())
+    # Meta lists exclude their payload row's own triple (combine_batch
+    # contract). A payload row DROPPED here stops being payload, so its
+    # own triple must be spliced into the surviving merged list; retained
+    # rows stay excluded. Build per-row element blocks = [list elements,
+    # own triple if dropped], then cut at the retention boundaries.
+    lens = pc.list_value_length(_arr(s.column("m_seq"))).to_numpy().astype(np.int64)
+    dropped = np.ones(n, dtype=bool)
+    dropped[retained] = False
+    block_len = lens + dropped
+    off2 = np.concatenate(([0], np.cumsum(block_len)))
+    flat_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos_list = np.repeat(off2[:-1], lens) + (
+        np.arange(int(lens.sum())) - np.repeat(flat_start, lens)
+    )
+    pos_own = off2[:-1][dropped] + lens[dropped]
+    own = {
+        "m_ts": s.column("ts").cast(pa.int64()).to_numpy(),
+        "m_seq": s.column("seq").to_numpy(),
+        "m_del": pc.equal(s.column("op"), "D").to_numpy(zero_copy_only=False),
+    }
+    el_offsets = pa.array(off2[row_offsets].astype(np.int32), pa.int32())
+    total = int(off2[-1])
     for name in COMBINE_META:
-        flat = pc.list_flatten(_arr(s.column(name)))
-        out = out.append_column(name, pa.ListArray.from_arrays(el_offsets, flat))
+        flat = pc.list_flatten(_arr(s.column(name))).to_numpy(zero_copy_only=False)
+        vals = np.empty(total, dtype=own[name].dtype)
+        vals[pos_list] = flat
+        vals[pos_own] = own[name][dropped]
+        out = out.append_column(
+            name, pa.ListArray.from_arrays(el_offsets, pa.array(vals))
+        )
     return out

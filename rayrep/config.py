@@ -50,7 +50,11 @@ class EngineConfig:
     # zipf skew a hot key's per-batch winners duplicate across every batch;
     # this collapses them once more at map side. Exact (meta lists are
     # re-grouped, never dropped). Only active when map_combine is.
-    map_combine2: bool = True
+    # Default OFF: measured on the 20M-event bench changelog (avg ~2
+    # events/key), cross-batch duplicates are too rare to pay for the
+    # extra pass (~1 s cost, no byte win) — enable for streams whose hot
+    # keys recur across many batches within a round.
+    map_combine2: bool = False
     # Carry the source transaction id through the shuffle into state/delta
     # outputs. Off by default: txn lineage is recoverable from the
     # changelog itself (seq is dense and the manifests record per-epoch seq

@@ -36,6 +36,32 @@ def _docs(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+_STAGE_CACHE: dict = {}
+
+
+def _cached_stage(batch: pa.Table, cls_path: str) -> pa.Table:
+    """Task-mode stateful stage: one cached instance per (worker process,
+    class). For cheap-init classes (compiled regexes, stopword sets) this
+    beats an actor pool — same per-actor-once setup via the process cache,
+    but no pool spin-up/reservation, and elastic width (Ray reuses warm
+    workers). Same pattern as the engine's task-mode applier."""
+    inst = _STAGE_CACHE.get(cls_path)
+    if inst is None:
+        import importlib
+
+        mod, name = cls_path.rsplit(".", 1)
+        inst = getattr(importlib.import_module(mod), name)()
+        _STAGE_CACHE[cls_path] = inst
+    return inst(batch)
+
+
+def _stage(ds: rd.Dataset, cls_path: str) -> rd.Dataset:
+    return ds.map_batches(
+        _cached_stage, fn_kwargs={"cls_path": cls_path},
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------- CDC core
 def _latest_per_user(group: pa.Table) -> pa.Table:
     """Vectorized argmax-(ts, event_id) per user within a partition — the
@@ -457,29 +483,20 @@ def dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 def token_stats(sf_dir: str) -> pd.DataFrame:
-    from rayrep.ops.text import TextStats
-
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    out = ds.map_batches(TextStats, batch_format="pyarrow", zero_copy_batch=True,
-                         concurrency=(1, 4)).to_pandas()
+    out = _stage(ds, "rayrep.ops.text.TextStats").to_pandas()
     return out[["doc_id", "n_chars_calc", "token_count", "n_punct", "n_digit"]]
 
 
 def lang_id_pred(sf_dir: str) -> pd.DataFrame:
-    from rayrep.ops.text import LangId
-
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    out = ds.map_batches(LangId, batch_format="pyarrow", zero_copy_batch=True,
-                         concurrency=(1, 4)).to_pandas()
+    out = _stage(ds, "rayrep.ops.text.LangId").to_pandas()
     return out[["doc_id", "lang_pred"]]
 
 
 def doc_fingerprint(sf_dir: str) -> pd.DataFrame:
-    from rayrep.ops.text import Fingerprint
-
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    out = ds.map_batches(Fingerprint, batch_format="pyarrow", zero_copy_batch=True,
-                         concurrency=(1, 4)).to_pandas()
+    out = _stage(ds, "rayrep.ops.text.Fingerprint").to_pandas()
     return out[["doc_id", "fingerprint"]]
 
 
@@ -623,12 +640,8 @@ def corpus_curation(sf_dir: str) -> pd.DataFrame:
     winners — the end-to-end corpus-cleaning shape, all stages streaming.
     Every heuristic is mirrored exactly in the SQL oracle (length /
     punctuation / stopword math with LEAST/GREATEST clips)."""
-    from rayrep.ops.text import LangId, TextStats
-
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    scored = ds.map_batches(TextStats, batch_format="pyarrow", zero_copy_batch=True,
-                            concurrency=(1, 4))
-    scored = scored.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    scored = _stage(_stage(ds, "rayrep.ops.text.TextStats"), "rayrep.ops.text.LangId")
 
     def keep(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(t["lang_pred"], "en"),
@@ -739,6 +752,7 @@ def _emit_changelog_batch(
     with_deletes: bool,
     first_ref,
     with_ddl: bool,
+    mask_cells: bool = False,
 ) -> pa.Table:
     """Per-batch changelog emitter (runs on workers): derive I/U/D ops,
     split rows into 4 contiguous-seq epochs by event_id, and write each
@@ -761,8 +775,13 @@ def _emit_changelog_batch(
         op = np.full(n, "U", dtype="U1")  # full-row upserts: I/U identical
     del_mask = pa.array(is_del)
 
-    def _null_if_del(col, typ):
-        return pc.if_else(del_mask, pa.nulls(n, typ), _arr_c(col))
+    def _null_if_del(col, typ, mask_mod: int = 0):
+        out = pc.if_else(del_mask, pa.nulls(n, typ), _arr_c(col))
+        if mask_cells and mask_mod:
+            # changed-cells fixture: every mask_mod-th event leaves this
+            # column untouched (null = "unchanged", CHANGES.txt:173)
+            return pc.if_else(pa.array(eid % mask_mod == 0), pa.nulls(n, typ), out)
+        return out
 
     cols = {
         # with_ddl: seq = 2*event_id leaves an odd gap for the DDL row
@@ -774,8 +793,8 @@ def _emit_changelog_batch(
         "turn_idx": pa.array(np.zeros(n, np.int32)),
         "event_id": batch.column("event_id"),
         "event_type": _null_if_del(batch.column("event_type"), pa.string()),
-        "value": _null_if_del(batch.column("value"), pa.float64()),
-        "props": _null_if_del(batch.column("props"), pa.string()),
+        "value": _null_if_del(batch.column("value"), pa.float64(), mask_mod=3),
+        "props": _null_if_del(batch.column("props"), pa.string(), mask_mod=5),
         "ts": batch.column("ts"),
         "ddl": pa.nulls(n, pa.string()),
     }
@@ -811,7 +830,8 @@ def _arr_c(col):
 
 
 def _replay_events_through_engine(
-    sf_dir: str, with_deletes: bool, with_ddl: bool = False
+    sf_dir: str, with_deletes: bool, with_ddl: bool = False,
+    changed_cells: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -859,7 +879,8 @@ def _replay_events_through_engine(
     counts = ds.map_batches(
         _emit_changelog_batch,
         fn_kwargs={"cl_dir": cl, "B": B, "with_deletes": with_deletes,
-                   "first_ref": first_ref, "with_ddl": with_ddl},
+                   "first_ref": first_ref, "with_ddl": with_ddl,
+                   "mask_cells": changed_cells},
         batch_format="pyarrow",
     ).take_all()  # tiny: one count row per batch
     assert sum(r["rows"] for r in counts) > 0
@@ -892,7 +913,9 @@ def _replay_events_through_engine(
         pa.field("ts", pa.timestamp("us")),
     ]))
     cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
-                       initial_schema_json=sv.to_json(), delta_output=False)
+                       initial_schema_json=sv.to_json(), delta_output=False,
+                       changed_cells_updates=changed_cells,
+                       per_cell_conflicts=changed_cells)
     replay(cfg)
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
@@ -927,6 +950,19 @@ def cdc_replay_evolution(sf_dir: str) -> pd.DataFrame:
     post-DDL winners (event_id >= ceil((max+1)/2)), NULL backfill
     otherwise."""
     return _replay_events_through_engine(sf_dir, with_deletes=False, with_ddl=True)
+
+
+def cdc_replay_changed_cells(sf_dir: str) -> pd.DataFrame:
+    """Changed-cells mode WITH A DRIVER ORACLE: an events-derived changelog
+    where every 3rd event leaves ``value`` untouched and every 5th leaves
+    ``props`` untouched (null = "unchanged", CHANGES.txt:173), replayed
+    through the real engine with ``per_cell_conflicts=True`` — per
+    (key, column) the max-(ts, event_id) non-null version wins, which
+    DuckDB mirrors with ``last_value(... IGNORE NULLS)`` over the version
+    window. Exercises the round-3 delta-chain + vectorized cell fold end
+    to end against SQL."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         changed_cells=True)
 
 
 def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
@@ -991,6 +1027,7 @@ def queries() -> dict:
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
+        "cdc_replay_changed_cells": cdc_replay_changed_cells,
         "cdc_replay_transcripts": cdc_replay_transcripts,
     }
 
@@ -1131,6 +1168,29 @@ def oracle_sql() -> dict:
                         THEN CAST(event_id AS VARCHAR) END AS note
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_replay_changed_cells": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN event_id % 3 != 0 THEN value END AS value,
+                       CASE WHEN event_id % 5 != 0 THEN props END AS props
+                FROM events
+            ), w AS (
+                SELECT user_id,
+                       last_value(event_id) OVER win AS event_id,
+                       last_value(ts) OVER win AS ts,
+                       last_value(event_type IGNORE NULLS) OVER win AS event_type,
+                       last_value(value IGNORE NULLS) OVER win AS value,
+                       last_value(props IGNORE NULLS) OVER win AS props,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM w WHERE rn = 1
         """,
         "cdc_replay_deletes": """
             WITH e AS (

@@ -129,16 +129,18 @@ def test_combined_apply_matches_oracle_for_any_batching(
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(event_st, min_size=1, max_size=30),
-       st.lists(st.integers(0, 3), min_size=30, max_size=30))
+       st.lists(st.integers(0, 30), min_size=0, max_size=4),
+       st.randoms(use_true_random=False))
 def test_combined_daily_delta_matches_per_event_path(
-    tmp_path_factory, events, batch_of
+    tmp_path_factory, events, cuts, rnd
 ):
     """The daily-delta side output (S7) must be IDENTICAL between the
-    per-event path and the combined path for ANY batching — the round-2
-    prefix-argmax retention could drop or substitute a day's net image
-    when a cross-batch ts inversion killed a batch's day winner; the
-    prefix-max retention (round 3) makes it exact. Also runs the
-    second-level combine (combine_combined) in the chain."""
+    per-event path and the combined path for any CONTIGUOUS level-1
+    batching (the real read-path contract: batches are in-order parquet
+    slices) — including the second-level combine over an ARBITRARILY
+    ORDERED union of those slices, where cross-range ts inversions can
+    kill a later range's group argmax (the case level 2's prefix-max
+    retention exists for)."""
     import glob
 
     from rayrep.augment import Augmenter
@@ -162,15 +164,15 @@ def test_combined_daily_delta_matches_per_event_path(
     tbl = cl.append_column("part_id", pa.array([0] * cl.num_rows, pa.int32()))
     Applier(lake_pe, 0, sv.to_json(), delta_output=True)(tbl)
 
-    # combined path: arbitrary batching + second-level combine
+    # combined path: contiguous slices, combined per slice, then the
+    # second level over a shuffled (non-contiguous) union of the slices
     aug = Augmenter(sv.to_json(), 1)
-    groups: dict[int, list[int]] = {}
-    for i in range(cl.num_rows):
-        groups.setdefault(batch_of[i], []).append(i)
+    bounds = sorted({0, cl.num_rows, *[min(c, cl.num_rows) for c in cuts]})
     parts = [
-        combine_batch(aug(cl.take(pa.array(idxs, pa.int64()))), by_day=True)
-        for _, idxs in sorted(groups.items())
+        combine_batch(aug(cl.slice(a, b - a)), by_day=True)
+        for a, b in zip(bounds, bounds[1:]) if b > a
     ]
+    rnd.shuffle(parts)
     group = combine_combined(pa.concat_tables(parts).combine_chunks(),
                              keep_all_pmax=True)
     lake_cb = str(tmp_path_factory.mktemp("cb"))
