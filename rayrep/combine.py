@@ -147,15 +147,23 @@ def combine_batch(batch: pa.Table, by_day: bool = False) -> pa.Table:
     seq = batch.column("seq").to_numpy()
     codes, _ = pd.factorize(conv, sort=False)
     kid = (codes.astype(np.int64) << 32) | turn
+    # part_id outermost: each key lives in exactly ONE partition, so adding
+    # it never splits a key's segment — and the output comes out
+    # part_id-contiguous. The sort exchange then permutes ALREADY-SORTED
+    # blocks (sequential memcpy instead of a random full-column gather per
+    # block — measured ~1.2M → ~1.7M ev/s replay ceiling at 32 cpus), and
+    # the packed exchange can slice blobs without a second gather
+    # (exchange.pack_batch fast path).
+    pid = batch.column("part_id").to_numpy()
 
     if by_day:
         day = ts64 // DAY_US
-        order = np.lexsort((seq, day, kid))
+        order = np.lexsort((seq, day, kid, pid))
         ks, ds_ = kid[order], day[order]
         seg_first = np.ones(n, dtype=bool)
         seg_first[1:] = (ks[1:] != ks[:-1]) | (ds_[1:] != ds_[:-1])
     else:
-        order = np.lexsort((seq, kid))
+        order = np.lexsort((seq, kid, pid))
         ks = kid[order]
         seg_first = np.ones(n, dtype=bool)
         seg_first[1:] = ks[1:] != ks[:-1]
@@ -203,7 +211,7 @@ def combine_combined(batch: pa.Table, keep_all_pmax: bool = True) -> pa.Table:
     codes, _ = pd.factorize(conv, sort=False)
     kid = (codes.astype(np.int64) << 32) | turn
 
-    order = np.lexsort((seq, kid))
+    order = np.lexsort((seq, kid, batch.column("part_id").to_numpy()))
     ks = kid[order]
     seg_first = np.ones(n, dtype=bool)
     seg_first[1:] = ks[1:] != ks[:-1]

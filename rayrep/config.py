@@ -55,6 +55,15 @@ class EngineConfig:
     # extra pass (~1 s cost, no byte win) — enable for streams whose hot
     # keys recur across many batches within a round.
     map_combine2: bool = False
+    # Packed exchange (rayrep/exchange.pack_batch): before the groupby sort
+    # shuffle, pack each map batch into ONE compressed Arrow-IPC blob per
+    # destination partition, so the exchange sorts/moves ~P rows per batch
+    # instead of every event row, and text bytes cross the (single-box
+    # bottleneck) memory bus compressed. The applier unpacks transparently.
+    # Exact same rows delivered per partition — the blob boundary is
+    # invisible to LWW/counters. Only applies to exchange="groupby".
+    pack_exchange: bool = False
+    pack_codec: str = "lz4"          # lz4 (fast) | zstd (smaller)
     # Carry the source transaction id through the shuffle into state/delta
     # outputs. Off by default: txn lineage is recoverable from the
     # changelog itself (seq is dense and the manifests record per-epoch seq

@@ -43,6 +43,76 @@ def stage_dir(lake_dir: str, epoch: int) -> str:
     return os.path.join(lake_dir, "_stage", f"e{epoch:05d}")
 
 
+# ------------------------------------------------------- packed exchange
+# The sort shuffle's cost on a fixed memory-bandwidth budget is per-row
+# gather + raw bytes moved (BENCH/BASELINE.md per-stage breakdown: the
+# sort is ~55% of replay wall at 32 cpus). Packing turns the exchange
+# into ~P fat rows per map batch: one compressed Arrow-IPC blob per
+# destination partition. The sort then samples/sorts thousands of rows
+# instead of millions, and the all-to-all moves LZ4-compressed bytes.
+# The row gather still happens exactly once (here, map-side, vectorized);
+# the reducer's unpack is a zero-copy IPC read + concat.
+
+PACKED_SCHEMA = pa.schema(
+    [
+        pa.field("part_id", pa.int32()),
+        pa.field("n_rows", pa.int64()),
+        pa.field("blob", pa.large_binary()),
+    ]
+)
+
+
+def pack_batch(batch: pa.Table, codec: str = "lz4") -> pa.Table:
+    """Pack one (augmented or combined) batch into one compressed IPC blob
+    per destination partition. Schema-agnostic: whatever columns arrive
+    (payload, combine meta, evolved columns) ride inside the blob."""
+    if batch.num_rows == 0:
+        return PACKED_SCHEMA.empty_table()
+    pids = batch.column("part_id").to_numpy()
+    if len(pids) < 2 or np.all(pids[1:] >= pids[:-1]):
+        # combine_batch emits part_id-contiguous rows (its lexsort keys
+        # part_id outermost) — slice directly, no second full gather
+        sp, sorted_tbl = pids, batch
+    else:
+        order = np.argsort(pids, kind="stable")
+        sp = pids[order]
+        sorted_tbl = batch.take(pa.array(order))
+    bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+    bounds = np.r_[bounds, len(sp)]
+    opts = pa.ipc.IpcWriteOptions(compression=codec)
+    out_pid, out_n, blobs = [], [], []
+    for i in range(len(bounds) - 1):
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        part = sorted_tbl.slice(lo, hi - lo)
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, part.schema, options=opts) as w:
+            w.write_table(part)
+        out_pid.append(int(sp[lo]))
+        out_n.append(hi - lo)
+        blobs.append(sink.getvalue().to_pybytes())
+    return pa.table(
+        {
+            "part_id": pa.array(out_pid, pa.int32()),
+            "n_rows": pa.array(out_n, pa.int64()),
+            "blob": pa.array(blobs, pa.large_binary()),
+        }
+    )
+
+
+def unpack_group(group: pa.Table) -> pa.Table:
+    """Reassemble one partition's event table from its packed blobs.
+    Blob order within the group is arbitrary — the applier orders by seq."""
+    col = group.column("blob")
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    tables = []
+    for chunk in chunks:
+        for i in range(len(chunk)):
+            tables.append(pa.ipc.open_stream(chunk[i].as_buffer()).read_all())
+    # one contiguous buffer per column: the applier's lexsort/take kernels
+    # degrade badly on ~100-chunk columns (per-element chunk resolution)
+    return pa.concat_tables(tables).combine_chunks()
+
+
 def write_staged(batch: pa.Table, sdir: str) -> pa.Table:
     """Stage-A kernel: split one augmented batch by part_id and write one
     deterministic file per (partition, batch-seq-range)."""

@@ -159,6 +159,10 @@ def _applier_task_fn(group: pa.Table, kwargs: dict) -> pa.Table:
     """Task-mode applier: one cached Applier instance per (worker process,
     epoch config). Safe because every durable effect is deterministic-name
     + atomic-rename (retried tasks overwrite, never append)."""
+    if "blob" in group.column_names:  # packed exchange (rayrep/exchange.py)
+        from rayrep.exchange import unpack_group
+
+        group = unpack_group(group)
     key = tuple(sorted((k, v) for k, v in kwargs.items()))
     app = _APPLIER_CACHE.get(key)
     if app is None:
@@ -166,6 +170,15 @@ def _applier_task_fn(group: pa.Table, kwargs: dict) -> pa.Table:
         app = Applier(**kwargs)
         _APPLIER_CACHE[key] = app
     return app(group)
+
+
+class _PackedApplier(Applier):
+    """Actor-mode applier for the packed exchange: unpack, then apply."""
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        from rayrep.exchange import unpack_group
+
+        return super().__call__(unpack_group(group))
 
 
 _APPLIER_CACHE: dict = {}
@@ -308,6 +321,17 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             for row in ds.limit(5).take_all():
                 print(json.dumps(row, default=str))
             continue
+        packed = cfg.pack_exchange and cfg.exchange == "groupby"
+        if packed:
+            from rayrep.exchange import pack_batch
+
+            ds = ds.map_batches(
+                pack_batch,
+                fn_kwargs={"codec": cfg.pack_codec},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=cfg.batch_size,
+            )
         applier_kwargs = {
             "lake_dir": cfg.lake_dir,
             "epoch": epoch,
@@ -336,7 +360,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                 )
             else:
                 applied = grouped.map_groups(
-                    Applier,
+                    _PackedApplier if packed else Applier,
                     fn_constructor_kwargs=applier_kwargs,
                     batch_format="pyarrow",
                     concurrency=(1, cfg.applier_concurrency),

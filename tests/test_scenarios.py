@@ -370,6 +370,30 @@ def test_staged_exchange_matches_oracle(tmp_path):
     )
 
 
+def test_packed_exchange_matches_oracle(tmp_path):
+    """pack_exchange=True (per-partition compressed IPC blobs through the
+    sort shuffle, rayrep/exchange.pack_batch) must be invisible: same
+    converged table AND counters as the plain groupby path, in both
+    applier modes, including a kill/resume window."""
+    d = str(tmp_path / "cl")
+    write_changelog(d, SPEC)
+    oracle_df, octr = replay_oracle(generate_changelog(SPEC))
+    for mode in ("tasks", "actors"):
+        lake = str(tmp_path / f"lake-{mode}")
+        _, res = run(d, lake, pack_exchange=True, applier_mode=mode)
+        assert_frames_equal(final_table_pandas(lake), oracle_df)
+        assert res["totals"]["applied"] == octr["applied"]
+        assert res["totals"]["conflict"] == octr["conflict"]
+    # resume: epoch 0 committed packed, rest replayed packed
+    lake = str(tmp_path / "lake-resume")
+    cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=4,
+                       applier_concurrency=2, pack_exchange=True)
+    replay(cfg, end_epoch=0)
+    res = replay(cfg)
+    assert [e["epoch"] for e in res["epochs"]] == [1, 2, 3]
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+
+
 def test_tail_consumes_progressively_published_epochs(tmp_path):
     """Continuous tail mode: a producer thread publishes epochs atomically
     while tail() polls; the final lake equals a batch replay of the full
