@@ -90,6 +90,16 @@ def warmup() -> None:
     wlake = os.path.join(BENCH_ROOT, f"warmup-lake-{os.getpid()}")
     replay(EngineConfig(changelog_dir=wcl, lake_dir=wlake, num_partitions=32))
     shutil.rmtree(wlake, ignore_errors=True)
+    # warm the groupby().aggregate() operator path too: its first execution
+    # in a session pays ~6 s of one-off spin-up (measured r0 7.7 s vs warm
+    # 1.3 s on dedup_exact) which otherwise lands on whichever timed query
+    # hits it first
+    import ray.data as rdm
+    from ray.data.aggregate import Count, Min
+
+    rdm.from_items([{"k": i % 8, "v": i} for i in range(1024)]).groupby(
+        "k"
+    ).aggregate(Min("v"), Count()).materialize()
 
 
 def run_replay(cl: str, n_events: int) -> dict:
