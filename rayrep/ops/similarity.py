@@ -62,19 +62,52 @@ class _BatchTopK:
         })
 
 
+_TOPK_CACHE: dict = {}
+
+
+def _topk_task_fn(batch: pa.Table, kwargs: dict) -> pa.Table:
+    """Task-mode scorer: one cached ``_BatchTopK`` per (worker process,
+    query config) — same pattern as the engine's cached-task applier
+    (rayrep/pipeline.py). ``ray.get`` on the broadcast ref is a zero-copy
+    plasma lookup, so re-resolving it per process is free; caching only
+    skips the (tiny) re-normalization of the query matrix."""
+    key = tuple(
+        (k, v.hex() if isinstance(v, ray.ObjectRef) else v)
+        for k, v in sorted(kwargs.items())
+    )
+    fn = _TOPK_CACHE.get(key)
+    if fn is None:
+        _TOPK_CACHE.clear()
+        fn = _BatchTopK(**kwargs)
+        _TOPK_CACHE[key] = fn
+    return fn(batch)
+
+
 def topk_cosine(
     ds: rd.Dataset, query: np.ndarray, k: int = 10,
     id_col: str = "vec_id", emb_col: str = "embedding",
-    concurrency=(1, 4),
+    concurrency=(1, 4), scorer_mode: str = "tasks",
 ) -> rd.Dataset:
     """Global cosine top-k per query row. Deterministic tie-break:
-    (cosine desc, id asc)."""
+    (cosine desc, id asc).
+
+    ``scorer_mode="tasks"`` (default) runs the scorer as plain tasks with a
+    per-process instance cache instead of an actor pool: measured faster on
+    this workload (no pool spin-up) and immune to actor-pool CPU-reservation
+    deadlocks in long multi-query sessions. ``"actors"`` keeps the pool."""
     ref = ray.put(np.asarray(query, dtype=np.float32))
-    partial = ds.map_batches(
-        _BatchTopK,
-        fn_constructor_kwargs=dict(query_ref=ref, k=k, id_col=id_col, emb_col=emb_col),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
-    )
+    if scorer_mode == "tasks":
+        partial = ds.map_batches(
+            _topk_task_fn,
+            fn_kwargs=dict(kwargs=dict(query_ref=ref, k=k, id_col=id_col, emb_col=emb_col)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    else:
+        partial = ds.map_batches(
+            _BatchTopK,
+            fn_constructor_kwargs=dict(query_ref=ref, k=k, id_col=id_col, emb_col=emb_col),
+            batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency,
+        )
 
     def head_per_query(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
