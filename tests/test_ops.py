@@ -141,6 +141,21 @@ def test_topk_cosine_matches_bruteforce():
     assert list(got["vec_id"]) == list(expect)
 
 
+def test_topk_cosine_task_mode_equals_actor_mode():
+    # scorer_mode="tasks" (cached-task default) must rank identically to
+    # the actor-pool path, multi-query
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((250, 8)).astype(np.float32)
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    ds = rd.from_pandas(pd.DataFrame({"vec_id": np.arange(250, dtype=np.int64),
+                                      "embedding": [v.tolist() for v in m]}))
+    a = (topk_cosine(ds, q, k=5).to_pandas()
+         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True))
+    b = (topk_cosine(ds, q, k=5, scorer_mode="actors").to_pandas()
+         .sort_values(["query_idx", "vec_id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ivf_full_probe_equals_bruteforce():
     rng = np.random.default_rng(2)
     m = rng.standard_normal((300, 8)).astype(np.float32)
