@@ -44,6 +44,9 @@ def sf_tag() -> str:
 
 
 def changelog_events() -> int:
+    abs_n = int(os.environ.get("BENCH_EVENTS_ABS", "0"))
+    if abs_n:  # weak-scaling protocol pins the count directly
+        return abs_n
     import pyarrow.parquet as pq
 
     n = pq.read_metadata(os.path.join(SF_DIR, "events.parquet")).num_rows
@@ -242,6 +245,66 @@ def main_scaling() -> dict:
     return result
 
 
+def main_weak_scaling() -> dict:
+    """WEAK scaling: per-cpu load held fixed — events scale with cpus
+    (lo cpus × E events vs hi cpus × (hi/lo)·E events). This models the
+    real cluster story ("add nodes, ingest proportionally more binlog"),
+    and on one box it routes 4× the shuffle VOLUME through the same
+    memory system at the hi level, so it is a conservative proxy.
+    Efficiency = t_lo / t_hi (ideal 1.0: 4× data on 4× cpus, same wall)."""
+    lo = int(os.environ.get("BENCH_LO", "8"))
+    hi = int(os.environ.get("BENCH_HI", "32"))
+    base = changelog_events() // (hi // lo)
+
+    def run(ncpu: int, n_events: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="2",
+                   BENCH_EVENTS_PER_SF_ROW="0", BENCH_EVENTS_ABS=str(n_events))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # generate both changelogs up front, untimed
+    ensure_changelog(base)
+    ensure_changelog(base * (hi // lo))
+    results: dict[int, dict] = {}
+    for ncpu, n in ((lo, base), (hi, base * (hi // lo)), (lo, base), (hi, base * (hi // lo))):
+        r = run(ncpu, n)
+        cur = results.get(ncpu)
+        if cur is None or r["queries"]["cdc_replay"] < cur["queries"]["cdc_replay"]:
+            results[ncpu] = r
+    t_lo = results[lo]["queries"]["cdc_replay"]
+    t_hi = results[hi]["queries"]["cdc_replay"]
+    result = {
+        "metric": "WEAK scaling (fixed per-cpu load, fresh processes)",
+        "sf": results[lo]["sf"],
+        f"events_{lo}": results[lo]["replay_events"],
+        f"events_{hi}": results[hi]["replay_events"],
+        f"sec_{lo}": t_lo, f"sec_{hi}": t_hi,
+        f"events_per_sec_{lo}": results[lo]["replay_events_per_sec"],
+        f"events_per_sec_{hi}": results[hi]["replay_events_per_sec"],
+        "cpus": [lo, hi],
+        "weak_scaling_efficiency": round(t_lo / t_hi, 3),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "a") as f:
+        f.write(
+            f"\n## WEAK scaling run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+            f"- per-cpu load fixed: {results[lo]['replay_events']:,} events @ {lo} cpus vs "
+            f"{results[hi]['replay_events']:,} @ {hi} cpus ({results[lo]['sf']})\n"
+            f"- num_cpus={lo}: {t_lo}s = {results[lo]['replay_events_per_sec']:,} ev/s\n"
+            f"- num_cpus={hi}: {t_hi}s = {results[hi]['replay_events_per_sec']:,} ev/s\n"
+            f"- weak scaling efficiency t_{lo}/t_{hi} = {result['weak_scaling_efficiency']}"
+            f" (ideal 1.0: {hi // lo}x data on {hi // lo}x cpus, same wall)\n"
+            f"- caveat: the {hi}-cpu level pushes {hi // lo}x the shuffle volume through ONE box's "
+            f"memory system — conservative vs a real {hi // lo}x-node cluster\n"
+        )
+    return result
+
+
 def _append_bench_md(result: dict) -> None:
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"),
                 exist_ok=True)
@@ -431,6 +494,8 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
+    elif "--weak-scaling" in sys.argv:
+        print(json.dumps(main_weak_scaling()))
     elif "--delta-state" in sys.argv:
         print(json.dumps(main_delta_state()))
     elif "--staged" in sys.argv:
