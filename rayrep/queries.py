@@ -289,6 +289,25 @@ def _broadcast_sorted(keys: np.ndarray, vals: np.ndarray):
     return ray.put((keys[order], vals[order]))
 
 
+_LOOKUP_CACHE: dict = {}
+
+
+def _lookup_task_fn(batch: pa.Table, r, key_col: str, out_col: str) -> pa.Table:
+    """Task-mode broadcast lookup with a per-process instance cache (same
+    pattern as the engine's cached-task applier): `ray.get` on the
+    broadcast ref is a zero-copy plasma lookup, and running as tasks lets
+    Ray Data fuse the lookup with the parquet read and the downstream
+    partial aggregation into one operator — an actor pool would break the
+    fusion and reserve CPUs while idle."""
+    key = (r.hex() if isinstance(r, ray.ObjectRef) else id(r), key_col, out_col)
+    fn = _LOOKUP_CACHE.get(key)
+    if fn is None:
+        _LOOKUP_CACHE.clear()
+        fn = _BroadcastLookup(r, key_col, out_col)
+        _LOOKUP_CACHE[key] = fn
+    return fn(batch)
+
+
 def orders_by_segment(sf_dir: str) -> pd.DataFrame:
     """Broadcast join (J2 pattern): customer dim is ray.put once, looked up
     per batch — no shuffle join for a small side."""
@@ -304,10 +323,10 @@ def orders_by_segment(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ds.map_batches(_BroadcastLookup,
-                       fn_constructor_kwargs={"r": ref, "key_col": "o_custkey",
-                                              "out_col": "c_mktsegment"},
-                       batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(_lookup_task_fn,
+                       fn_kwargs={"r": ref, "key_col": "o_custkey",
+                                  "out_col": "c_mktsegment"},
+                       batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="revenue"))
         .to_pandas()
@@ -340,10 +359,10 @@ def revenue_by_nation(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     out = (
-        ds.map_batches(_BroadcastLookup,
-                       fn_constructor_kwargs={"r": ref, "key_col": "o_custkey",
-                                              "out_col": "n_name"},
-                       batch_format="pyarrow", concurrency=(1, 4))
+        ds.map_batches(_lookup_task_fn,
+                       fn_kwargs={"r": ref, "key_col": "o_custkey",
+                                  "out_col": "n_name"},
+                       batch_format="pyarrow")
         .groupby("n_name")
         .aggregate(Count(alias_name="n"), Sum("o_totalprice", alias_name="revenue"))
         .to_pandas()
@@ -371,10 +390,10 @@ def top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
         return group.take(idx[:k]).select(["c_mktsegment", "o_orderkey", "o_totalprice"])
 
     looked = ds.map_batches(
-        _BroadcastLookup,
-        fn_constructor_kwargs={"r": ref, "key_col": "o_custkey",
-                               "out_col": "c_mktsegment"},
-        batch_format="pyarrow", concurrency=(1, 4),
+        _lookup_task_fn,
+        fn_kwargs={"r": ref, "key_col": "o_custkey",
+                   "out_col": "c_mktsegment"},
+        batch_format="pyarrow",
     )
 
     def local_prune(t: pa.Table, k: int = 3) -> pa.Table:
