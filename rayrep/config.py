@@ -32,6 +32,14 @@ class EngineConfig:
     # autoscaling actor pool, useful when in-heap state caching across
     # batches matters more than pool startup.
     applier_mode: str = "tasks"
+    # Ray Data target block size (MiB) during replay, applied around the
+    # run and restored after. 256 beat the 128 default at EVERY machine
+    # state in interleaved A/Bs on the 20M-event bench (15.0 vs 16.8 s
+    # clean, 24.5 vs 64.4 s degraded): halving the object count through
+    # the sort exchange cuts per-object scheduling/IPC overhead, which is
+    # what the degraded-VM states amplify. 64 MiB measured WORSE than the
+    # default. None leaves the session's DataContext untouched.
+    target_block_mb: int | None = 256
     # "groupby": Ray-native sort-shuffle groupby (default). "staged":
     # filesystem-staged exchange (rayrep/exchange.py) — map-side shuffle
     # files through the lake's shared storage; measured to scale better on

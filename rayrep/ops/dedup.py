@@ -117,6 +117,24 @@ def _cogroup_match(key: np.ndarray, is_right: np.ndarray):
     return li[ok], ri[o[pos[ok]]]
 
 
+_HASHER_CACHE: dict = {}
+
+
+def _cached_cls_fn(batch: pa.Table, cls, kwargs: dict) -> pa.Table:
+    """Task-mode stateful stage with a per-process instance cache (same
+    pattern as the engine's cached-task applier): setup cost (permutation
+    draws, compiled tables) is paid once per worker process, and running
+    as tasks instead of an actor pool lets Ray Data fuse the hasher with
+    the parquet read and the downstream band-explode into one operator."""
+    key = (cls.__qualname__, tuple(sorted(kwargs.items())))
+    inst = _HASHER_CACHE.get(key)
+    if inst is None:
+        _HASHER_CACHE.clear()
+        inst = cls(**kwargs)
+        _HASHER_CACHE[key] = inst
+    return inst(batch)
+
+
 # ----------------------------------------------------------------- minhash
 class MinHasher:
     """Per-batch MinHash signatures over word-``shingle_k``-grams.
@@ -280,11 +298,12 @@ def minhash_candidate_pairs(
     than ``max_bucket`` are truncated pairwise (logged via the `capped`
     column) — the standard LSH guard against degenerate buckets."""
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
+        _cached_cls_fn,
+        fn_kwargs=dict(cls=MinHasher,
+                       kwargs=dict(id_col=id_col, text_col=text_col,
                                    num_perm=num_perm, shingle_k=shingle_k,
-                                   bands=bands, seed=seed),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+                                   bands=bands, seed=seed)),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     exploded = sigs.map_batches(
         _explode_bands, fn_kwargs=dict(id_col=id_col, bands=bands),
@@ -481,8 +500,9 @@ def simhash_dedup(
     verify INSIDE each band group, distributed ``label_propagation``
     components — no corpus-sized driver materialization."""
     hashed = ds.map_batches(
-        SimHasher, fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        _cached_cls_fn,
+        fn_kwargs=dict(cls=SimHasher, kwargs=dict(id_col=id_col, text_col=text_col)),
+        batch_format="pyarrow", zero_copy_batch=True,
     ).select_columns([id_col, "simhash"])
 
     def explode(batch: pa.Table) -> pa.Table:

@@ -198,6 +198,32 @@ def _augment_task_fn(batch: pa.Table, kwargs: dict) -> pa.Table:
 _AUG_CACHE: dict = {}
 
 
+def _scoped_block_size(fn):
+    """Apply ``cfg.target_block_mb`` to the Ray DataContext for the
+    duration of the call and restore the prior value after — the driver
+    process may run non-engine datasets afterwards, so the engine must
+    not leak its block-size preference into the session."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(cfg, *args, **kwargs):
+        mb = getattr(cfg, "target_block_mb", None)
+        if not mb:
+            return fn(cfg, *args, **kwargs)
+        from ray.data import DataContext
+
+        ctx = DataContext.get_current()
+        old = ctx.target_max_block_size
+        ctx.target_max_block_size = mb * 1024 * 1024
+        try:
+            return fn(cfg, *args, **kwargs)
+        finally:
+            ctx.target_max_block_size = old
+
+    return wrapper
+
+
+@_scoped_block_size
 def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
     """Run (or resume) the streaming replay. ``end_epoch`` bounds the run
     (inclusive) — the `--end-binlog-file` analog (CHANGES.txt:129); also used
