@@ -449,9 +449,19 @@ def sample_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
-    """Large×large join: lineitem ⋈ orders via Ray's native hash-partitioned
-    Dataset.join (both sides shuffled on the key — the one join shape where
-    a broadcast is wrong), then grouped revenue."""
+    """Large×large join: lineitem ⋈ orders on orderkey — the one join shape
+    where a broadcast is wrong (both sides shuffle). Expressed as ONE
+    sort-shuffle co-group instead of Ray's hash-shuffle ``Dataset.join``
+    (measured 5-10x slower here, and unsafe to re-execute in one session
+    on Ray 2.49): both sides are tagged into a common skinny schema and
+    hash-partitioned by key in a single groupby; each partition runs a
+    vectorized searchsorted semi-join (the same `_cogroup_match` kernel
+    every dedup attach uses) and reduces to per-priority partials in
+    place, so the final exchange carries P × |priorities| rows. Per-
+    priority partials use masked pairwise ``np.sum`` (not bincount's
+    sequential accumulation) to keep cross-engine float error orders of
+    magnitude below the 3-decimal rounding the oracle hash relies on."""
+    P = 32
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -460,23 +470,58 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_orderpriority"],
     )
-    j = li.join(od, join_type="inner", num_partitions=16,
-                on=("l_orderkey",), right_on=("o_orderkey",))
 
-    def rev(batch: pa.Table) -> pa.Table:
-        r = pc.multiply(batch.column("l_extendedprice"),
-                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return pa.table({"o_orderpriority": batch.column("o_orderpriority"),
-                         "revenue": r})
+    def tag_li(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy()
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "pri": pa.nulls(len(key), pa.string()),
+            "rev": rev,
+        })
 
-    from ray.data.aggregate import Count, Sum
+    def tag_od(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy()
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "pri": t.column("o_orderpriority"),
+            "rev": pa.nulls(len(key), pa.float64()),
+        })
 
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        od.map_batches(tag_od, batch_format="pyarrow"))
+
+    def join_agg(group: pa.Table) -> pa.Table:
+        from rayrep.ops.dedup import _cogroup_match
+
+        pri_col = group.column("pri")
+        is_right = pc.is_valid(pri_col).to_numpy(zero_copy_only=False)
+        li_idx, ri_idx = _cogroup_match(group.column("key").to_numpy(), is_right)
+        empty = pa.table({"o_orderpriority": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64())})
+        if len(li_idx) == 0:
+            return empty
+        pris = pri_col.to_numpy(zero_copy_only=False)[ri_idx]
+        revs = group.column("rev").to_numpy(zero_copy_only=False)[li_idx]
+        uniq, inv = np.unique(pris, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.array([revs[inv == j].sum() for j in range(len(uniq))])
+        return pa.table({"o_orderpriority": pa.array(uniq.astype(object), pa.string()),
+                         "n": pa.array(n), "revenue": pa.array(s)})
+
+    from ray.data.aggregate import Sum
+
+    parts = both.groupby("part_id").map_groups(join_agg, batch_format="pyarrow")
     out = (
-        j.map_batches(rev, batch_format="pyarrow")
-        .groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n"), Sum("revenue", alias_name="revenue"))
+        parts.groupby("o_orderpriority")
+        .aggregate(Sum("n", alias_name="n"), Sum("revenue", alias_name="revenue"))
         .to_pandas()
     )
+    out["n"] = out["n"].astype(np.int64)
     out["revenue"] = out["revenue"].round(3)
     return out
 
