@@ -111,3 +111,19 @@ def test_replay_is_idempotent(changelog_dir, tmp_lake, oracle_result):
     res2 = replay(cfg)
     assert res2["epochs"] == []  # nothing re-applied
     assert_frames_equal(final_table_pandas(tmp_lake), oracle_df)
+
+
+def test_replay_restores_session_block_size(changelog_dir, tmp_lake):
+    """target_block_mb applies only for the duration of replay(): the
+    caller's DataContext must come back untouched (the driver process may
+    run non-engine datasets afterwards)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    before = ctx.target_max_block_size
+    cfg = EngineConfig(
+        changelog_dir=changelog_dir, lake_dir=tmp_lake, num_partitions=4,
+        applier_concurrency=2, augmenter_concurrency=2, target_block_mb=64,
+    )
+    replay(cfg)
+    assert ctx.target_max_block_size == before
