@@ -171,11 +171,9 @@ class Fingerprint:
     def __init__(self, text_col: str = "text", k: int = 8):
         self.text_col = text_col
         self.k = k
-        # precompute B^k for the rolling update
-        bk = np.uint64(1)
-        for _ in range(k):
-            bk = np.uint64(bk * self.B)
-        self.bk = bk
+        # precompute B^k mod 2^64 for the rolling update (Python-int pow
+        # avoids the noisy-but-harmless numpy overflow warning)
+        self.bk = np.uint64(pow(int(self.B), k, 1 << 64))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         text = batch.column(self.text_col)

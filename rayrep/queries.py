@@ -1360,9 +1360,68 @@ def oracle_sql() -> dict:
                      ELSE 'es' END AS lang_pred
             FROM s
         """,
-        # doc_fingerprint (rolling hash) / ann_ivf_pruned (approximate by
-        # design) / multimodal_features / cdc_replay_transcripts (stateful
-        # engine with schema evolution): non-SQL-expressible → rows-only
-        # checks; correctness covered by pytest oracles. The flagship
-        # engine path itself IS SQL-oracled via cdc_replay_events.
+        # The winnowing fingerprint (rayrep/ops/text.py:Fingerprint) IS
+        # SQL-expressible: k-gram polynomial hash mod 2^64 + murmur
+        # finalizer + per-doc min, replayed in DuckDB over the UTF-8 bytes
+        # (hex-pair extraction) with HUGEINT mul-mod arithmetic.
+        "doc_fingerprint": _fingerprint_oracle_sql(),
+        # ann_ivf_pruned (approximate by design — probed cells depend on
+        # k-means training) / multimodal_features (fake decoder projects
+        # through PCG64 gaussians) / cdc_replay_transcripts (stateful
+        # engine with schema evolution on a generator changelog): genuinely
+        # non-SQL-expressible → rows-only checks; correctness covered by
+        # pytest oracles. The engine path itself IS SQL-oracled via
+        # cdc_replay_events/deletes/evolution/changed_cells.
     }
+
+
+def _fingerprint_oracle_sql(k: int = 8) -> str:
+    """DuckDB mirror of ``rayrep.ops.text.Fingerprint``: for each doc,
+    min over all k-byte grams of finalize(sum_j byte[i+j] * B^j mod 2^64),
+    finalize(g) = murmur3-style xor-shift/multiply — all uint64 wraparound
+    arithmetic emulated with HUGEINT mul-mod (a*b mod 2^64 via 32-bit limb
+    split so no intermediate exceeds 2^96)."""
+    B, M = 1099511628211, 1 << 64
+    P = [pow(B, j, M) for j in range(k)]
+    C = 0xFF51AFD7ED558CCD
+    gram = " + ".join(f"by[i+{j + 1}]::HUGEINT * {P[j]}::HUGEINT" for j in range(k))
+    mulmod = (
+        f"(((t::HUGEINT % 4294967296) * {C}::HUGEINT"
+        f" + (((t::HUGEINT // 4294967296) * {C % (1 << 32)}::HUGEINT) % 4294967296)"
+        f" * 4294967296) % {M})"
+    )
+    return f"""
+        WITH b AS (
+            SELECT doc_id,
+                   hex(encode(COALESCE(text, ''))) AS hx,
+                   octet_length(encode(COALESCE(text, ''))) AS len
+            FROM documents
+        ),
+        bytes AS (
+            SELECT doc_id, len,
+                   list_transform(range(1, len + 1), i ->
+                       (strpos('0123456789ABCDEF', substr(hx, 2*i - 1, 1)) - 1) * 16
+                       + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1
+                   ) AS by
+            FROM b
+        ),
+        fps AS (
+            SELECT doc_id,
+                CASE WHEN len >= {k} THEN
+                    list_min(
+                        list_transform(
+                            list_transform(
+                                list_transform(
+                                    list_transform(range(0, len - {k - 1}), i -> ({gram}) % {M}),
+                                    g -> xor(g::UBIGINT, g::UBIGINT >> 33)),
+                                t -> {mulmod}),
+                            m -> xor(m::UBIGINT, m::UBIGINT >> 33))
+                    )::HUGEINT
+                ELSE 0::HUGEINT END AS fp_u
+            FROM bytes
+        )
+        SELECT doc_id,
+            CAST(CASE WHEN fp_u >= 9223372036854775808::HUGEINT
+                      THEN fp_u - {M}::HUGEINT ELSE fp_u END AS BIGINT) AS fingerprint
+        FROM fps
+    """
