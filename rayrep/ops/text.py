@@ -66,6 +66,44 @@ def segment_min(values: np.ndarray, offsets: np.ndarray, empty_val) -> np.ndarra
     return out
 
 
+def word_ngram_counts(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa.Table:
+    """Per-batch partial word-n-gram frequency counts (the map-side
+    pre-aggregate for a global vocabulary / n-gram frequency table — the
+    tokenizer-training shape). Fully vectorized: whitespace-split once,
+    drop empty tokens, build n-grams as ``binary_join_element_wise`` over
+    shifted slices of the flattened token array, mask grams that cross doc
+    boundaries, then an Arrow grouped count. Emits (ngram, n) partials;
+    callers finish with a tiny groupby-sum over distinct grams — shuffled
+    bytes are the batch's distinct-gram table, never the corpus."""
+    texts = batch.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern_regex(texts, pattern=r"\s+")
+    flat = pc.list_flatten(toks)
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    counts = segment_sum(keep.astype(np.int64), offsets)
+    flat = flat.filter(pa.array(keep))
+    total = len(flat)
+    empty = pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+    if total < n:
+        return empty
+    starts = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    ends = starts + counts
+    pos = np.arange(total - n + 1, dtype=np.int64)
+    doc_of = np.searchsorted(starts, pos, side="right") - 1
+    valid = pos + (n - 1) < ends[doc_of]
+    if not valid.any():
+        return empty
+    parts = [flat.slice(j, total - n + 1) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ").filter(pa.array(valid))
+    agg = pa.TableGroupBy(pa.table({"ngram": grams}), ["ngram"]).aggregate(
+        [([], "count_all")]
+    )
+    return agg.rename_columns(["ngram", "n"])
+
+
 class TextStats:
     """Per-doc counts: whitespace tokens, regex (BPE-ish) tokens, chars,
     punctuation/digit counts, stopword ratio, and a quality score in [0,1]

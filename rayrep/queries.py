@@ -728,6 +728,77 @@ def corpus_curation(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id"]]
 
 
+def ngram_topk(sf_dir: str) -> pd.DataFrame:
+    """Global word-trigram frequency top-100 — the tokenizer-training /
+    vocabulary-stats shape. Map-side partial counts collapse each batch to
+    its distinct-gram table before ONE groupby-sum shuffle (shuffled bytes
+    ~ distinct grams, never the corpus), then a deterministic
+    (count desc, ngram asc) top-k."""
+    from ray.data.aggregate import Sum
+
+    from rayrep.ops.text import word_ngram_counts
+
+    ds = _docs(sf_dir, columns=["text"])
+    partials = ds.map_batches(word_ngram_counts, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    counts = partials.groupby("ngram").aggregate(Sum("n", alias_name="n"))
+    return counts.sort(["n", "ngram"], descending=[True, False]).limit(100).to_pandas()
+
+
+def value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles (p50/p95 of value per event_type) — one
+    shuffle keyed by the group, DISCRETE quantile per group (the element at
+    index floor(q*(n-1)) of the sorted values: numpy method='lower'). An
+    actual element passes through bit-identical on both engines — the
+    interpolated quantile_cont differs from numpy in the last ulp, which
+    flips the oracle hash at rounding boundaries. Scale note: exact
+    quantiles need each group's values co-located once; at billions of
+    rows per group the scale path is a mergeable sketch (t-digest) in the
+    same partial/final shape as cdc_daily_counts — exactness is this
+    query's contract, so it shuffles values."""
+
+    def qs(g: pa.Table) -> pa.Table:
+        v = g.column("value").to_numpy()
+        return pa.table({
+            "event_type": [g.column("event_type")[0].as_py()],
+            "p50": [np.quantile(v, 0.5, method="lower")],
+            "p95": [np.quantile(v, 0.95, method="lower")],
+        })
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return ds.groupby("event_type").map_groups(qs, batch_format="pyarrow").to_pandas()
+
+
+def user_peak_hour(sf_dir: str) -> pd.DataFrame:
+    """Tumbling hourly windows per user → per-user peak window (argmax
+    count, tie → earliest window). Map-side partials pre-count
+    (user, window) per batch, so the single user-keyed shuffle carries
+    window counts, not events; the per-user argmax folds inside
+    map_groups."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.strftime(batch.column("ts"), format="%Y-%m-%d %H:00:00")
+        t = pa.table({"user_id": batch.column("user_id"), "window_start": w})
+        agg = pa.TableGroupBy(t, ["user_id", "window_start"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["user_id", "window_start", "n"])
+
+    def peak(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().groupby("window_start", as_index=False)["n"].sum()
+        df = df.sort_values(["n", "window_start"], ascending=[False, True],
+                            kind="stable").iloc[:1]
+        return pa.table({
+            "user_id": pa.array([g.column("user_id")[0].as_py()], pa.int64()),
+            "window_start": pa.array(df["window_start"].values),
+            "n": pa.array(df["n"].values.astype(np.int64)),
+        })
+
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby("user_id").map_groups(peak, batch_format="pyarrow").to_pandas()
+
+
 # ------------------------------------------------- windows / as-of joins
 def sessionize_users(sf_dir: str) -> pd.DataFrame:
     """Session windows (30-min gap) per user — the streaming-window custom
@@ -1088,6 +1159,9 @@ def queries() -> dict:
         "asof_click_value": asof_click_value,
         "multimodal_features": multimodal_features,
         "corpus_curation": corpus_curation,
+        "ngram_topk": ngram_topk,
+        "value_quantiles": value_quantiles,
+        "user_peak_hour": user_peak_hour,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -1359,6 +1433,44 @@ def oracle_sql() -> dict:
                      WHEN fr >= es THEN 'fr'
                      ELSE 'es' END AS lang_pred
             FROM s
+        """,
+        "ngram_topk": r"""
+            WITH toks AS (
+                SELECT list_filter(regexp_split_to_array(text, '\s+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ),
+            tg AS (
+                SELECT tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS ngram
+                FROM toks CROSS JOIN unnest(range(1, len(tk) - 1)) AS u(i)
+                WHERE len(tk) >= 3
+            )
+            SELECT ngram, count(*) AS n
+            FROM tg GROUP BY ngram
+            ORDER BY n DESC, ngram ASC
+            LIMIT 100
+        """,
+        "value_quantiles": """
+            WITH r AS (
+                SELECT event_type, value,
+                       row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS cnt
+                FROM events
+            )
+            SELECT event_type,
+                   max(CASE WHEN rn = (cnt - 1) * 50 // 100 + 1 THEN value END) AS p50,
+                   max(CASE WHEN rn = (cnt - 1) * 95 // 100 + 1 THEN value END) AS p95
+            FROM r GROUP BY event_type
+        """,
+        "user_peak_hour": """
+            WITH h AS (
+                SELECT user_id, strftime(ts, '%Y-%m-%d %H:00:00') AS window_start,
+                       count(*) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user_id, window_start, n FROM h
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY n DESC, window_start ASC) = 1
         """,
         # The winnowing fingerprint (rayrep/ops/text.py:Fingerprint) IS
         # SQL-expressible: k-gram polynomial hash mod 2^64 + murmur

@@ -68,6 +68,23 @@ def test_fingerprint_batch_invariant():
     assert a["fingerprint"][0].as_py() != a["fingerprint"][1].as_py()
 
 
+def test_word_ngram_counts_batch_invariant():
+    from collections import Counter
+
+    from rayrep.ops.text import word_ngram_counts
+
+    texts = ["a b c d e", "  x  y z ", "one two", "", "a b c", "p q r s"]
+    whole = word_ngram_counts(pa.table({"text": texts}))
+    merged = Counter()
+    for lo, hi in [(0, 2), (2, 3), (3, 6)]:   # arbitrary batch split
+        part = word_ngram_counts(pa.table({"text": texts[lo:hi]}))
+        merged.update(dict(zip(part["ngram"].to_pylist(), part["n"].to_pylist())))
+    assert dict(zip(whole["ngram"].to_pylist(), whole["n"].to_pylist())) == dict(merged)
+    # grams never cross doc boundaries; short/empty docs emit nothing
+    assert "d e x" not in merged and "one two a" not in merged
+    assert merged["a b c"] == 2 and merged["x y z"] == 1
+
+
 def test_exact_dedup(docs_ds):
     out = exact_dedup(docs_ds).to_pandas()
     assert len(out) == 5                      # 6 docs, one exact dup removed
