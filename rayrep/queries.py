@@ -526,6 +526,67 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def customers_without_urgent_orders(sf_dir: str) -> pd.DataFrame:
+    """Distributed ANTI-join (the set-difference shape of TPC-H Q22 and of
+    the applier's idempotence filter J5): customers with no 1-URGENT order.
+    Same ONE-shuffle tagged-union co-group as ``order_priority_revenue``,
+    with two anti-join-specific scale moves: the right side is filtered at
+    the read (only urgent orders leave storage) and pre-DISTINCTed per
+    batch before the exchange, so the shuffle carries at most one 8-byte
+    key per (batch, customer) instead of one row per order; each partition
+    then inverts the `_cogroup_match` semi-join mask to keep the unmatched
+    left rows."""
+    P = 32
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal"],
+    )
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderpriority"],
+    )
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = t.column("c_custkey").to_numpy()
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "bal": t.column("c_acctbal"),
+            "is_right": pa.array(np.zeros(len(key), bool)),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        urgent = pc.equal(t.column("o_orderpriority"), pa.scalar("1-URGENT"))
+        key = np.unique(t.filter(urgent).column("o_custkey").to_numpy())
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "bal": pa.nulls(len(key), pa.float64()),
+            "is_right": pa.array(np.ones(len(key), bool)),
+        })
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        od.map_batches(tag_orders, batch_format="pyarrow"))
+
+    def anti(group: pa.Table) -> pa.Table:
+        is_right = group.column("is_right").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy()
+        li = np.flatnonzero(~is_right)
+        rk = np.unique(key[is_right])
+        lk = key[li]
+        pos = np.searchsorted(rk, lk)
+        matched = (pos < len(rk)) & (rk[np.minimum(pos, max(len(rk) - 1, 0))] == lk) \
+            if len(rk) else np.zeros(len(lk), bool)
+        keep = li[~matched]
+        return pa.table({
+            "c_custkey": pa.array(lk[~matched]),
+            "c_acctbal": group.column("bal").take(pa.array(keep)),
+        })
+
+    out = both.groupby("part_id").map_groups(anti, batch_format="pyarrow").to_pandas()
+    return out[["c_custkey", "c_acctbal"]]
+
+
 # ------------------------------------------------------- training-data ops
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Min-id + count per distinct text via fully-vectorized grouped
@@ -1141,6 +1202,7 @@ def queries() -> dict:
         "orders_by_segment": orders_by_segment,
         "revenue_by_nation": revenue_by_nation,
         "order_priority_revenue": order_priority_revenue,
+        "customers_without_urgent_orders": customers_without_urgent_orders,
         "distinct_event_types": distinct_event_types,
         "sample_orders": sample_orders,
         "dedup_exact": dedup_exact,
@@ -1252,6 +1314,11 @@ def oracle_sql() -> dict:
                    round(sum(l_extendedprice * (1 - l_discount)), 3) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "customers_without_urgent_orders": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
         """,
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
