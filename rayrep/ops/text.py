@@ -104,6 +104,19 @@ def word_ngram_counts(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa
     return agg.rename_columns(["ngram", "n"])
 
 
+def whitespace_token_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Whitespace token count on TRIMMED text, defined identically to the
+    SQL oracle `length(regexp_split_to_array(trim(text), '\\s+'))`. DuckDB
+    trim() strips ASCII spaces only, so trim exactly " " here —
+    utf8_trim_whitespace would also strip tabs/newlines and diverge."""
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    trimmed = pc.utf8_trim(text, " ")
+    return pc.add(
+        pc.count_substring_regex(trimmed, pattern=r"\s+").cast(pa.int64()), 1
+    )
+
+
 class TextStats:
     """Per-doc counts: whitespace tokens, regex (BPE-ish) tokens, chars,
     punctuation/digit counts, stopword ratio, and a quality score in [0,1]
@@ -125,14 +138,7 @@ class TextStats:
         ).cast(pa.int64()) if hasattr(pc, "extract_regex_span") else None
         if tok_counts is None:
             tok_counts = pc.count_substring_regex(text, pattern=TOKEN_RE).cast(pa.int64())
-        # whitespace token count on TRIMMED text (defined identically to the
-        # SQL oracle: length(regexp_split_to_array(trim(text), '\s+'));
-        # DuckDB trim() strips ASCII spaces only, so trim exactly " " here —
-        # utf8_trim_whitespace would also strip tabs/newlines and diverge)
-        trimmed = pc.utf8_trim(text, " ")
-        ws_counts = pc.add(
-            pc.count_substring_regex(trimmed, pattern=r"\s+").cast(pa.int64()), 1
-        )
+        ws_counts = whitespace_token_counts(text)
         n_punct = pc.count_substring_regex(text, pattern=r"[^\w\s]").cast(pa.int64())
         n_digit = pc.count_substring_regex(text, pattern=r"[0-9]").cast(pa.int64())
 

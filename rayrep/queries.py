@@ -587,6 +587,19 @@ def customers_without_urgent_orders(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_acctbal"]]
 
 
+def pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Concat-and-chunk sequence packing: assign every document to its
+    2048-token pretraining context bin via a distributed global prefix
+    sum (see rayrep/ops/pack.py for the two-pass plan — per-part partial
+    sums -> broadcast exclusive offsets -> in-part cumsum)."""
+    from rayrep.ops.pack import pack_sequences_ds
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = pack_sequences_ds(ds, capacity=2048, chunk=256).to_pandas()
+    out["bin_id"] = out["bin_id"].astype(np.int64)
+    return out[["doc_id", "n_tokens", "bin_id"]]
+
+
 # ------------------------------------------------------- training-data ops
 def dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Min-id + count per distinct text via fully-vectorized grouped
@@ -1206,6 +1219,7 @@ def queries() -> dict:
         "distinct_event_types": distinct_event_types,
         "sample_orders": sample_orders,
         "dedup_exact": dedup_exact,
+        "pack_sequences": pack_sequences,
         "dedup_exact_rows": dedup_exact_rows,
         "token_stats": token_stats,
         "lang_id_pred": lang_id_pred,
@@ -1439,6 +1453,22 @@ def oracle_sql() -> dict:
                   AND en >= de AND en >= fr AND en >= es
             )
             SELECT min(doc_id) AS doc_id FROM f GROUP BY text
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       length(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                                0) AS strt
+                FROM t
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(strt // 2048 AS BIGINT) AS bin_id
+            FROM c
         """,
         "token_stats": r"""
             SELECT doc_id,

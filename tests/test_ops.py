@@ -54,6 +54,35 @@ def test_text_stats(docs_ds):
     assert 0 <= row0["quality"] <= 1
 
 
+def test_pack_sequences_partition_invariant():
+    """The chunk knob changes the distribution plan, never the bins; bins
+    match the sequential concat-and-chunk reference and are monotone."""
+    from rayrep.ops.pack import pack_sequences_ds
+
+    rng = np.random.default_rng(7)
+    n = 300
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(["tok"] * int(k)) for k in rng.integers(1, 40, n)],
+    })
+    ref_tokens = docs["text"].str.split().str.len().to_numpy(np.int64)
+    ref_bins = (np.cumsum(ref_tokens) - ref_tokens) // 64
+
+    outs = []
+    for chunk in (16, 1000):
+        out = (
+            pack_sequences_ds(rd.from_pandas(docs), capacity=64, chunk=chunk)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert np.array_equal(out["n_tokens"].to_numpy(np.int64), ref_tokens)
+        assert np.array_equal(out["bin_id"].to_numpy(np.int64), ref_bins)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
+    assert (np.diff(outs[0]["bin_id"].to_numpy()) >= 0).all()
+
+
 def test_lang_id(docs_ds):
     out = docs_ds.map_batches(LangId(), batch_format="pyarrow").to_pandas()
     langs = out.set_index("doc_id")["lang_pred"]
