@@ -104,6 +104,37 @@ def word_ngram_counts(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa
     return agg.rename_columns(["ngram", "n"])
 
 
+class CleanText:
+    """C4-family text normalization as one vectorized Arrow stage: strip
+    URLs, collapse whitespace runs to single spaces, trim, and drop docs
+    whose cleaned text is shorter than ``min_len``. Both Arrow and DuckDB
+    compile regexes with RE2, so the SQL oracle
+    (regexp_replace(..., 'g') chains) is semantics-identical, not merely
+    approximately equivalent."""
+
+    URL_RE = r"https?://\S+"
+
+    def __init__(self, text_col: str = "text", min_len: int = 20):
+        self.text_col = text_col
+        self.min_len = min_len
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        no_url = pc.replace_substring_regex(text, pattern=self.URL_RE,
+                                            replacement="")
+        one_ws = pc.replace_substring_regex(no_url, pattern=r"\s+",
+                                            replacement=" ")
+        clean = pc.utf8_trim(one_ws, " ")
+        n = pc.utf8_length(clean).cast(pa.int64())
+        keep = pc.greater_equal(n, pa.scalar(self.min_len))
+        out = batch.drop_columns([self.text_col])
+        out = out.append_column("clean_text", clean)
+        out = out.append_column("clean_len", n)
+        return out.filter(keep)
+
+
 def whitespace_token_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Whitespace token count on TRIMMED text, defined identically to the
     SQL oracle `length(regexp_split_to_array(trim(text), '\\s+'))`. DuckDB

@@ -587,6 +587,33 @@ def customers_without_urgent_orders(sf_dir: str) -> pd.DataFrame:
     return out[["c_custkey", "c_acctbal"]]
 
 
+def clean_text_docs(sf_dir: str) -> pd.DataFrame:
+    """C4-style normalization over a deterministically dirtied corpus
+    (the clean synthetic docs get a planted URL prefix + whitespace run,
+    mirrored in the SQL oracle, so URL-strip / collapse / trim / length
+    filter all do real work): strip URLs, collapse whitespace, trim,
+    keep docs with >= 200 cleaned chars."""
+    from rayrep.ops.text import CleanText
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def dirty(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        text = pc.binary_join_element_wise(
+            pa.scalar("http://spam.example/"), pc.cast(ids, pa.string()),
+            pa.scalar("  "), t.column("text"), pa.scalar(" "), "")
+        return pa.table({"doc_id": ids, "text": text})
+
+    out = (
+        ds.map_batches(dirty, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(CleanText(min_len=200), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["doc_id", "clean_text", "clean_len"]]
+
+
 def pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Concat-and-chunk sequence packing: assign every document to its
     2048-token pretraining context bin via a distributed global prefix
@@ -1220,6 +1247,7 @@ def queries() -> dict:
         "sample_orders": sample_orders,
         "dedup_exact": dedup_exact,
         "pack_sequences": pack_sequences,
+        "clean_text_docs": clean_text_docs,
         "dedup_exact_rows": dedup_exact_rows,
         "token_stats": token_stats,
         "lang_id_pred": lang_id_pred,
@@ -1453,6 +1481,23 @@ def oracle_sql() -> dict:
                   AND en >= de AND en >= fr AND en >= es
             )
             SELECT min(doc_id) AS doc_id FROM f GROUP BY text
+        """,
+        "clean_text_docs": r"""
+            WITH d AS (
+                SELECT doc_id,
+                       'http://spam.example/' || doc_id || '  ' || text || ' '
+                           AS text
+                FROM documents
+            ), c AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(text,
+                            'https?://\S+', '', 'g'), '\s+', ' ', 'g'),
+                            ' ') AS clean_text
+                FROM d
+            )
+            SELECT doc_id, clean_text,
+                   CAST(length(clean_text) AS BIGINT) AS clean_len
+            FROM c WHERE length(clean_text) >= 200
         """,
         "pack_sequences": r"""
             WITH t AS (
