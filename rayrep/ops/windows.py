@@ -55,6 +55,94 @@ def sessionize(
     )
 
 
+def range_join_count(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts_col: str = "ts",
+    window_us: int = 3_600_000_000,
+    out_col: str = "n_in_window",
+    keep_cols: list[str] | None = None,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Bounded non-equi RANGE join, reduced to a count: for every left
+    row, the number of right rows with the same key and
+    ``ts in [left.ts - window, left.ts]`` (both ends inclusive — SQL
+    BETWEEN). Left rows with no match emit 0 (LEFT JOIN COUNT semantics).
+
+    One hash shuffle by key, then fully vectorized per partition: right
+    rows sort by (key, ts) into contiguous segments, each segment's
+    timestamps are SHIFTED by ``segment_index * stride`` (stride > span +
+    window, so segments cannot collide), and both window bounds for ALL
+    left rows resolve with two global ``np.searchsorted`` calls — no
+    per-key Python loop. Segments whose shifted range would overflow
+    int64 (≳2^62: ~10^5 keys/partition × a decade span in µs) fall back
+    to chunked processing of the segment list.
+    """
+    keep_cols = keep_cols or []
+    lschema = left.schema()
+    keep_types = {c: lschema.types[list(lschema.names).index(c)]
+                  for c in keep_cols}
+
+    def tag(t: pa.Table, side: int, cols: list[str]) -> pa.Table:
+        out = {c: t.column(c) for c in cols}
+        n = t.num_rows
+        for c in keep_cols:
+            if c not in out:
+                out[c] = pa.nulls(n, keep_types[c])
+        out["__side"] = pa.array(np.full(n, side, dtype=np.int8))
+        return pa.table(out)
+
+    lt = left.map_batches(lambda t: tag(t, 0, [key, ts_col] + keep_cols),
+                          batch_format="pyarrow")
+    rt = right.map_batches(lambda t: tag(t, 1, [key, ts_col]),
+                           batch_format="pyarrow")
+    both = lt.union(rt)
+
+    def per_part(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        ts = group.column(ts_col)
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_timestamp(ts.type) else ts.to_numpy()
+        keys = group.column(key).to_numpy()
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        counts = np.zeros(len(li), np.int64)
+        if len(ri) and len(li):
+            tmin = tsv.min()
+            span = int(tsv.max() - tmin)
+            stride = span + window_us + 2
+            order = np.lexsort((tsv[ri], keys[ri]))
+            rk, rts = keys[ri][order], tsv[ri][order].astype(np.int64) - tmin
+            uniq_k, seg_start = np.unique(rk, return_index=True)
+            seg_len = np.diff(np.append(seg_start, len(rk)))
+            seg_of_r = np.repeat(np.arange(len(uniq_k)), seg_len)
+            lseg = np.searchsorted(uniq_k, keys[li])
+            has = (lseg < len(uniq_k)) & (uniq_k[np.minimum(lseg, len(uniq_k) - 1)]
+                                          == keys[li])
+            max_chunk = max(int((2 ** 62) // stride), 1)
+            for c0 in range(0, len(uniq_k), max_chunk):
+                c1 = min(c0 + max_chunk, len(uniq_k))
+                rmask = (seg_of_r >= c0) & (seg_of_r < c1)
+                shifted_r = (seg_of_r[rmask] - c0) * stride + rts[rmask]
+                lmask = has & (lseg >= c0) & (lseg < c1)
+                lts = tsv[li][lmask].astype(np.int64) - tmin
+                base = (lseg[lmask] - c0) * stride
+                lo = np.searchsorted(shifted_r, base + lts - window_us,
+                                     side="left")
+                hi = np.searchsorted(shifted_r, base + lts, side="right")
+                counts[lmask] = hi - lo
+        cols = {key: pa.array(keys[li])}
+        for c in keep_cols:
+            cols[c] = group.column(c).take(pa.array(li))
+        cols[out_col] = pa.array(counts)
+        return pa.table(cols)
+
+    return _with_part(both, key, num_partitions).groupby("part_id").map_groups(
+        per_part, batch_format="pyarrow"
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -911,6 +911,32 @@ def sessionize_users(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "n_sessions", "n_events"]]
 
 
+def clicks_before_purchase(sf_dir: str) -> pd.DataFrame:
+    """Bounded range join (non-equi): for every purchase, the number of
+    same-user clicks in the preceding hour (BETWEEN-inclusive). One hash
+    shuffle; per-partition segment-shifted searchsorted — see
+    rayrep/ops/windows.range_join_count."""
+    from rayrep.ops.windows import range_join_count
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "purchase")).select(
+            ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).select(
+            ["user_id", "ts"]),
+        batch_format="pyarrow",
+    )
+    out = range_join_count(
+        purchases, clicks, key="user_id", ts_col="ts",
+        window_us=3_600_000_000, out_col="n_prior_clicks",
+        keep_cols=["event_id"],
+    ).to_pandas()
+    return out[["event_id", "user_id", "n_prior_clicks"]]
+
+
 def asof_click_value(sf_dir: str) -> pd.DataFrame:
     """As-of join: each purchase picks the latest prior click's value for
     the same user (backward inner as-of; tie on click ts broken by max
@@ -1261,6 +1287,7 @@ def queries() -> dict:
         "ann_ivf_pruned": ann_ivf_pruned,
         "sessionize_users": sessionize_users,
         "asof_click_value": asof_click_value,
+        "clicks_before_purchase": clicks_before_purchase,
         "multimodal_features": multimodal_features,
         "corpus_curation": corpus_curation,
         "ngram_topk": ngram_topk,
@@ -1555,6 +1582,17 @@ def oracle_sql() -> dict:
             )
             SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
             FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "clicks_before_purchase": """
+            SELECT p.event_id, p.user_id,
+                   count(c.ts) AS n_prior_clicks
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            GROUP BY p.event_id, p.user_id
         """,
         "lang_id_pred": r"""
             WITH s AS (

@@ -83,6 +83,47 @@ def test_pack_sequences_partition_invariant():
     assert (np.diff(outs[0]["bin_id"].to_numpy()) >= 0).all()
 
 
+def test_range_join_count_brute_force():
+    """range_join_count vs an O(n^2) reference, covering BETWEEN-inclusive
+    boundaries, keys with no right rows, left ts before all right ts, and
+    the int64-overflow chunked path (huge window -> max_chunk < n_keys)."""
+    from rayrep.ops.windows import range_join_count
+
+    rng = np.random.default_rng(11)
+    n_l, n_r, n_keys, W = 400, 600, 300, 100
+    left = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n_l).astype(np.int64),
+        "ts": rng.integers(0, 5000, n_l).astype(np.int64),
+        "rid": np.arange(n_l, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(50, n_keys + 50, n_r).astype(np.int64),
+        "ts": rng.integers(0, 5000, n_r).astype(np.int64),
+    })
+    # force exact-boundary hits: right rows at ts and ts-W of some lefts
+    right.loc[:20, ["k", "ts"]] = left.loc[:20, ["k", "ts"]].to_numpy()
+    right.loc[21:40, "k"] = left.loc[21:40, "k"].to_numpy()
+    right.loc[21:40, "ts"] = left.loc[21:40, "ts"].to_numpy() - W
+
+    def brute(window):
+        return np.array([
+            ((right.k.to_numpy() == l.k)
+             & (right.ts.to_numpy() >= l.ts - window)
+             & (right.ts.to_numpy() <= l.ts)).sum()
+            for l in left.itertuples()
+        ], np.int64)
+
+    for window in (W, 2 ** 55):  # 2^55 stride -> ~128-key chunks
+        out = (
+            range_join_count(rd.from_pandas(left), rd.from_pandas(right),
+                             key="k", ts_col="ts", window_us=window,
+                             out_col="n", keep_cols=["rid"])
+            .to_pandas().sort_values("rid").reset_index(drop=True)
+        )
+        assert len(out) == n_l
+        assert np.array_equal(out["n"].to_numpy(np.int64), brute(window))
+
+
 def test_lang_id(docs_ds):
     out = docs_ds.map_batches(LangId(), batch_format="pyarrow").to_pandas()
     langs = out.set_index("doc_id")["lang_pred"]
