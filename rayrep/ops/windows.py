@@ -64,6 +64,7 @@ def range_join_count(
     out_col: str = "n_in_window",
     keep_cols: list[str] | None = None,
     num_partitions: int = 16,
+    left_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """Bounded non-equi RANGE join, reduced to a count: for every left
     row, the number of right rows with the same key and
@@ -80,7 +81,10 @@ def range_join_count(
     to chunked processing of the segment list.
     """
     keep_cols = keep_cols or []
-    lschema = left.schema()
+    # Dataset.schema() on a lazy map_batches pipeline EXECUTES a prefix to
+    # discover the schema (~1s fixed overhead) — callers that know their
+    # schema pass it to skip that probe.
+    lschema = left_schema if left_schema is not None else left.schema()
     keep_types = {c: lschema.types[list(lschema.names).index(c)]
                   for c in keep_cols}
 
@@ -152,6 +156,8 @@ def asof_join(
     suffix: str = "_right",
     num_partitions: int = 16,
     right_tiebreak: str | None = None,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ) -> rd.Dataset:
     """As-of (backward) join: each left row picks the right row with the
     greatest ``ts <= left.ts`` for the same key; left rows without a match
@@ -166,10 +172,13 @@ def asof_join(
     value_cols = value_cols or []
 
     rt_cols = [key, ts_col] + value_cols + ([right_tiebreak] if right_tiebreak else [])
-    # union both sides under ONE schema (nulls for the other side's columns)
-    lschema = left.schema()
+    # union both sides under ONE schema (nulls for the other side's columns).
+    # Dataset.schema() on a lazy pipeline EXECUTES a prefix to discover the
+    # schema (~1s fixed overhead per side) — callers that know their schemas
+    # pass them to skip both probes.
+    lschema = left_schema if left_schema is not None else left.schema()
     lcols = list(lschema.names)
-    rschema = right.schema()
+    rschema = right_schema if right_schema is not None else right.schema()
     union_fields = [(n, lschema.types[lcols.index(n)]) for n in lcols]
     for n in rt_cols:
         if n not in lcols:

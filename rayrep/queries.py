@@ -933,6 +933,9 @@ def clicks_before_purchase(sf_dir: str) -> pd.DataFrame:
         purchases, clicks, key="user_id", ts_col="ts",
         window_us=3_600_000_000, out_col="n_prior_clicks",
         keep_cols=["event_id"],
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()),
+                               ("ts", pa.timestamp("us"))]),
     ).to_pandas()
     return out[["event_id", "user_id", "n_prior_clicks"]]
 
@@ -956,9 +959,16 @@ def asof_click_value(sf_dir: str) -> pd.DataFrame:
         lambda t: t.filter(pc.equal(t["event_type"], "click")),
         batch_format="pyarrow",
     )
+    ts_t = pa.timestamp("us")
     out = asof_join(
         purchases, clicks, key="user_id", ts_col="ts",
         value_cols=["value"], right_tiebreak="event_id",
+        left_schema=pa.schema([("event_id", pa.int64()),
+                               ("user_id", pa.int64()), ("ts", ts_t)]),
+        right_schema=pa.schema([("event_id", pa.int64()),
+                                ("user_id", pa.int64()), ("ts", ts_t),
+                                ("event_type", pa.string()),
+                                ("value", pa.float64())]),
     ).to_pandas()
     out = out.rename(columns={"value": "click_value"})
     return out[["event_id", "user_id", "ts", "click_value"]]
