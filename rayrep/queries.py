@@ -614,6 +614,51 @@ def clean_text_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "clean_text", "clean_len"]]
 
 
+def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
+    """Stratified sampling for data-mixture balancing: a deterministic
+    20-doc sample per language, ordered by a Knuth multiplicative hash of
+    doc_id (cross-engine reproducible, unlike random_sample). Same
+    grouped-top-k discipline as top_orders_per_segment: each batch keeps
+    only its local top-20 per lang, so the shuffle carries at most
+    20 x langs rows per batch. (Hash stays in int64 up to ~3x10^9 ids;
+    beyond that switch the multiplier to a 32-bit splitmix step.)"""
+    K = 20
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        h = (ids * 2654435761) % 4294967296
+        return t.append_column("h", pa.array(h.astype(np.int64)))
+
+    def local_prune(t: pa.Table, k: int = K) -> pa.Table:
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy()
+        h = t.column("h").to_numpy()
+        codes, _ = pd.factorize(lang, sort=False)
+        order = np.lexsort((ids, h, codes))
+        cs = codes[order]
+        seg_start = np.ones(len(cs), dtype=bool)
+        if len(cs) > 1:
+            seg_start[1:] = cs[1:] != cs[:-1]
+        start_pos = np.maximum.accumulate(np.where(seg_start, np.arange(len(cs)), 0))
+        keep = (np.arange(len(cs)) - start_pos) < k
+        return t.take(pa.array(order[keep]))
+
+    def final(group: pa.Table, k: int = K) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("h", "ascending"),
+                                                ("doc_id", "ascending")])
+        return group.take(idx[:k]).select(["lang", "doc_id"])
+
+    out = (
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(local_prune, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["lang", "doc_id"]]
+
+
 def pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Concat-and-chunk sequence packing: assign every document to its
     2048-token pretraining context bin via a distributed global prefix
@@ -1284,6 +1329,7 @@ def queries() -> dict:
         "dedup_exact": dedup_exact,
         "pack_sequences": pack_sequences,
         "clean_text_docs": clean_text_docs,
+        "stratified_sample_docs": stratified_sample_docs,
         "dedup_exact_rows": dedup_exact_rows,
         "token_stats": token_stats,
         "lang_id_pred": lang_id_pred,
@@ -1518,6 +1564,14 @@ def oracle_sql() -> dict:
                   AND en >= de AND en >= fr AND en >= es
             )
             SELECT min(doc_id) AS doc_id FROM f GROUP BY text
+        """,
+        "stratified_sample_docs": """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       (doc_id * 2654435761) % 4294967296 AS h
+                FROM documents)
+            QUALIFY row_number() OVER (PARTITION BY lang
+                                       ORDER BY h, doc_id) <= 20
         """,
         "clean_text_docs": r"""
             WITH d AS (
