@@ -147,6 +147,73 @@ def range_join_count(
     )
 
 
+def rolling_mean(
+    ds: rd.Dataset,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n: int = 5,
+    tiebreak: str = "event_id",
+    out_col: str = "rolling_avg",
+    num_partitions: int = 16,
+    emit_sum_count: bool = False,
+) -> rd.Dataset:
+    """Sliding-window aggregate: for every row, the mean of ``value_col``
+    over the key's trailing ``n`` rows (ROWS BETWEEN n-1 PRECEDING AND
+    CURRENT ROW, ordered by (ts, tiebreak)). One hash shuffle; inside a
+    partition ALL keys resolve together — one lexsort, then the trailing
+    window accumulates as ``n`` segment-masked shifted adds (oldest row
+    first, the same left-to-right order a SQL engine sums a 5-row frame),
+    NOT as a cumsum difference: subtracting two long prefixes carries the
+    whole prefix's float error (~1e-10 at 10^5 rows) into a 5-term sum
+    and flips 3-decimal rounding boundaries cross-engine; direct
+    summation keeps the error at machine epsilon of the window sum.
+    No per-key Python.
+
+    ``emit_sum_count=True`` emits (``out_col`` = window sum, ``n_window``)
+    instead of the mean — the cross-engine-deterministic form: a mean of
+    k fixed-decimal values lands exactly on round-half boundaries
+    (e.g. mean of four 2-decimal values = multiples of 0.0025), where
+    Python's banker's rounding and SQL's half-away-from-zero disagree;
+    the window SUM of fixed-decimal inputs never does."""
+
+    def per_part(group: pa.Table) -> pa.Table:
+        keys = group.column(key).to_numpy()
+        ts = group.column(ts_col)
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_timestamp(ts.type) else ts.to_numpy()
+        tb = group.column(tiebreak).to_numpy()
+        val = group.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, tsv, keys))
+        k_s, v_s = keys[order], val[order].astype(np.float64)
+        m = len(k_s)
+        seg_start = np.ones(m, dtype=bool)
+        if m > 1:
+            seg_start[1:] = k_s[1:] != k_s[:-1]
+        start_pos = np.maximum.accumulate(
+            np.where(seg_start, np.arange(m), 0))
+        idx = np.arange(m)
+        lo = np.maximum(idx - (n - 1), start_pos)
+        sums = np.zeros(m, np.float64)
+        for j in range(n - 1, -1, -1):  # oldest window row first
+            valid = idx - j >= lo
+            sums[valid] += v_s[idx[valid] - j]
+        counts = idx - lo + 1
+        out = np.empty(m, np.float64)
+        if emit_sum_count:
+            out[order] = sums
+            nw = np.empty(m, np.int64)
+            nw[order] = counts
+            return group.append_column(out_col, pa.array(out)) \
+                        .append_column("n_window", pa.array(nw))
+        out[order] = sums / counts
+        return group.append_column(out_col, pa.array(out))
+
+    return _with_part(ds, key, num_partitions).groupby("part_id").map_groups(
+        per_part, batch_format="pyarrow"
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -985,6 +985,25 @@ def clicks_before_purchase(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "user_id", "n_prior_clicks"]]
 
 
+def rolling_value_avg(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window aggregate: per event, SUM + COUNT of value over the
+    user's trailing 5 events (see rayrep/ops/windows.rolling_mean —
+    one shuffle, segment-masked shifted adds, no per-key Python).
+    Emits (sum, count) rather than the mean: a mean of k 2-decimal
+    values lands exactly on round-half boundaries where numpy
+    (banker's) and SQL (half-away) disagree — measured 26/10k rows
+    flipped at sf0.01; the window SUM is a multiple of 0.01 and
+    round(2) is deterministic cross-engine."""
+    from rayrep.ops.windows import rolling_mean
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    out = rolling_mean(ev, key="user_id", ts_col="ts", value_col="value",
+                       n=5, out_col="rolling_sum",
+                       emit_sum_count=True).to_pandas()
+    out["rolling_sum"] = out["rolling_sum"].round(2)
+    return out[["event_id", "user_id", "rolling_sum", "n_window"]]
+
+
 def asof_click_value(sf_dir: str) -> pd.DataFrame:
     """As-of join: each purchase picks the latest prior click's value for
     the same user (backward inner as-of; tie on click ts broken by max
@@ -1344,6 +1363,7 @@ def queries() -> dict:
         "sessionize_users": sessionize_users,
         "asof_click_value": asof_click_value,
         "clicks_before_purchase": clicks_before_purchase,
+        "rolling_value_avg": rolling_value_avg,
         "multimodal_features": multimodal_features,
         "corpus_curation": corpus_curation,
         "ngram_topk": ngram_topk,
@@ -1646,6 +1666,14 @@ def oracle_sql() -> dict:
             )
             SELECT p.event_id, p.user_id, p.ts, c.value AS click_value
             FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "rolling_value_avg": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w, 2) AS rolling_sum,
+                   count(value) OVER w AS n_window
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         """,
         "clicks_before_purchase": """
             SELECT p.event_id, p.user_id,

@@ -319,3 +319,44 @@ def test_multimodal_real_image_decode():
     out2 = DecodeImage(decoder="real", feat_dim=16)(media)
     assert np.allclose(np.stack(out["feature"].to_numpy(zero_copy_only=False)),
                        np.stack(out2["feature"].to_numpy(zero_copy_only=False)))
+
+
+def test_rolling_mean_brute_force():
+    """rolling_mean vs a pandas groupby().rolling() reference, covering
+    window clamping at segment starts, duplicate-ts tiebreak ordering,
+    mean and (sum, count) emit modes, and partition invariance."""
+    from rayrep.ops.windows import rolling_mean
+
+    rng = np.random.default_rng(3)
+    n, n_keys, w = 500, 40, 5
+    df = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n).astype(np.int64),
+        "ts": rng.integers(0, 80, n).astype(np.int64),  # many ts ties
+        "event_id": np.arange(n, dtype=np.int64),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    ref = df.sort_values(["k", "ts", "event_id"], kind="stable")
+    g = ref.groupby("k")["value"]
+    ref = ref.assign(
+        exp_mean=g.transform(lambda s: s.rolling(w, min_periods=1).mean()),
+        exp_sum=g.transform(lambda s: s.rolling(w, min_periods=1).sum()),
+        exp_n=g.transform(lambda s: s.rolling(w, min_periods=1).count()),
+    ).sort_values("event_id").reset_index(drop=True)
+
+    for parts in (1, 7):
+        out = (
+            rolling_mean(rd.from_pandas(df), key="k", ts_col="ts",
+                         value_col="value", n=w, num_partitions=parts)
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        assert np.allclose(out["rolling_avg"], ref["exp_mean"], atol=1e-9)
+
+    out = (
+        rolling_mean(rd.from_pandas(df), key="k", ts_col="ts",
+                     value_col="value", n=w, out_col="s",
+                     emit_sum_count=True, num_partitions=4)
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    )
+    assert np.allclose(out["s"], ref["exp_sum"], atol=1e-9)
+    assert np.array_equal(out["n_window"].to_numpy(np.int64),
+                          ref["exp_n"].to_numpy(np.int64))
