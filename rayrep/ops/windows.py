@@ -214,6 +214,62 @@ def rolling_mean(
     )
 
 
+def ordered_string_agg(
+    ds: rd.Dataset,
+    key: str,
+    value_col: str,
+    ts_col: str = "ts",
+    tiebreak: str = "event_id",
+    sep: str = ">",
+    out_col: str = "journey",
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """Ordered per-key string concatenation (SQL ``string_agg(v, sep
+    ORDER BY ts, tiebreak)``) — the conversation-reconstruction /
+    clickstream-path shape: every key's values joined in event order.
+    One hash shuffle; inside a partition ALL keys resolve together:
+    one lexsort, then ONE ``sep.join`` over the whole partition and
+    per-key slicing by cumulative character offsets — O(total chars)
+    with no per-key join calls (the only Python loop is one slice per
+    OUTPUT row, unavoidable since each output cell is a fresh string).
+    Returns (key, out_col, n_events)."""
+
+    def per_part(group: pa.Table) -> pa.Table:
+        keys = group.column(key).to_numpy()
+        ts = group.column(ts_col)
+        tsv = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            if pa.types.is_timestamp(ts.type) else ts.to_numpy()
+        tb = group.column(tiebreak).to_numpy()
+        vals = group.column(value_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, tsv, keys))
+        k_s, v_s = keys[order], vals[order]
+        m = len(k_s)
+        if m == 0:
+            return pa.table({key: pa.array([], group.schema.field(key).type),
+                             out_col: pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64())})
+        starts = np.flatnonzero(
+            np.concatenate(([True], k_s[1:] != k_s[:-1])))
+        ends = np.concatenate((starts[1:], [m]))
+        big = sep.join(v_s.tolist())
+        lens = pa.compute.utf8_length(
+            pa.array(v_s, pa.string())).to_numpy(zero_copy_only=False)
+        # char offset where row i's value starts inside `big`
+        char_start = np.concatenate(([0], np.cumsum(lens + len(sep))[:-1]))
+        char_end = char_start + lens
+        out = [big[char_start[s]:char_end[e - 1]]
+               for s, e in zip(starts, ends)]
+        return pa.table({
+            key: pa.array(k_s[starts]),
+            out_col: pa.array(out, pa.string()),
+            "n_events": pa.array((ends - starts).astype(np.int64)),
+        })
+
+    return _with_part(ds, key, num_partitions).groupby("part_id").map_groups(
+        per_part, batch_format="pyarrow"
+    )
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,

@@ -1004,6 +1004,193 @@ def rolling_value_avg(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "user_id", "rolling_sum", "n_window"]]
 
 
+def user_journey(sf_dir: str) -> pd.DataFrame:
+    """Ordered per-key string aggregation (clickstream path / conversation
+    reconstruction): every user's event types joined in (ts, event_id)
+    order. One shuffle; per partition one lexsort + ONE join over the
+    whole partition with per-key slicing by char offsets — no per-key
+    join calls (see rayrep/ops/windows.ordered_string_agg)."""
+    from rayrep.ops.windows import ordered_string_agg
+
+    ev = _events(sf_dir, columns=["event_id", "user_id", "ts", "event_type"])
+    out = ordered_string_agg(ev, key="user_id", value_col="event_type",
+                             ts_col="ts", tiebreak="event_id").to_pandas()
+    return out[["user_id", "journey", "n_events"]]
+
+
+def event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Conditional-aggregate pivot (the funnel shape): per user, one count
+    column per event type plus the total — SQL's ``count(*) FILTER``.
+    Arrow-native per-batch partials (one boolean cast per pivot column,
+    one TableGroupBy) collapse each batch to ≤|users| rows before the
+    tiny final groupby — the same pre-aggregate discipline as A1."""
+    TYPES = ["click", "view", "purchase", "signup", "error"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type")
+        cols = {"user_id": batch.column("user_id")}
+        for t in TYPES:
+            cols[f"n_{t}"] = pc.cast(pc.equal(et, pa.scalar(t)), pa.int64())
+        cols["n_total"] = pa.array(np.ones(len(batch), np.int64))
+        t = pa.table(cols)
+        agg = pa.TableGroupBy(t, ["user_id"]).aggregate(
+            [(c, "sum") for c in t.column_names if c != "user_id"])
+        return agg.rename_columns(["user_id"] + [f"n_{t}" for t in TYPES]
+                                  + ["n_total"])
+
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+    out = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "user_id").aggregate(
+        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in TYPES],
+        Sum("n_total", alias_name="n_total"),
+    ).to_pandas()
+    for c in out.columns:
+        if c != "user_id":
+            out[c] = out[c].astype(np.int64)
+    return out
+
+
+def shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3 shape: customer(segment) ⋉ orders(date) ⋈ lineitem(date),
+    revenue per order, global top-10. Two co-group shuffles — the minimum
+    for a 3-table join with different keys: (1) orders semi-join the
+    BUILDING custkey set on custkey (filters pushed to the read side of
+    each tag, so only qualifying skinny rows enter the exchange); (2) the
+    surviving (orderkey, date, priority) rows co-group with date-filtered
+    lineitem on orderkey, where each partition owns every lineitem of its
+    orderkeys, so per-order revenue is final in place and each partition
+    emits only its local top-10 — the driver sees ≤ P×10 rows."""
+    P = 32
+    CUT = pa.scalar(pd.Timestamp("1998-06-01"), pa.timestamp("us"))
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = np.unique(t.filter(pc.equal(t["c_mktsegment"],
+                                          pa.scalar("BUILDING")))
+                        .column("c_custkey").to_numpy())
+        n = len(key)
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key), "is_right": pa.array(np.ones(n, bool)),
+            "o_orderkey": pa.nulls(n, pa.int64()),
+            "o_orderdate": pa.nulls(n, pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(n, pa.string()),
+        })
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"], CUT))
+        key = t.column("o_custkey").to_numpy()
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "is_right": pa.array(np.zeros(len(key), bool)),
+            "o_orderkey": t.column("o_orderkey"),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority"),
+        })
+
+    def semi(group: pa.Table) -> pa.Table:
+        is_right = group.column("is_right").to_numpy(zero_copy_only=False)
+        key = group.column("key").to_numpy()
+        li_idx = np.flatnonzero(~is_right)
+        rk = np.unique(key[is_right])
+        lk = key[li_idx]
+        if len(rk):
+            pos = np.searchsorted(rk, lk)
+            matched = (pos < len(rk)) & \
+                (rk[np.minimum(pos, len(rk) - 1)] == lk)
+        else:
+            matched = np.zeros(len(lk), bool)
+        keep = pa.array(li_idx[matched])
+        return pa.table({
+            "o_orderkey": group.column("o_orderkey").take(keep),
+            "o_orderdate": group.column("o_orderdate").take(keep),
+            "o_orderpriority": group.column("o_orderpriority").take(keep),
+        })
+
+    qualified = (cust.map_batches(tag_cust, batch_format="pyarrow")
+                 .union(od.map_batches(tag_od, batch_format="pyarrow"))
+                 .groupby("part_id").map_groups(semi, batch_format="pyarrow"))
+
+    def tag_qual(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy()
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "o_orderdate": t.column("o_orderdate"),
+            "o_orderpriority": t.column("o_orderpriority"),
+            "rev": pa.nulls(len(key), pa.float64()),
+        })
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], CUT))
+        key = t.column("l_orderkey").to_numpy()
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "o_orderdate": pa.nulls(len(key), pa.timestamp("us")),
+            "o_orderpriority": pa.nulls(len(key), pa.string()),
+            "rev": rev,
+        })
+
+    def join_topk(group: pa.Table) -> pa.Table:
+        from rayrep.ops.dedup import _cogroup_match
+
+        is_right = pc.is_valid(group.column("o_orderpriority")) \
+            .to_numpy(zero_copy_only=False)
+        empty = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                          "revenue": pa.array([], pa.float64()),
+                          "o_orderdate": pa.array([], pa.timestamp("us")),
+                          "o_orderpriority": pa.array([], pa.string())})
+        li_idx, ri_idx = _cogroup_match(group.column("key").to_numpy(),
+                                        is_right)
+        if len(li_idx) == 0:
+            return empty
+        okey = group.column("key").to_numpy()[li_idx]
+        revs = group.column("rev").to_numpy(zero_copy_only=False)[li_idx]
+        order = np.argsort(okey, kind="stable")
+        okey_s, revs_s = okey[order], revs[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], okey_s[1:] != okey_s[:-1])))
+        rev_per = np.add.reduceat(revs_s, starts)
+        uniq = okey_s[starts]
+        # attach date/priority from the matched right rows (first match
+        # per left row; dedup to per-order)
+        first_ri = ri_idx[order][starts]
+        dates = group.column("o_orderdate").take(pa.array(first_ri))
+        pris = group.column("o_orderpriority").take(pa.array(first_ri))
+        k = min(10, len(uniq))
+        top = np.argsort(-rev_per, kind="stable")[:k]
+        return pa.table({
+            "l_orderkey": pa.array(uniq[top]),
+            "revenue": pa.array(rev_per[top]),
+            "o_orderdate": dates.take(pa.array(top)),
+            "o_orderpriority": pris.take(pa.array(top)),
+        })
+
+    parts = (qualified.map_batches(tag_qual, batch_format="pyarrow")
+             .union(li.map_batches(tag_li, batch_format="pyarrow"))
+             .groupby("part_id").map_groups(join_topk,
+                                            batch_format="pyarrow"))
+    out = parts.to_pandas()
+    out = out.sort_values(["revenue", "o_orderdate", "l_orderkey"],
+                          ascending=[False, True, True],
+                          kind="stable").head(10).reset_index(drop=True)
+    out["revenue"] = out["revenue"].round(3)
+    return out
+
+
 def asof_click_value(sf_dir: str) -> pd.DataFrame:
     """As-of join: each purchase picks the latest prior click's value for
     the same user (backward inner as-of; tie on click ts broken by max
@@ -1364,6 +1551,9 @@ def queries() -> dict:
         "asof_click_value": asof_click_value,
         "clicks_before_purchase": clicks_before_purchase,
         "rolling_value_avg": rolling_value_avg,
+        "user_journey": user_journey,
+        "event_type_pivot": event_type_pivot,
+        "shipping_priority": shipping_priority,
         "multimodal_features": multimodal_features,
         "corpus_curation": corpus_curation,
         "ngram_topk": ngram_topk,
@@ -1674,6 +1864,39 @@ def oracle_sql() -> dict:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        """,
+        "user_journey": """
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY ts, event_id)
+                       AS journey,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) AS n_total
+            FROM events GROUP BY user_id
+        """,
+        "shipping_priority": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 3)
+                       AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC,
+                     o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "clicks_before_purchase": """
             SELECT p.event_id, p.user_id,

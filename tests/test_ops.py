@@ -360,3 +360,35 @@ def test_rolling_mean_brute_force():
     assert np.allclose(out["s"], ref["exp_sum"], atol=1e-9)
     assert np.array_equal(out["n_window"].to_numpy(np.int64),
                           ref["exp_n"].to_numpy(np.int64))
+
+
+def test_ordered_string_agg_brute_force():
+    """ordered_string_agg vs a pandas sort + groupby-join reference,
+    covering ts ties (tiebreak ordering), single-row keys, and
+    partition invariance."""
+    from rayrep.ops.windows import ordered_string_agg
+
+    rng = np.random.default_rng(5)
+    n, n_keys = 400, 60  # some keys get 1 row, some many
+    df = pd.DataFrame({
+        "k": rng.integers(0, n_keys, n).astype(np.int64),
+        "ts": rng.integers(0, 50, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "v": rng.choice(["a", "bb", "ccc", ""], n),  # incl. empty strings
+    })
+    ref = (
+        df.sort_values(["k", "ts", "event_id"], kind="stable")
+        .groupby("k")
+        .agg(journey=("v", ">".join), n_events=("v", "size"))
+        .reset_index()
+    )
+    for parts in (1, 9):
+        out = (
+            ordered_string_agg(rd.from_pandas(df), key="k", value_col="v",
+                               ts_col="ts", tiebreak="event_id",
+                               num_partitions=parts)
+            .to_pandas().sort_values("k").reset_index(drop=True)
+        )
+        assert out["k"].tolist() == ref["k"].tolist()
+        assert out["journey"].tolist() == ref["journey"].tolist()
+        assert out["n_events"].tolist() == ref["n_events"].tolist()
