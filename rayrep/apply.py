@@ -778,8 +778,9 @@ class Applier:
             return 0
         now_live = ~delta_state.column("__deleted").to_numpy(zero_copy_only=False)
         if len(prior_live):
-            was = pd.Series(d_kid).map(prior_live).fillna(False).to_numpy(dtype=bool)
-            n_was = int(was.sum())
+            # .eq(True) treats unseen keys (NaN) as not-live without the
+            # deprecated object->bool fillna downcast.
+            n_was = int(pd.Series(d_kid).map(prior_live).eq(True).sum())
         else:
             n_was = 0
         return int(now_live.sum()) - n_was

@@ -1,0 +1,180 @@
+"""Mergeable sketches for corpus-scale statistics.
+
+Two operators a 100 TB pipeline reaches for long before an exact shuffle:
+
+- ``kmv_distinct``: approximate COUNT(DISTINCT v) GROUP BY g via a
+  K-minimum-values sketch.  Each batch emits at most ``k`` (group, hash)
+  rows — its k smallest distinct multiplicative hashes per group — so the
+  one shuffle carries O(batches x k x groups) eight-byte hashes instead of
+  every value.  The estimate ``(k-1) * 2^64 / h_k`` (exact count when a
+  group has fewer than k distinct hashes) is fully deterministic, so the
+  DuckDB oracle reproduces it bit-for-bit with HUGEINT mul-mod arithmetic
+  (same trick as the winnowing-fingerprint oracle in
+  ``rayrep/queries.py``).
+- ``bloom_filter`` / ``bloom_prefilter``: a broadcastable Bloom filter
+  built from a key Dataset (per-batch partial bitmaps OR-merged; the
+  bitmap — not the keys — crosses the cluster once via ``ray.put``), used
+  to cut the probe side of a semi/inner join to near-matches before the
+  exact hash join.  False positives are removed by the join itself, so
+  the composition stays exactly-correct while the join's left input
+  shrinks to ~|matches| + eps.
+
+Reference anchor: the replicator ships full row sets to downstream
+joins/filters (mysql-time-machine README "augmented data events"); these
+are the sketch-sized alternatives that survive 10^10-row tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+# splitmix64's odd multiplier: a fixed, public constant — the oracle SQL
+# must use the same one.
+KMV_MULT = np.uint64(11400714819323198485)
+_TWO64 = 18446744073709551616.0  # 2^64, exactly representable in float64
+
+
+def _kmv_hash(vals: np.ndarray) -> np.ndarray:
+    """h(v) = (v * KMV_MULT) mod 2^64 — a Weyl-style multiplicative hash.
+    uint64 multiply wraps mod 2^64 in numpy, which is the emulated
+    HUGEINT ``(v * C) % 2^64`` in the SQL oracle."""
+    return vals.astype(np.uint64, copy=False) * KMV_MULT
+
+
+def _kmv_partial(batch: pa.Table, *, group_col: str, value_col: str,
+                 k: int) -> pa.Table:
+    """Per-batch partial: <=k smallest distinct hashes per group."""
+    g = batch.column(group_col).to_numpy(zero_copy_only=False)
+    h = _kmv_hash(batch.column(value_col).to_numpy(zero_copy_only=False))
+    # distinct (group, hash) pairs, then the k smallest hashes per group:
+    # one lexsort + boundary scan, no Python per row.
+    order = np.lexsort((h, g))
+    g_s, h_s = g[order], h[order]
+    keep = np.ones(len(g_s), dtype=bool)
+    keep[1:] = (g_s[1:] != g_s[:-1]) | (h_s[1:] != h_s[:-1])
+    g_s, h_s = g_s[keep], h_s[keep]
+    starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
+    rank = np.arange(len(g_s)) - np.repeat(starts, np.diff(np.r_[starts, len(g_s)]))
+    sel = rank < k
+    return pa.table({group_col: pa.array(g_s[sel]),
+                     "__kmv_hash": pa.array(h_s[sel], pa.uint64())})
+
+
+def _kmv_finalize(group: pd.DataFrame, *, group_col: str, k: int,
+                  out_col: str) -> pd.DataFrame:
+    hv = np.unique(group["__kmv_hash"].to_numpy())  # sorted ascending
+    if len(hv) < k:
+        est = float(len(hv))
+    else:
+        # (k-1) * 2^64 / h_k — two IEEE ops on exactly-converted inputs,
+        # reproduced verbatim by the oracle's DOUBLE arithmetic.
+        est = float(k - 1) * _TWO64 / float(hv[k - 1])
+    return pd.DataFrame({group_col: [group[group_col].iloc[0]], out_col: [est]})
+
+
+def kmv_distinct(ds: rd.Dataset, *, group_col: str, value_col: str,
+                 k: int = 64, out_col: str = "approx_distinct") -> pd.DataFrame:
+    """Approximate per-group distinct counts.  The shuffle input is the
+    sketch (<=k hashes per group per batch), the per-group finalize is a
+    vectorized unique over batches x k values; result is group-count-sized."""
+    partial = ds.map_batches(
+        _kmv_partial,
+        fn_kwargs={"group_col": group_col, "value_col": value_col, "k": k},
+        batch_format="pyarrow",
+    )
+    out = partial.groupby(group_col).map_groups(
+        _kmv_finalize,
+        fn_kwargs={"group_col": group_col, "k": k, "out_col": out_col},
+        batch_format="pandas",
+    ).to_pandas()
+    return out.sort_values(group_col).reset_index(drop=True)
+
+
+def kmv_oracle_sql(*, table: str, group_col: str, value_col: str,
+                   k: int = 64, out_col: str = "approx_distinct") -> str:
+    """DuckDB SQL computing the identical KMV estimate: the same
+    multiplicative hash via HUGEINT mul-mod, the same k-th-smallest
+    selection, the same DOUBLE estimate formula."""
+    c = int(KMV_MULT)
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT {group_col},
+                   ({value_col}::HUGEINT * {c}::HUGEINT)
+                       % 18446744073709551616::HUGEINT AS hv
+            FROM {table}
+        ), r AS (
+            SELECT {group_col}, hv,
+                   row_number() OVER (PARTITION BY {group_col} ORDER BY hv) AS rk,
+                   count(*)    OVER (PARTITION BY {group_col}) AS nd
+            FROM h
+        )
+        SELECT {group_col},
+               CASE WHEN nd < {k} THEN nd::DOUBLE
+                    ELSE {k - 1}.0 * 18446744073709551616.0 / hv::DOUBLE
+               END AS {out_col}
+        FROM r
+        WHERE rk = least(nd, {k})
+        ORDER BY {group_col}
+    """
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter semi-join prefilter
+# --------------------------------------------------------------------------
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int) -> np.ndarray:
+    """(len(keys), n_hashes) bit positions via double hashing:
+    pos_i = (h1 + i*h2) mod m.  All uint64, vectorized."""
+    u = keys.astype(np.uint64, copy=False)
+    h1 = u * KMV_MULT
+    h2 = (u ^ (u >> np.uint64(32))) * np.uint64(14029467366897019727) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+
+
+def bloom_filter(keys_ds: rd.Dataset, key_col: str, *, m_bits: int = 1 << 20,
+                 n_hashes: int = 4) -> "ray.ObjectRef":
+    """Build a Bloom filter over a key Dataset and broadcast it.
+
+    Each batch reduces to an m-bit partial bitmap; the driver ORs the
+    per-batch bitmaps (bounded: batches x m/8 bytes, independent of key
+    count) and ``ray.put``s the final filter ONCE — probe tasks read it
+    zero-copy from the object store instead of re-receiving the key set
+    per batch."""
+    nbytes = m_bits // 8
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        pos = _bloom_positions(
+            batch.column(key_col).to_numpy(zero_copy_only=False),
+            m_bits, n_hashes).ravel()
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for b in keys_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for buf in b.column("bits").to_pylist():
+            merged |= np.frombuffer(buf, dtype=np.uint8)
+    return ray.put((merged, m_bits, n_hashes))
+
+
+def bloom_prefilter(ds: rd.Dataset, key_col: str, bloom_ref) -> rd.Dataset:
+    """Keep only rows whose key MIGHT be in the filter (no false
+    negatives); an exact join downstream removes the false positives."""
+
+    def probe(batch: pa.Table, *, ref) -> pa.Table:
+        bits, m_bits, n_hashes = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if batch.num_rows == 0:
+            return batch
+        pos = _bloom_positions(
+            batch.column(key_col).to_numpy(zero_copy_only=False), m_bits, n_hashes)
+        hit = (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        return batch.filter(pa.array(hit.all(axis=1)))
+
+    return ds.map_batches(probe, fn_kwargs={"ref": bloom_ref},
+                          batch_format="pyarrow")

@@ -1512,6 +1512,113 @@ def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
     return final_table_pandas(lake)
 
 
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT user_id) per event_type via a K-minimum-
+    values sketch (``rayrep/ops/sketch.py``).  The shuffle carries at most
+    k=64 eight-byte hashes per (batch, group) — never the user ids — which
+    is the only distinct-count shape that survives 10^10 rows.  The
+    estimate is deterministic (multiplicative hash + k-th-min formula), so
+    the DuckDB oracle reproduces it exactly with HUGEINT mul-mod."""
+    from rayrep.ops.sketch import kmv_distinct
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+    return kmv_distinct(ds, group_col="event_type", value_col="user_id",
+                        k=64, out_col="approx_users")
+
+
+def urgent_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
+    """Bloom-prefiltered exact semi-join (reference J-shape: route only the
+    rows a downstream applier will accept): revenue of lineitems whose
+    order is 1-URGENT, by return flag.  Scale shape: the urgent key set is
+    folded into one fixed 128 KiB Bloom bitmap (per-batch partial bitmaps,
+    OR-merge, ONE ``ray.put``), the probe drops non-matching lineitems
+    BEFORE the exact co-group shuffle, and the co-group semi-join removes
+    the Bloom's false positives — exact result with the join's left input
+    cut to ~|matches|, and broadcast bytes independent of key count."""
+    from rayrep.ops.sketch import bloom_filter, bloom_prefilter
+
+    P = 32
+    urgent = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderpriority"), "1-URGENT"))
+                   .select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    bref = bloom_filter(urgent, "o_orderkey")
+    li = bloom_prefilter(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        ),
+        "l_orderkey", bref,
+    )
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        key = t.column("l_orderkey").to_numpy()
+        # Fixed-point 1e-4 revenue: floor((x*(1-d))*10000) as int64, summed
+        # EXACTLY — both engines floor identical IEEE products, so the
+        # result is deterministic with no float-sum-order rounding cliff
+        # (int64 headroom: ~9e18, i.e. ~1e14 rows of 1e5-dollar items per
+        # group before a wider accumulator is needed).
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+                          ).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "flag": t.column("l_returnflag"),
+            "rev": pa.array(np.floor(rev * 10000.0).astype(np.int64)),
+            "is_right": pa.array(np.zeros(len(key), dtype=bool)),
+        })
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy()
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "flag": pa.nulls(len(key), pa.string()),
+            "rev": pa.nulls(len(key), pa.int64()),
+            "is_right": pa.array(np.ones(len(key), dtype=bool)),
+        })
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        urgent.map_batches(tag_od, batch_format="pyarrow"))
+
+    def semi_agg(group: pa.Table) -> pa.Table:
+        from rayrep.ops.dedup import _cogroup_match
+
+        is_right = group.column("is_right").to_numpy(zero_copy_only=False)
+        li_idx, _ = _cogroup_match(group.column("key").to_numpy(), is_right)
+        if len(li_idx) == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "rev_fp": pa.array([], pa.int64())})
+        flags = group.column("flag").to_numpy(zero_copy_only=False)[li_idx]
+        revs = group.column("rev").to_numpy(zero_copy_only=False)[li_idx]
+        uniq, inv = np.unique(flags, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(s, inv, revs)  # exact int64 segment sums
+        return pa.table({"l_returnflag": pa.array(uniq.astype(object), pa.string()),
+                         "n": pa.array(n), "rev_fp": pa.array(s)})
+
+    from ray.data.aggregate import Sum
+
+    parts = both.groupby("part_id").map_groups(semi_agg, batch_format="pyarrow")
+    out = (
+        parts.groupby("l_returnflag")
+        .aggregate(Sum("n", alias_name="n"), Sum("rev_fp", alias_name="rev_fp"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    # one exact-int -> double conversion; identical to the oracle's
+    # CAST(sum AS DOUBLE)/10000.0 bit for bit
+    out["revenue"] = out.pop("rev_fp").astype(np.float64) / 10000.0
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict:
     return {
@@ -1559,6 +1666,8 @@ def queries() -> dict:
         "ngram_topk": ngram_topk,
         "value_quantiles": value_quantiles,
         "user_peak_hour": user_peak_hour,
+        "approx_distinct_users": approx_distinct_users,
+        "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -1967,6 +2076,21 @@ def oracle_sql() -> dict:
             QUALIFY row_number() OVER (
                 PARTITION BY user_id ORDER BY n DESC, window_start ASC) = 1
         """,
+        # Same-estimate KMV sketch: multiplicative hash + k-th-min formula
+        # replayed with HUGEINT mul-mod (rayrep/ops/sketch.py).
+        "approx_distinct_users": _kmv_users_oracle_sql(),
+        # Fixed-point 1e-4 revenue: floor of identical IEEE products,
+        # EXACT integer sum — deterministic across engines regardless of
+        # summation order (no 3-decimal rounding cliff).
+        "urgent_lineitems_bloom": """
+            SELECT l_returnflag, count(*) AS n,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderpriority = '1-URGENT'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
         # The winnowing fingerprint (rayrep/ops/text.py:Fingerprint) IS
         # SQL-expressible: k-gram polynomial hash mod 2^64 + murmur
         # finalizer + per-doc min, replayed in DuckDB over the UTF-8 bytes
@@ -1980,6 +2104,13 @@ def oracle_sql() -> dict:
         # pytest oracles. The engine path itself IS SQL-oracled via
         # cdc_replay_events/deletes/evolution/changed_cells.
     }
+
+
+def _kmv_users_oracle_sql() -> str:
+    from rayrep.ops.sketch import kmv_oracle_sql
+
+    return kmv_oracle_sql(table="events", group_col="event_type",
+                          value_col="user_id", k=64, out_col="approx_users")
 
 
 def _fingerprint_oracle_sql(k: int = 8) -> str:

@@ -392,3 +392,53 @@ def test_ordered_string_agg_brute_force():
         assert out["k"].tolist() == ref["k"].tolist()
         assert out["journey"].tolist() == ref["journey"].tolist()
         assert out["n_events"].tolist() == ref["n_events"].tolist()
+
+
+def test_kmv_distinct_accuracy_and_batch_invariance():
+    """KMV sketch: (a) exact when a group has < k distinct values, (b)
+    within the ~1/sqrt(k) error envelope when over k, (c) the estimate is
+    invariant to how rows are split into batches/blocks (mergeability)."""
+    from rayrep.ops.sketch import kmv_distinct
+
+    rng = np.random.default_rng(7)
+    small = rng.integers(0, 40, 500)        # 'small': <k distinct -> exact
+    big = rng.integers(0, 5000, 20000)      # 'big': >>k distinct -> approx
+    df = pd.DataFrame({
+        "g": ["small"] * len(small) + ["big"] * len(big),
+        "v": np.concatenate([small, big]).astype(np.int64),
+    })
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = kmv_distinct(ds, group_col="g", value_col="v", k=64)
+        outs.append(out.set_index("g")["approx_distinct"])
+    # batch/partition invariance: identical estimates
+    pd.testing.assert_series_equal(outs[0], outs[1])
+    est = outs[0]
+    assert est["small"] == float(len(np.unique(small)))  # exact branch
+    true_big = len(np.unique(big))
+    assert abs(est["big"] - true_big) / true_big < 4 / np.sqrt(64)  # ~4 sigma
+
+
+def test_bloom_prefilter_no_false_negatives():
+    """Every key present in the filter side MUST survive the prefilter
+    (no false negatives); composition with an exact join is therefore
+    exact. Also checks the bitmap actually prunes (false-positive rate
+    well under 50% at these sizes)."""
+    import ray
+
+    from rayrep.ops.sketch import bloom_filter, bloom_prefilter
+
+    rng = np.random.default_rng(11)
+    keys = np.unique(rng.integers(0, 1 << 40, 2000).astype(np.int64))
+    probe_hit = rng.choice(keys, 1500)
+    probe_miss = np.unique(rng.integers(1 << 41, 1 << 42, 3000).astype(np.int64))
+    keys_ds = rd.from_pandas(pd.DataFrame({"k": keys})).repartition(4)
+    bref = bloom_filter(keys_ds, "k", m_bits=1 << 16, n_hashes=4)
+    probe = rd.from_pandas(pd.DataFrame(
+        {"k": np.concatenate([probe_hit, probe_miss])})).repartition(3)
+    kept = bloom_prefilter(probe, "k", bref).to_pandas()["k"].to_numpy()
+    kept_set = set(kept.tolist())
+    assert all(int(k) in kept_set for k in probe_hit)          # no false negatives
+    fp = sum(1 for k in probe_miss if int(k) in kept_set)
+    assert fp / len(probe_miss) < 0.5                          # real pruning
