@@ -1619,6 +1619,79 @@ def urgent_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("l_returnflag").reset_index(drop=True)
 
 
+def daily_type_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical ROLLUP(day, event_type) the scale-correct way: ONE
+    shuffle at the finest grain (per-batch Arrow partial pre-aggregation,
+    then a tiny grouped Sum), with the coarser levels derived from the
+    finest aggregate on the driver — the rollup input is days x types
+    rows, never the events table.  Sums use fixed-point 1e-4 int64 (exact,
+    order-independent) so every level matches the oracle bit for bit;
+    'ALL' is the rollup sentinel (no NULL-sort ambiguity cross-engine)."""
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t.column("ts"), format="%Y-%m-%d")
+        v = pa.array(np.floor(
+            t.column("value").to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64))
+        g = pa.table({"day": day, "event_type": t.column("event_type"),
+                      "n": pa.array(np.ones(len(day), dtype=np.int64)),
+                      "v": v}).group_by(["day", "event_type"]).aggregate(
+                          [("n", "sum"), ("v", "sum")])
+        return g.rename_columns(["day", "event_type", "n", "v"])
+
+    from ray.data.aggregate import Sum
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+        .to_pandas()
+    )
+    lvl1 = (finest.groupby("day", as_index=False)[["n", "v"]].sum()
+            .assign(event_type="ALL"))
+    lvl0 = pd.DataFrame({"day": ["ALL"], "event_type": ["ALL"],
+                         "n": [finest["n"].sum()], "v": [finest["v"].sum()]})
+    out = pd.concat([finest, lvl1, lvl0], ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["total_value"] = out.pop("v").astype(np.float64) / 10000.0
+    return (out[["day", "event_type", "n", "total_value"]]
+            .sort_values(["day", "event_type"]).reset_index(drop=True))
+
+
+def purchase_click_users(sf_dir: str) -> pd.DataFrame:
+    """Distinct-set INTERSECT (§2.7): users with BOTH a click and a
+    purchase.  Per-batch partial collapses to at most one (user, flags)
+    row per user per batch, so the one shuffle carries distinct-user
+    partials (not events); a grouped Max then ANDs the flags."""
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        mask = pc.is_in(et, value_set=pa.array(["click", "purchase"]))
+        t = t.filter(mask)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        is_p = pc.equal(t.column("event_type"), "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        g = pa.table({"user_id": pa.array(u),
+                      "has_click": pa.array(1 - is_p),
+                      "has_purchase": pa.array(is_p)}).group_by("user_id").aggregate(
+                          [("has_click", "max"), ("has_purchase", "max")])
+        return g.rename_columns(["user_id", "has_click", "has_purchase"])
+
+    from ray.data.aggregate import Max
+
+    both = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Max("has_click", alias_name="c"),
+                   Max("has_purchase", alias_name="p"))
+        .to_pandas()
+    )
+    out = both[(both["c"] == 1) & (both["p"] == 1)][["user_id"]]
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict:
     return {
@@ -1668,6 +1741,8 @@ def queries() -> dict:
         "user_peak_hour": user_peak_hour,
         "approx_distinct_users": approx_distinct_users,
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
+        "daily_type_rollup": daily_type_rollup,
+        "purchase_click_users": purchase_click_users,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -2090,6 +2165,27 @@ def oracle_sql() -> dict:
             WHERE o_orderpriority = '1-URGENT'
             GROUP BY l_returnflag
             ORDER BY l_returnflag
+        """,
+        # ROLLUP with the same fixed-point exact-sum trick; 'ALL' sentinel
+        # instead of SQL NULL so cross-engine NULL ordering can't bite.
+        "daily_type_rollup": """
+            WITH e AS (
+                SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                       CAST(floor(value * 10000.0) AS BIGINT) AS v
+                FROM events
+            )
+            SELECT COALESCE(day, 'ALL') AS day,
+                   COALESCE(event_type, 'ALL') AS event_type,
+                   count(*) AS n,
+                   CAST(sum(v) AS DOUBLE) / 10000.0 AS total_value
+            FROM e GROUP BY ROLLUP(day, event_type)
+            ORDER BY day, event_type
+        """,
+        "purchase_click_users": """
+            SELECT user_id FROM events WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM events WHERE event_type = 'purchase'
+            ORDER BY user_id
         """,
         # The winnowing fingerprint (rayrep/ops/text.py:Fingerprint) IS
         # SQL-expressible: k-gram polynomial hash mod 2^64 + murmur
