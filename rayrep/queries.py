@@ -1692,6 +1692,43 @@ def purchase_click_users(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def big_orders(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q18 shape (aggregate -> HAVING -> join back): orders whose
+    total lineitem quantity exceeds 250.  Scale shape: per-batch Arrow
+    partials + ONE grouped Sum over lineitem, the selective HAVING result
+    (~2% of orders) is broadcast once, and the orders scan inner-joins
+    against it per batch — no second shuffle.  l_quantity is
+    integer-valued, so double sums are exact and order-independent."""
+    from ray.data.aggregate import Sum
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate([("l_quantity", "sum")])
+        return g.rename_columns(["l_orderkey", "q"])
+
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("q", alias_name="sum_qty"))
+        .filter(expr="sum_qty > 250")
+        .to_pandas()  # selective HAVING result only — broadcast side
+    )
+    ref = _broadcast_sorted(agg["l_orderkey"].to_numpy(),
+                            agg["sum_qty"].to_numpy())
+    od = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    out = od.map_batches(
+        _lookup_task_fn,
+        fn_kwargs={"r": ref, "key_col": "o_orderkey", "out_col": "sum_qty"},
+        batch_format="pyarrow",
+    ).to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict:
     return {
@@ -1743,6 +1780,7 @@ def queries() -> dict:
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "daily_type_rollup": daily_type_rollup,
         "purchase_click_users": purchase_click_users,
+        "big_orders": big_orders,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -2186,6 +2224,15 @@ def oracle_sql() -> dict:
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'purchase'
             ORDER BY user_id
+        """,
+        "big_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 250) j
+              ON o_orderkey = l_orderkey
+            ORDER BY o_orderkey
         """,
         # The winnowing fingerprint (rayrep/ops/text.py:Fingerprint) IS
         # SQL-expressible: k-gram polynomial hash mod 2^64 + murmur
