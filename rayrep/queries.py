@@ -1729,6 +1729,54 @@ def big_orders(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
+def label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-class mean embedding (the reduce step of k-means / class
+    prototypes): a distributed vector aggregate over a ``list<float>``
+    column.  Per batch: zero-copy flatten -> (n, d) view -> one lexsort +
+    ``np.add.reduceat`` per label, emitting labels x d partial-sum rows;
+    ONE tiny grouped Sum merges batches.  Fixed-point 2^20 int64 sums make
+    the centroid bitwise-deterministic (same floor + single-division
+    sequence as the DuckDB oracle)."""
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        emb = t.column("embedding")
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // t.num_rows
+        fp = np.floor(flat * 1048576.0).astype(np.int64).reshape(-1, d)
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        order = np.argsort(lab, kind="stable")
+        lab_s = lab[order]
+        starts = np.flatnonzero(np.r_[True, lab_s[1:] != lab_s[:-1]])
+        sums = np.add.reduceat(fp[order], starts, axis=0)        # (L, d)
+        counts = np.diff(np.r_[starts, len(lab_s)])
+        L = len(starts)
+        return pa.table({
+            "label": pa.array(np.repeat(lab_s[starts], d).astype(np.int32)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), L)),
+            "s": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(counts.astype(np.int64), d)),
+        })
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    out["centroid"] = (out["s"].astype(np.float64)
+                       / out.pop("n").astype(np.float64)) / 1048576.0
+    out = out.drop(columns=["s"])
+    out["label"] = out["label"].astype(np.int32)
+    return (out[["label", "dim", "centroid"]]
+            .sort_values(["label", "dim"]).reset_index(drop=True))
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict:
     return {
@@ -1781,6 +1829,7 @@ def queries() -> dict:
         "daily_type_rollup": daily_type_rollup,
         "purchase_click_users": purchase_click_users,
         "big_orders": big_orders,
+        "label_centroids": label_centroids,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -2224,6 +2273,19 @@ def oracle_sql() -> dict:
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'purchase'
             ORDER BY user_id
+        """,
+        "label_centroids": """
+            WITH f AS (
+                SELECT label, r.i AS dim,
+                       CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1048576.0)
+                            AS BIGINT) AS v_fp
+                FROM embeddings
+                CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+            )
+            SELECT label, dim,
+                   (CAST(sum(v_fp) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                       / 1048576.0 AS centroid
+            FROM f GROUP BY label, dim ORDER BY label, dim
         """,
         "big_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
