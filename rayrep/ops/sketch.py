@@ -178,3 +178,55 @@ def bloom_prefilter(ds: rd.Dataset, key_col: str, bloom_ref) -> rd.Dataset:
 
     return ds.map_batches(probe, fn_kwargs={"ref": bloom_ref},
                           batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Fixed-bin histogram quantile sketch
+# --------------------------------------------------------------------------
+
+def histogram_quantiles(ds: rd.Dataset, *, group_col: str, value_col: str,
+                        quantiles: tuple = (0.5, 0.95), scale: float = 10.0,
+                        col_prefix: str = "p") -> pd.DataFrame:
+    """Approximate per-group quantiles from a fixed-resolution histogram —
+    the mergeable-sketch scale path that ``value_quantiles``' docstring
+    points at.  Per batch: bin = floor(value*scale), one Arrow group-count
+    per (group, bin); ONE tiny grouped Sum merges batches (the shuffle
+    carries occupied-bin counts, never values); the finalize is a
+    cumulative scan over groups x occupied-bins rows.  The estimate (lower
+    edge of the first bin whose cumulative count reaches ceil(q*n)) is
+    deterministic, so a SQL oracle reproduces it exactly; error is bounded
+    by the bin width 1/scale."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
+        g = pa.table({
+            group_col: t.column(group_col),
+            "bin": pa.array(np.floor(v * scale).astype(np.int64)),
+            "c": pa.array(np.ones(len(v), dtype=np.int64)),
+        }).group_by([group_col, "bin"]).aggregate([("c", "sum")])
+        return g.rename_columns([group_col, "bin", "c"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([group_col, "bin"])
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()
+        .sort_values([group_col, "bin"])
+    )
+    rows = []
+    for key, grp in hist.groupby(group_col, sort=True):
+        cc = grp["c"].cumsum().to_numpy()
+        n = float(cc[-1])
+        bins = grp["bin"].to_numpy()
+        row = {group_col: key}
+        for q in quantiles:
+            # ceil(q*n) in IEEE double — the oracle computes the identical
+            # expression, so an off-by-ulp threshold stays consistent.
+            thr = math.ceil(q * n)
+            row[f"{col_prefix}{int(q * 100)}_est"] = (
+                float(bins[np.searchsorted(cc, thr)]) / scale)
+        rows.append(row)
+    return pd.DataFrame(rows).reset_index(drop=True)

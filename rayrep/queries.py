@@ -1777,6 +1777,19 @@ def label_centroids(sf_dir: str) -> pd.DataFrame:
             .sort_values(["label", "dim"]).reset_index(drop=True))
 
 
+def value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """The mergeable-sketch quantile path ``value_quantiles``' docstring
+    points at: fixed-bin histogram (bin width 0.1), per-batch Arrow
+    bin-counts, ONE tiny grouped Sum — values never shuffle, only occupied
+    bins.  Estimates are bin lower edges, deterministic, oracle-exact;
+    error <= bin width, vs the exact query's value co-location."""
+    from rayrep.ops.sketch import histogram_quantiles
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+    return histogram_quantiles(ds, group_col="event_type", value_col="value",
+                               quantiles=(0.5, 0.95), scale=10.0)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict:
     return {
@@ -1830,6 +1843,7 @@ def queries() -> dict:
         "purchase_click_users": purchase_click_users,
         "big_orders": big_orders,
         "label_centroids": label_centroids,
+        "value_quantile_sketch": value_quantile_sketch,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -2273,6 +2287,27 @@ def oracle_sql() -> dict:
             INTERSECT
             SELECT user_id FROM events WHERE event_type = 'purchase'
             ORDER BY user_id
+        """,
+        # Same fixed-bin histogram estimate: identical binning, the same
+        # ceil(q*n) DOUBLE threshold, first bin whose cumulative count
+        # reaches it.
+        "value_quantile_sketch": """
+            WITH b AS (
+                SELECT event_type, CAST(floor(value * 10.0) AS BIGINT) AS bin,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2
+            ), cum AS (
+                SELECT event_type, bin,
+                       sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cc,
+                       sum(c) OVER (PARTITION BY event_type) AS n
+                FROM b
+            )
+            SELECT event_type,
+                   CAST(min(CASE WHEN cc >= ceil(0.5 * CAST(n AS DOUBLE))
+                                 THEN bin END) AS DOUBLE) / 10.0 AS p50_est,
+                   CAST(min(CASE WHEN cc >= ceil(0.95 * CAST(n AS DOUBLE))
+                                 THEN bin END) AS DOUBLE) / 10.0 AS p95_est
+            FROM cum GROUP BY event_type ORDER BY event_type
         """,
         "label_centroids": """
             WITH f AS (

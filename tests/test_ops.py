@@ -442,3 +442,33 @@ def test_bloom_prefilter_no_false_negatives():
     assert all(int(k) in kept_set for k in probe_hit)          # no false negatives
     fp = sum(1 for k in probe_miss if int(k) in kept_set)
     assert fp / len(probe_miss) < 0.5                          # real pruning
+
+
+def test_histogram_quantiles_accuracy_and_partition_invariance():
+    """Histogram quantile sketch: within one bin width of the exact
+    discrete quantile, and invariant to batch/partition splits."""
+    from rayrep.ops.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b"], 5000),
+        "v": rng.gamma(2.0, 20.0, 5000),
+    })
+    outs = []
+    for parts in (1, 8):
+        out = histogram_quantiles(rd.from_pandas(df).repartition(parts),
+                                  group_col="g", value_col="v",
+                                  quantiles=(0.5, 0.95), scale=10.0)
+        outs.append(out.set_index("g"))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # mergeability
+    import math
+
+    for g in ("a", "b"):
+        v = np.sort(df.loc[df["g"] == g, "v"].to_numpy())
+        for q, col in ((0.5, "p50_est"), (0.95, "p95_est")):
+            # the sketch's contract: the lower bin edge of the element at
+            # rank ceil(q*n) (1-based) — assert exact equality to it, and
+            # one-bin-width closeness to the interpolated quantile
+            rank_val = v[math.ceil(q * len(v)) - 1]
+            assert outs[0].loc[g, col] == np.floor(rank_val * 10.0) / 10.0
+            assert abs(outs[0].loc[g, col] - np.quantile(v, q)) <= 0.2 + 1e-9
