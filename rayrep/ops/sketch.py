@@ -50,17 +50,20 @@ def _kmv_partial(batch: pa.Table, *, group_col: str, value_col: str,
     """Per-batch partial: <=k smallest distinct hashes per group."""
     g = batch.column(group_col).to_numpy(zero_copy_only=False)
     h = _kmv_hash(batch.column(value_col).to_numpy(zero_copy_only=False))
+    # factorize groups to int codes so the lexsort stays numeric (an
+    # object-dtype string sort would be a per-element Python comparison)
+    uniq_g, codes = np.unique(g, return_inverse=True)
     # distinct (group, hash) pairs, then the k smallest hashes per group:
     # one lexsort + boundary scan, no Python per row.
-    order = np.lexsort((h, g))
-    g_s, h_s = g[order], h[order]
-    keep = np.ones(len(g_s), dtype=bool)
-    keep[1:] = (g_s[1:] != g_s[:-1]) | (h_s[1:] != h_s[:-1])
-    g_s, h_s = g_s[keep], h_s[keep]
-    starts = np.flatnonzero(np.r_[True, g_s[1:] != g_s[:-1]])
-    rank = np.arange(len(g_s)) - np.repeat(starts, np.diff(np.r_[starts, len(g_s)]))
+    order = np.lexsort((h, codes))
+    c_s, h_s = codes[order], h[order]
+    keep = np.ones(len(c_s), dtype=bool)
+    keep[1:] = (c_s[1:] != c_s[:-1]) | (h_s[1:] != h_s[:-1])
+    c_s, h_s = c_s[keep], h_s[keep]
+    starts = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+    rank = np.arange(len(c_s)) - np.repeat(starts, np.diff(np.r_[starts, len(c_s)]))
     sel = rank < k
-    return pa.table({group_col: pa.array(g_s[sel]),
+    return pa.table({group_col: pa.array(uniq_g[c_s[sel]]),
                      "__kmv_hash": pa.array(h_s[sel], pa.uint64())})
 
 
