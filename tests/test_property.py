@@ -288,3 +288,55 @@ def test_incremental_epochs_equal_single_shot(tmp_path_factory, ev1, ev2):
     a, b = live(lake_inc), live(lake_one)
     pd.testing.assert_frame_equal(a[["conv_id", "turn_idx", "text"]],
                                   b[["conv_id", "turn_idx", "text"]])
+
+
+# --------------------------------------------------------------------------
+# Sketch mergeability (pure kernels, no Ray): for ANY split of the rows
+# into batches, merging the per-batch partials yields the same result as
+# one batch — the property that makes the sketches shuffle-safe.
+# --------------------------------------------------------------------------
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                       st.integers(min_value=0, max_value=200)),
+             min_size=1, max_size=120),
+    st.integers(min_value=1, max_value=6),
+    st.randoms(use_true_random=False),
+)
+def test_kmv_partial_merge_invariant(rows, n_splits, rnd):
+    import pyarrow as pa
+
+    from rayrep.ops.sketch import _TWO64, _kmv_partial
+
+    k = 8
+
+    def table(rws):
+        return pa.table({"g": pa.array([r[0] for r in rws]),
+                         "v": pa.array([r[1] for r in rws], pa.int64())})
+
+    def finalize(parts):
+        import numpy as np
+        import pandas as pd
+
+        df = pa.concat_tables(parts).to_pandas()
+        out = {}
+        for g, grp in df.groupby("g"):
+            hv = np.unique(grp["__kmv_hash"].to_numpy())
+            out[g] = (float(len(hv)) if len(hv) < k
+                      else float(k - 1) * _TWO64 / float(hv[k - 1]))
+        return out
+
+    single = finalize([_kmv_partial(table(rows), group_col="g",
+                                    value_col="v", k=k)])
+    # random contiguous split into n_splits pieces
+    idx = sorted(rnd.sample(range(1, len(rows)), min(n_splits - 1, len(rows) - 1))) \
+        if len(rows) > 1 else []
+    pieces, prev = [], 0
+    for i in idx + [len(rows)]:
+        if i > prev:
+            pieces.append(rows[prev:i])
+        prev = i
+    split = finalize([_kmv_partial(table(p), group_col="g", value_col="v", k=k)
+                      for p in pieces])
+    assert single == split
