@@ -158,9 +158,18 @@ def bloom_filter(keys_ds: rd.Dataset, key_col: str, *, m_bits: int = 1 << 20,
         np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
 
+    def or_merge(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for buf in batch.column("bits").to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint8)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.large_binary())})
+
     merged = np.zeros(nbytes, dtype=np.uint8)
-    for b in keys_ds.map_batches(partial, batch_format="pyarrow").iter_batches(
-            batch_format="pyarrow"):
+    # one distributed tree-merge level (<=64 bitmaps per task) so the
+    # driver pulls batches/64 bitmaps, not one per input batch
+    folded = (keys_ds.map_batches(partial, batch_format="pyarrow")
+              .map_batches(or_merge, batch_format="pyarrow", batch_size=64))
+    for b in folded.iter_batches(batch_format="pyarrow"):
         for buf in b.column("bits").to_pylist():
             merged |= np.frombuffer(buf, dtype=np.uint8)
     return ray.put((merged, m_bits, n_hashes))
