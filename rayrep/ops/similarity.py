@@ -173,6 +173,143 @@ class IVFIndex:
         return topk_cosine(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
+# --------------------------------------------------------- exact k-means
+KM_SCALE = 1 << 20  # fixed-point quantization, same constant as the oracles
+
+
+def _quantize_embeddings(col) -> np.ndarray:
+    """(n, d) int64 ``floor(x · 2^20)``: float32→float64 cast is exact,
+    ×2^20 is exact (power of two), floor is deterministic — so both engines
+    compute identical integers and every distance below is EXACT integer
+    arithmetic (no summation-order or ulp concerns anywhere)."""
+    emb = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    d = len(flat) // max(1, len(emb))
+    return np.floor(flat * KM_SCALE).astype(np.int64).reshape(-1, d)
+
+
+def _km_sqdist(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) exact int64 squared distances; loop over k (a small constant)
+    keeps the temp at n×d instead of n×k×d."""
+    out = np.empty((x.shape[0], cent.shape[0]), dtype=np.int64)
+    for j in range(cent.shape[0]):
+        diff = x - cent[j]
+        out[:, j] = np.einsum("nd,nd->n", diff, diff)
+    return out
+
+
+def _km_partial(batch: pa.Table, cent_ref, emb_col: str) -> pa.Table:
+    """Map-side Lloyd partials: assign each row to its nearest centroid
+    (ties → lowest cluster id) and emit (cluster, dim, sum, count) rows —
+    k×d per batch, never the data."""
+    cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    k, d = cent.shape
+    if batch.num_rows == 0:
+        return pa.table({"cluster": pa.array([], pa.int64()),
+                         "dim": pa.array([], pa.int64()),
+                         "s": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    x = _quantize_embeddings(batch.column(emb_col))
+    assign = _km_sqdist(x, cent).argmin(axis=1)
+    order = np.argsort(assign, kind="stable")
+    a_s = assign[order]
+    bounds = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+    sums = np.add.reduceat(x[order], bounds, axis=0)          # (L, d)
+    counts = np.diff(np.r_[bounds, len(a_s)])
+    L = len(bounds)
+    return pa.table({
+        "cluster": pa.array(np.repeat(a_s[bounds].astype(np.int64), d)),
+        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), L)),
+        "s": pa.array(sums.ravel()),
+        "n": pa.array(np.repeat(counts.astype(np.int64), d)),
+    })
+
+
+def _km_final(batch: pa.Table, cent_ref, emb_col: str) -> pa.Table:
+    """Final assignment partials: per-cluster member count + scaled inertia
+    (Σ d²//2^20 — exact integer, overflow-safe to ~10^13 rows)."""
+    cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    if batch.num_rows == 0:
+        return pa.table({"cluster": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "inertia": pa.array([], pa.int64())})
+    x = _quantize_embeddings(batch.column(emb_col))
+    d2 = _km_sqdist(x, cent)
+    assign = d2.argmin(axis=1)
+    best = d2[np.arange(len(assign)), assign] // KM_SCALE
+    k = cent.shape[0]
+    inertia = np.zeros(k, dtype=np.int64)
+    np.add.at(inertia, assign, best)
+    return pa.table({
+        "cluster": pa.array(np.arange(k, dtype=np.int64)),
+        "n": pa.array(np.bincount(assign, minlength=k).astype(np.int64)),
+        "inertia": pa.array(inertia),
+    })
+
+
+def kmeans_fit(
+    ds: rd.Dataset, k: int = 8, iters: int = 3,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over an embedding column, EXACT by
+    construction: fixed-point 2^20 quantization, integer squared distances,
+    and floor-division centroid updates — every iterate is bit-identical
+    across batch splits, partitionings, and engines (the DuckDB oracle
+    replays all ``iters`` iterations and matches bitwise).
+
+    Scale shape per iteration: one streaming pass — ``map_batches`` emits
+    k×d-row partials, a tiny grouped Sum merges them, the driver folds k×d
+    numbers; centroids broadcast via ``ray.put``. The data never shuffles
+    and never lands on the driver. Deterministic init: the k lowest-id
+    vectors (SQL-expressible; swap for k-means‖ sampling at real scale).
+    Empty clusters keep their previous centroid."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def pick_init(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column(id_col), k))
+
+    init = (ds.map_batches(pick_init, batch_format="pyarrow")
+            .to_pandas().sort_values(id_col))
+    if len(init) < k:
+        raise ValueError(f"need ids 0..{k-1} present for deterministic init")
+    cent = np.floor(
+        np.stack(init[emb_col].to_numpy()).astype(np.float64) * KM_SCALE
+    ).astype(np.int64)
+    for _ in range(iters):
+        ref = ray.put(cent)
+        agg = (
+            ds.map_batches(_km_partial, fn_kwargs={"cent_ref": ref, "emb_col": emb_col},
+                           batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        nxt = cent.copy()
+        cl = agg["cluster"].to_numpy()
+        dim = agg["dim"].to_numpy()
+        nxt[cl, dim] = agg["s"].to_numpy() // agg["n"].to_numpy()
+        cent = nxt
+    return cent
+
+
+def kmeans_cluster_summary(
+    ds: rd.Dataset, cent: np.ndarray, emb_col: str = "embedding",
+) -> "pa.Table":
+    """One assignment pass at fixed centroids → (cluster, n, inertia)."""
+    from ray.data.aggregate import Sum
+
+    ref = ray.put(cent)
+    out = (
+        ds.map_batches(_km_final, fn_kwargs={"cent_ref": ref, "emb_col": emb_col},
+                       batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("inertia", alias_name="inertia"))
+        .to_pandas()
+    )
+    return out.sort_values("cluster").reset_index(drop=True)
+
+
 def train_ivf_from_dataset(
     ds: rd.Dataset, emb_col: str = "embedding", sample_rows: int = 2048,
     id_col: str = "vec_id", **kw,

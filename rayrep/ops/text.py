@@ -75,9 +75,29 @@ def word_ngram_counts(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa
     boundaries, then an Arrow grouped count. Emits (ngram, n) partials;
     callers finish with a tiny groupby-sum over distinct grams — shuffled
     bytes are the batch's distinct-gram table, never the corpus."""
-    texts = batch.column(text_col)
+    grams, _, _ = word_ngrams_with_docs(batch.column(text_col), n)
+    if len(grams) == 0:
+        return pa.table(
+            {"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+        )
+    agg = pa.TableGroupBy(pa.table({"ngram": grams}), ["ngram"]).aggregate(
+        [([], "count_all")]
+    )
+    return agg.rename_columns(["ngram", "n"])
+
+
+def word_ngrams_with_docs(
+    texts: pa.ChunkedArray | pa.Array, n: int
+) -> tuple[pa.Array, np.ndarray, int]:
+    """Flattened word n-grams for a batch of docs, fully vectorized:
+    whitespace-split once, drop empty tokens, join ``n`` shifted slices of
+    the flattened token array, mask grams that would cross a doc boundary.
+    Returns ``(grams, doc_of, n_docs)`` where ``doc_of[i]`` is the batch-row
+    index the i-th gram belongs to (the machinery behind
+    ``word_ngram_counts``, exposed for per-doc consumers)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
+    n_docs = len(texts)
     toks = pc.split_pattern_regex(texts, pattern=r"\s+")
     flat = pc.list_flatten(toks)
     offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -85,23 +105,122 @@ def word_ngram_counts(batch: pa.Table, n: int = 3, text_col: str = "text") -> pa
     counts = segment_sum(keep.astype(np.int64), offsets)
     flat = flat.filter(pa.array(keep))
     total = len(flat)
-    empty = pa.table({"ngram": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
     if total < n:
-        return empty
+        return pa.array([], pa.string()), np.empty(0, np.int64), n_docs
     starts = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
     ends = starts + counts
     pos = np.arange(total - n + 1, dtype=np.int64)
     doc_of = np.searchsorted(starts, pos, side="right") - 1
     valid = pos + (n - 1) < ends[doc_of]
-    if not valid.any():
-        return empty
     parts = [flat.slice(j, total - n + 1) for j in range(n)]
     grams = pc.binary_join_element_wise(*parts, " ").filter(pa.array(valid))
-    agg = pa.TableGroupBy(pa.table({"ngram": grams}), ["ngram"]).aggregate(
-        [([], "count_all")]
-    )
-    return agg.rename_columns(["ngram", "n"])
+    return grams, doc_of[valid], n_docs
+
+
+class Decontaminate:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with a held-out benchmark/eval set — the eval-overlap removal step of a
+    training-data pipeline (the GPT-3/FLAN 13-gram decontamination shape;
+    ``n`` configurable because synthetic docs are short).
+
+    Scale shape: eval suites are MBs while the corpus is TBs, so the
+    benchmark gram set is built once and broadcast once (``ray.put``); each
+    batch runs ONE vectorized ``pc.is_in`` over its flattened n-grams and
+    emits one row per doc — the corpus text never shuffles. Grams are
+    matched as strings for oracle exactness; at 100 TB swap in the 64-bit
+    gram hash (same shape, 8 B/gram broadcast) and accept the ~0
+    collision-rate approximation."""
+
+    def __init__(self, bench_ref, n: int = 5, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        grams = ray.get(bench_ref) if isinstance(bench_ref, ray.ObjectRef) else bench_ref
+        self.bench = pa.array(sorted(set(grams)), pa.string())
+        self.n, self.id_col, self.text_col = n, id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grams, doc_of, n_docs = word_ngrams_with_docs(
+            batch.column(self.text_col), self.n
+        )
+        hits = np.zeros(n_docs, dtype=np.int64)
+        if len(grams) and len(self.bench):
+            m = pc.is_in(grams, value_set=self.bench).to_numpy(zero_copy_only=False)
+            np.add.at(hits, doc_of[m], 1)
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_bench_hits": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+
+def benchmark_ngram_set(ds, n: int = 5, text_col: str = "text") -> list[str]:
+    """Distinct word n-grams of a (small) benchmark Dataset: per-batch
+    vectorized gram extraction + per-batch dedup; the global distinct set is
+    assembled driver-side because benchmarks are eval-set-sized by
+    definition (the result is the broadcast payload, so it must fit in one
+    object anyway)."""
+    def per_batch(t: pa.Table) -> pa.Table:
+        grams, _, _ = word_ngrams_with_docs(t.column(text_col), n)
+        return pa.table({"g": pc.unique(grams)})
+
+    out = ds.map_batches(per_batch, batch_format="pyarrow").to_pandas()
+    return sorted(set(out["g"].tolist()))
+
+
+class RepetitionStats:
+    """Gopher-family within-document repetition signals: duplicate-word
+    fraction (1 − distinct/total) and top-word fraction (mode count /
+    total), plus a keep flag. One vectorized pass per batch: whitespace
+    tokens are dictionary-encoded (Arrow C++), (doc, code) pairs packed
+    into one int64 key, and a single ``np.unique`` yields both per-doc
+    distinct counts and per-(doc,word) frequencies for the segment-max."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text",
+                 max_top_word_frac: float = 0.2):
+        self.id_col, self.text_col = id_col, text_col
+        self.max_top = max_top_word_frac
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        n_docs = len(texts)
+        toks = pc.split_pattern_regex(texts, pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        n_words = segment_sum(keep.astype(np.int64), offsets)
+        flat = flat.filter(pa.array(keep))
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        top_cnt = np.zeros(n_docs, dtype=np.int64)
+        if len(flat):
+            enc = flat.dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+            key = (doc_of << 32) | codes
+            ukey, ucnt = np.unique(key, return_counts=True)  # sorted by doc
+            udoc = (ukey >> 32).astype(np.int64)
+            np.add.at(n_distinct, udoc, 1)
+            bounds = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            top_cnt[udoc[bounds]] = np.maximum.reduceat(ucnt, bounds)
+        nz = n_words > 0
+        dup = np.zeros(n_docs, dtype=np.float64)
+        top = np.zeros(n_docs, dtype=np.float64)
+        # single-division IEEE ratios: bitwise-equal to the SQL oracle
+        dup[nz] = 1.0 - n_distinct[nz].astype(np.float64) / n_words[nz]
+        top[nz] = top_cnt[nz].astype(np.float64) / n_words[nz]
+        return pa.table({
+            self.id_col: batch.column(self.id_col),
+            "n_words": pa.array(n_words),
+            "n_distinct": pa.array(n_distinct),
+            "dup_word_frac": pa.array(dup),
+            "top_word_frac": pa.array(top),
+            "keep": pa.array(top <= self.max_top),
+        })
 
 
 class CleanText:

@@ -1790,6 +1790,68 @@ def value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
                                quantiles=(0.5, 0.95), scale=10.0)
 
 
+def decontaminate_docs(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination (eval-set-overlap removal): docs with
+    ``doc_id % 23 == 0`` play the held-out benchmark; every other doc is
+    flagged if it shares any word 5-gram with it. The benchmark gram set is
+    built once and broadcast once (``ray.put`` — eval suites are MBs while
+    the corpus is TBs), then one vectorized ``is_in`` per corpus batch; the
+    corpus text never shuffles and never lands on the driver."""
+    from rayrep.ops.dedup import _cached_cls_fn
+    from rayrep.ops.text import Decontaminate, benchmark_ngram_set
+
+    n, mod = 5, 23
+
+    def _split(is_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            m = (ids % mod == 0) if is_bench else (ids % mod != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    docs = lambda: _docs(sf_dir, columns=["doc_id", "text"])  # noqa: E731
+    bench = benchmark_ngram_set(
+        docs().map_batches(_split(True), batch_format="pyarrow"), n=n
+    )
+    ref = ray.put(bench)
+    out = (
+        docs()
+        .map_batches(_split(False), batch_format="pyarrow")
+        .map_batches(
+            _cached_cls_fn,
+            fn_kwargs={"cls": Decontaminate, "kwargs": {"bench_ref": ref, "n": n}},
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def repetition_stats(sf_dir: str) -> pd.DataFrame:
+    """Gopher-family within-doc repetition quality filter: duplicate-word
+    fraction and top-word (mode) fraction per doc, plus the keep flag —
+    one vectorized stage (dictionary-encode + one np.unique per batch)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    out = _stage(ds, "rayrep.ops.text.RepetitionStats").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
+    """Distributed Lloyd k-means over the embeddings table (k=8, 3
+    iterations), EXACT: fixed-point 2^20 quantization + integer distances +
+    floor-div centroid updates make every iterate bit-identical across
+    batch splits and engines — the DuckDB oracle replays all three
+    iterations and the final (cluster, n, inertia) matches bitwise. Per
+    iteration: one streaming pass emitting k×d partial-sum rows, one tiny
+    grouped Sum; embeddings never shuffle, never land on the driver."""
+    from rayrep.ops.similarity import kmeans_cluster_summary, kmeans_fit
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    cent = kmeans_fit(ds, k=8, iters=3)
+    return kmeans_cluster_summary(ds, cent)
+
+
 # ------------------------------------------------------------------ registry
 def queries() -> dict:
     return {
@@ -1844,6 +1906,9 @@ def queries() -> dict:
         "big_orders": big_orders,
         "label_centroids": label_centroids,
         "value_quantile_sketch": value_quantile_sketch,
+        "decontaminate_docs": decontaminate_docs,
+        "repetition_stats": repetition_stats,
+        "kmeans_clusters": kmeans_clusters,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -2322,6 +2387,56 @@ def oracle_sql() -> dict:
                        / 1048576.0 AS centroid
             FROM f GROUP BY label, dim ORDER BY label, dim
         """,
+        "decontaminate_docs": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                           x -> x <> '') AS tk
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, array_to_string(tk[i:i+4], ' ') AS g
+                FROM toks CROSS JOIN unnest(range(1, len(tk) - 3)) AS u(i)
+            ),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 23 = 0),
+            hits AS (
+                SELECT doc_id, count(*) AS n FROM grams
+                WHERE doc_id % 23 <> 0 AND g IN (SELECT g FROM bench)
+                GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(h.n, 0) AS BIGINT) AS n_bench_hits,
+                   COALESCE(h.n, 0) > 0 AS contaminated
+            FROM toks t LEFT JOIN hits h USING (doc_id)
+            WHERE t.doc_id % 23 <> 0
+            ORDER BY t.doc_id
+        """,
+        "repetition_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> '')) AS w
+                FROM documents
+            ),
+            per AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+            agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                           CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS mx
+                    FROM per GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(a.n_words, 0) AS n_words,
+                   COALESCE(a.n_distinct, 0) AS n_distinct,
+                   CASE WHEN a.n_words > 0
+                        THEN 1.0 - CAST(a.n_distinct AS DOUBLE) / a.n_words
+                        ELSE 0.0 END AS dup_word_frac,
+                   CASE WHEN a.n_words > 0
+                        THEN CAST(a.mx AS DOUBLE) / a.n_words
+                        ELSE 0.0 END AS top_word_frac,
+                   CASE WHEN a.n_words > 0
+                        THEN CAST(a.mx AS DOUBLE) / a.n_words <= 0.2
+                        ELSE TRUE END AS keep
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
+        """,
+        "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=3, d=64),
         "big_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
             FROM orders
@@ -2403,3 +2518,71 @@ def _fingerprint_oracle_sql(k: int = 8) -> str:
                       THEN fp_u - {M}::HUGEINT ELSE fp_u END AS BIGINT) AS fingerprint
         FROM fps
     """
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
+    """DuckDB replay of the EXACT integer Lloyd iterations in
+    ops/similarity.kmeans_fit: same 2^20 quantization (floor of an exact
+    power-of-two product), same integer squared distances, same
+    (d2, cluster) tie-break, same floor-division centroid update (the
+    double-mod emulation matches Python ``//`` on negatives), same
+    keep-old-centroid rule for empty clusters. Every iterate is integer,
+    so the comparison is bitwise, not tolerance-based."""
+    parts = [f"""
+        comp AS (
+            SELECT vec_id, r.i - 1 AS dim,
+                   CAST(floor(CAST(embedding[r.i] AS DOUBLE) * 1048576.0)
+                        AS BIGINT) AS q
+            FROM embeddings CROSS JOIN (SELECT unnest(range(1, {d + 1})) AS i) r
+        ),
+        cent0 AS (SELECT vec_id AS cluster, dim, q AS c FROM comp WHERE vec_id < {k})"""]
+    for t in range(iters):
+        parts.append(f"""
+        dist{t} AS (
+            SELECT comp.vec_id, ct.cluster,
+                   SUM((comp.q - ct.c) * (comp.q - ct.c)) AS d2
+            FROM comp JOIN cent{t} ct USING (dim)
+            GROUP BY comp.vec_id, ct.cluster
+        ),
+        assign{t} AS (
+            SELECT vec_id, cluster FROM dist{t}
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2 ASC, cluster ASC) = 1
+        ),
+        stats{t} AS (
+            SELECT a.cluster, comp.dim, SUM(comp.q) AS s, COUNT(*) AS n
+            FROM assign{t} a JOIN comp USING (vec_id)
+            GROUP BY a.cluster, comp.dim
+        ),
+        cent{t + 1} AS (
+            SELECT p.cluster, p.dim,
+                   CASE WHEN st.n IS NULL THEN p.c
+                        ELSE CAST((st.s - (((st.s % st.n) + st.n) % st.n)) / st.n
+                                  AS BIGINT)
+                   END AS c
+            FROM cent{t} p LEFT JOIN stats{t} st
+              ON st.cluster = p.cluster AND st.dim = p.dim
+        )""")
+    final = f"""
+        distF AS (
+            SELECT comp.vec_id, ct.cluster,
+                   SUM((comp.q - ct.c) * (comp.q - ct.c)) AS d2
+            FROM comp JOIN cent{iters} ct USING (dim)
+            GROUP BY comp.vec_id, ct.cluster
+        ),
+        assignF AS (
+            SELECT vec_id, cluster, d2 FROM distF
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY d2 ASC, cluster ASC) = 1
+        ),
+        summary AS (
+            SELECT cluster, count(*) AS cnt,
+                   SUM(CAST((d2 - (d2 % 1048576)) / 1048576 AS BIGINT)) AS inert
+            FROM assignF GROUP BY cluster
+        )
+        SELECT r.cluster, CAST(COALESCE(s.cnt, 0) AS BIGINT) AS n,
+               CAST(COALESCE(s.inert, 0) AS BIGINT) AS inertia
+        FROM (SELECT unnest(range(0, {k})) AS cluster) r
+        LEFT JOIN summary s USING (cluster)
+        ORDER BY r.cluster"""
+    return "WITH " + ",".join(parts) + "," + final
