@@ -513,10 +513,7 @@ class Applier:
             d_kid = kid_w[kmask]
             now_live = ~is_del[win][kmask]
             if len(prior_live):
-                was = (
-                    pd.Series(d_kid).map(prior_live).fillna(False)
-                    .to_numpy(dtype=bool)
-                )
+                was = pd.Series(d_kid).map(prior_live).eq(True).to_numpy()
             else:
                 was = np.zeros(len(d_kid), dtype=bool)
             if self.per_cell and len(seed):

@@ -1836,6 +1836,51 @@ def repetition_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def conv_stats(sf_dir: str) -> pd.DataFrame:
+    """Conversation-level transcript summary — the per-dialog profile a
+    training-data pipeline computes before mixing/filtering (turn counts
+    by role, payload size, wall-clock span). Events play the transcript
+    view (conv_id=user_id, role=event_id%3, text=props). One vectorized
+    per-batch partial (Arrow grouped count/sum/min/max per conv) shrinks
+    the shuffle to ≤1 row per (conv, batch); a tiny grouped Sum/Min/Max
+    finishes. All outputs integer → the oracle comparison is exact."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        eid = batch.column("event_id").to_numpy()
+        role = eid % 3  # 0=user, 1=assistant, 2=tool
+        chars = pc.utf8_length(batch.column("props")).cast(pa.int64())
+        ts_us = batch.column("ts").cast(pa.int64())
+        t = pa.table({
+            "conv_id": batch.column("user_id").cast(pa.string()),
+            "a": pa.array((role == 1).astype(np.int64)),
+            "t": pa.array((role == 2).astype(np.int64)),
+            "chars": chars, "ts_us": ts_us,
+        })
+        agg = pa.TableGroupBy(t, ["conv_id"]).aggregate(
+            [([], "count_all"), ("a", "sum"), ("t", "sum"),
+             ("chars", "sum"), ("ts_us", "min"), ("ts_us", "max")]
+        )
+        return agg.rename_columns(
+            ["conv_id", "n", "a", "t", "chars", "ts_min", "ts_max"])
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "props", "ts"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("conv_id")
+        .aggregate(Sum("n", alias_name="n_turns"),
+                   Sum("a", alias_name="n_assistant_turns"),
+                   Sum("t", alias_name="n_tool_turns"),
+                   Sum("chars", alias_name="total_chars"),
+                   Min("ts_min", alias_name="ts_min"),
+                   Max("ts_max", alias_name="ts_max"))
+        .to_pandas()
+    )
+    out["duration_us"] = (out["ts_max"] - out["ts_min"]).astype("int64")
+    out = out.drop(columns=["ts_min", "ts_max"])
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
 def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd k-means over the embeddings table (k=8, 3
     iterations), EXACT: fixed-point 2^20 quantization + integer distances +
@@ -1908,6 +1953,7 @@ def queries() -> dict:
         "value_quantile_sketch": value_quantile_sketch,
         "decontaminate_docs": decontaminate_docs,
         "repetition_stats": repetition_stats,
+        "conv_stats": conv_stats,
         "kmeans_clusters": kmeans_clusters,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
@@ -2435,6 +2481,18 @@ def oracle_sql() -> dict:
                         ELSE TRUE END AS keep
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "conv_stats": """
+            SELECT CAST(user_id AS VARCHAR) AS conv_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_turns,
+                   CAST(SUM(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant_turns,
+                   CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool_turns,
+                   CAST(SUM(length(props)) AS BIGINT) AS total_chars,
+                   CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT)
+                       AS duration_us
+            FROM events GROUP BY user_id ORDER BY conv_id
         """,
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=3, d=64),
         "big_orders": """
