@@ -310,6 +310,71 @@ def kmeans_cluster_summary(
     return out.sort_values("cluster").reset_index(drop=True)
 
 
+def _semdedup_group(
+    g: pa.Table, theta: int, id_col: str, emb_col: str, block: int = 1024,
+) -> pa.Table:
+    """Within-cluster near-dup marking: a row is a duplicate iff some
+    LOWER-id row in the same cluster sits within quantized squared L2
+    distance ``theta`` (the SemDeDup keep-one-per-ball rule with the
+    lowest id as the ball's representative). Exact int64 arithmetic —
+    |q|² ≤ 64·2⁴² and pair d² ≤ 64·2⁴², far under overflow. Pairwise work
+    is blocked (``block`` rows vs all lower ids at a time) so the temp is
+    block×n, not n×n."""
+    ids = g.column(id_col).to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    ids = ids[order]
+    x = _quantize_embeddings(g.column(emb_col))[order]
+    n = len(ids)
+    sq = np.einsum("nd,nd->n", x, x)
+    is_dup = np.zeros(n, dtype=bool)
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        d2 = sq[s:e, None] + sq[None, :e] - 2 * (x[s:e] @ x[:e].T)
+        m = d2 <= theta
+        m &= np.arange(e)[None, :] < np.arange(s, e)[:, None]  # strictly lower id
+        is_dup[s:e] = m.any(axis=1)
+    cl = g.column("cluster").to_numpy(zero_copy_only=False)[order]
+    return pa.table({
+        id_col: pa.array(ids),
+        "cluster": pa.array(cl.astype(np.int64)),
+        "is_dup": pa.array(is_dup),
+    })
+
+
+def semantic_dedup(
+    ds: rd.Dataset, theta: int, k: int = 8, iters: int = 3,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> rd.Dataset:
+    """SemDeDup-shape semantic deduplication: exact k-means clusters the
+    corpus (``kmeans_fit`` — data never shuffles during training), then ONE
+    hash shuffle co-locates each cluster and a vectorized in-cluster pass
+    marks every row that has a lower-id neighbour within ``theta`` (keep
+    the lowest id per near-dup ball). All arithmetic is fixed-point int64,
+    so the DuckDB oracle (same centroids, same pair rule) matches bitwise.
+
+    100 TB shape: the within-cluster pass is O(|cluster|²·d) — SemDeDup's
+    own cost model — so ``k`` must grow ∝ corpus size to bound cluster
+    width (k≈N/⟨cluster⟩); the shuffle carries (id, cluster, embedding)
+    once, and nothing lands on the driver."""
+    cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        x = _quantize_embeddings(batch.column(emb_col))
+        a = _km_sqdist(x, c).argmin(axis=1).astype(np.int64)
+        return batch.select([id_col, emb_col]).append_column(
+            "cluster", pa.array(a))
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .map_groups(_semdedup_group, batch_format="pyarrow",
+                    fn_kwargs={"theta": theta, "id_col": id_col,
+                               "emb_col": emb_col})
+    )
+
+
 def train_ivf_from_dataset(
     ds: rd.Dataset, emb_col: str = "embedding", sample_rows: int = 2048,
     id_col: str = "vec_id", **kw,

@@ -1881,6 +1881,25 @@ def conv_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+SEMDEDUP_THETA = 1_300_000_000_000  # quantized L2² ball ≈ 0.05th pct of pairs
+
+
+def semantic_dedup_docs(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-shape semantic dedup over the embeddings table: exact
+    k-means (k=8, 3 Lloyd iterations) clusters the corpus, then one
+    cluster-hash shuffle and a blocked in-cluster pairwise pass marks rows
+    with a lower-id neighbour within the θ ball. Fixed-point int64
+    throughout → the DuckDB oracle replays centroids AND the pair rule
+    bitwise. Scale note: k grows ∝ corpus size to bound the O(|cluster|²)
+    verify (the SemDeDup cost model)."""
+    from rayrep.ops.similarity import semantic_dedup
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, theta=SEMDEDUP_THETA, k=8, iters=3).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd k-means over the embeddings table (k=8, 3
     iterations), EXACT: fixed-point 2^20 quantization + integer distances +
@@ -1955,6 +1974,7 @@ def queries() -> dict:
         "repetition_stats": repetition_stats,
         "conv_stats": conv_stats,
         "kmeans_clusters": kmeans_clusters,
+        "semantic_dedup": semantic_dedup_docs,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -2495,6 +2515,7 @@ def oracle_sql() -> dict:
             FROM events GROUP BY user_id ORDER BY conv_id
         """,
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=3, d=64),
+        "semantic_dedup": _semantic_dedup_oracle_sql(SEMDEDUP_THETA, k=8, iters=3, d=64),
         "big_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
             FROM orders
@@ -2621,7 +2642,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
             FROM cent{t} p LEFT JOIN stats{t} st
               ON st.cluster = p.cluster AND st.dim = p.dim
         )""")
-    final = f"""
+    parts.append(f"""
         distF AS (
             SELECT comp.vec_id, ct.cluster,
                    SUM((comp.q - ct.c) * (comp.q - ct.c)) AS d2
@@ -2632,7 +2653,8 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
             SELECT vec_id, cluster, d2 FROM distF
             QUALIFY row_number() OVER (PARTITION BY vec_id
                                        ORDER BY d2 ASC, cluster ASC) = 1
-        ),
+        )""")
+    final = f"""
         summary AS (
             SELECT cluster, count(*) AS cnt,
                    SUM(CAST((d2 - (d2 % 1048576)) / 1048576 AS BIGINT)) AS inert
@@ -2644,3 +2666,34 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
         LEFT JOIN summary s USING (cluster)
         ORDER BY r.cluster"""
     return "WITH " + ",".join(parts) + "," + final
+
+
+def _semantic_dedup_oracle_sql(
+    theta: int, k: int = 8, iters: int = 3, d: int = 64,
+) -> str:
+    """Same exact k-means CTE chain up to the final assignment, then the
+    SemDeDup rule verbatim: a row is a duplicate iff some lower-vec_id row
+    in its cluster is within quantized squared L2 ``theta``. Pair distance
+    via list_zip + integer lambda (no dim unnest), bitwise-exact."""
+    kmeans = _kmeans_oracle_sql(k=k, iters=iters, d=d)
+    body = kmeans[: kmeans.index(",\n        summary AS")]
+    return body + f""",
+        q AS (
+            SELECT vec_id, list_transform(embedding,
+                     x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+                   ) AS qv
+            FROM embeddings
+        ),
+        dup AS (
+            SELECT a.vec_id
+            FROM assignF a
+            JOIN assignF b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+            JOIN q qa ON qa.vec_id = a.vec_id
+            JOIN q qb ON qb.vec_id = b.vec_id
+            WHERE list_sum(list_transform(list_zip(qa.qv, qb.qv),
+                           x -> (x[1] - x[2]) * (x[1] - x[2]))) <= {theta}
+            GROUP BY a.vec_id
+        )
+        SELECT a.vec_id, a.cluster, (dup.vec_id IS NOT NULL) AS is_dup
+        FROM assignF a LEFT JOIN dup USING (vec_id)
+        ORDER BY a.vec_id"""

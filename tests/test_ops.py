@@ -472,3 +472,37 @@ def test_histogram_quantiles_accuracy_and_partition_invariance():
             rank_val = v[math.ceil(q * len(v)) - 1]
             assert outs[0].loc[g, col] == np.floor(rank_val * 10.0) / 10.0
             assert abs(outs[0].loc[g, col] - np.quantile(v, q)) <= 0.2 + 1e-9
+
+
+def test_semdedup_group_block_invariance_and_rule():
+    """_semdedup_group: blocked pairwise pass equals the O(n²) brute-force
+    lowest-id-wins rule, independent of block size and input row order."""
+    import pyarrow as pa
+
+    from rayrep.ops.similarity import _semdedup_group, _quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    n, d = 200, 16
+    base = rng.normal(size=(n, d)).astype(np.float32)
+    base[50] = base[10] + 1e-4  # planted near-dup (higher id loses)
+    base[3] = base[120] + 1e-4  # planted near-dup (LOWER id of the pair)
+    ids = rng.permutation(n)  # shuffled row order
+    g = pa.table({
+        "vec_id": pa.array(ids.astype(np.int64)),
+        "embedding": pa.array([base[i].tolist() for i in ids],
+                              pa.list_(pa.float32())),
+        "cluster": pa.array(np.zeros(n, np.int64)),
+    })
+    q = _quantize_embeddings(g.column("embedding"))
+    order = np.argsort(ids)
+    qs = q[order]
+    theta = 10_000_000
+    d2 = ((qs[:, None, :] - qs[None, :, :]) ** 2).sum(axis=2)
+    expect = (np.tril(d2 <= theta, -1)).any(axis=1)
+    assert expect.sum() >= 2  # both planted pairs found
+    for block in (7, 64, 1024):
+        out = _semdedup_group(g, theta=theta, id_col="vec_id",
+                              emb_col="embedding", block=block)
+        assert out.column("vec_id").to_pylist() == sorted(ids.tolist())
+        assert np.array_equal(
+            out.column("is_dup").to_numpy(zero_copy_only=False), expect)
