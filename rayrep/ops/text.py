@@ -169,6 +169,79 @@ def benchmark_ngram_set(ds, n: int = 5, text_col: str = "text") -> list[str]:
     return sorted(set(out["g"].tolist()))
 
 
+def doc_freq_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch document-frequency partials: distinct (doc, word) pairs
+    collapsed to (word, n_docs_in_batch). Because a document is one row,
+    it lives in exactly one batch — summing partials over batches is the
+    EXACT corpus df, no cross-batch dedup needed. Shuffled bytes are the
+    batch's distinct words, never the corpus."""
+    toks, doc_of, _ = word_ngrams_with_docs(batch.column(text_col), 1)
+    if len(toks) == 0:
+        return pa.table({"w": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    pairs = pa.TableGroupBy(
+        pa.table({"w": toks, "d": pa.array(doc_of)}), ["w", "d"]
+    ).aggregate([])
+    agg = pa.TableGroupBy(pairs.select(["w"]), ["w"]).aggregate(
+        [([], "count_all")])
+    return agg.rename_columns(["w", "df"])
+
+
+class TfidfTopTerm:
+    """Per-document top TF-IDF term: the keyword-extraction step of a
+    corpus curation pipeline. The document-frequency table (vocab-sized —
+    MBs while the corpus is TBs; hash words to int64 at real scale) is
+    broadcast ONCE via ``ray.put``; each batch computes exact per-doc term
+    frequencies (one Arrow grouped count — a doc never spans batches),
+    looks up df by searchsorted, scores tf·N/df, and takes the per-doc
+    argmax (ties → lexicographically smallest term) with one sort +
+    segment-boundary pass. Docs never shuffle; score is one int·int double
+    division, so both engines produce identical IEEE doubles."""
+
+    def __init__(self, df_ref, n_docs: int, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        words, dfs = (ray.get(df_ref)
+                      if isinstance(df_ref, ray.ObjectRef) else df_ref)
+        self.words = words          # sorted np.ndarray of str
+        self.dfs = dfs              # aligned int64 df values
+        self.n_docs = n_docs
+        self.id_col, self.text_col = id_col, text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            self.id_col: pa.array([], batch.schema.field(self.id_col).type),
+            "top_term": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+        })
+        toks, doc_of, _ = word_ngrams_with_docs(batch.column(self.text_col), 1)
+        if len(toks) == 0:
+            return empty
+        tf = pa.TableGroupBy(
+            pa.table({"d": pa.array(doc_of), "w": toks}), ["d", "w"]
+        ).aggregate([([], "count_all")]).rename_columns(["d", "w", "tf"])
+        w = tf.column("w").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.words, w)
+        # every batch word is in the global df table by construction
+        df = self.dfs[np.minimum(pos, len(self.dfs) - 1)]
+        score = tf.column("tf").to_numpy().astype(np.float64) * self.n_docs / df
+        scored = tf.append_column("score", pa.array(score))
+        idx = pc.sort_indices(scored, sort_keys=[
+            ("d", "ascending"), ("score", "descending"), ("w", "ascending")])
+        s = scored.take(idx)
+        d = s.column("d").to_numpy()
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = d[1:] != d[:-1]
+        top = s.filter(pa.array(first))
+        ids = batch.column(self.id_col).take(top.column("d"))
+        return pa.table({
+            self.id_col: ids,
+            "top_term": top.column("w"),
+            "score": top.column("score"),
+        })
+
+
 class RepetitionStats:
     """Gopher-family within-document repetition signals: duplicate-word
     fraction (1 − distinct/total) and top-word fraction (mode count /

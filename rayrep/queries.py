@@ -1881,6 +1881,40 @@ def conv_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top TF-IDF keyword. Pass 1 builds the exact df table (per-
+    batch distinct-(doc,word) partials → one vocab-sized groupby-sum —
+    docs never span batches so the sum is exact); the vocab-sized result
+    broadcasts back via ``ray.put`` and pass 2 scores each doc in place —
+    the corpus text itself never shuffles. Score = tf·N/df computed as ONE
+    double division from exact ints, so both engines emit identical IEEE
+    doubles and ordering ties break on the term string."""
+    from ray.data.aggregate import Sum
+
+    from rayrep.ops.dedup import _cached_cls_fn
+    from rayrep.ops.text import TfidfTopTerm, doc_freq_partial
+
+    docs = lambda: _docs(sf_dir, columns=["doc_id", "text"])  # noqa: E731
+    n_docs = docs().count()
+    dfp = (
+        docs().map_batches(doc_freq_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("w").aggregate(Sum("df", alias_name="df")).to_pandas()
+    )
+    words = dfp["w"].to_numpy()
+    order = np.argsort(words)
+    ref = ray.put((words[order], dfp["df"].to_numpy()[order]))
+    out = (
+        docs().map_batches(
+            _cached_cls_fn,
+            fn_kwargs={"cls": TfidfTopTerm,
+                       "kwargs": {"df_ref": ref, "n_docs": n_docs}},
+            batch_format="pyarrow", zero_copy_batch=True,
+        ).to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 SEMDEDUP_THETA = 1_300_000_000_000  # quantized L2² ball ≈ 0.05th pct of pairs
 
 
@@ -1975,6 +2009,7 @@ def queries() -> dict:
         "conv_stats": conv_stats,
         "kmeans_clusters": kmeans_clusters,
         "semantic_dedup": semantic_dedup_docs,
+        "tfidf_top_terms": tfidf_top_terms,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -2516,6 +2551,23 @@ def oracle_sql() -> dict:
         """,
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=3, d=64),
         "semantic_dedup": _semantic_dedup_oracle_sql(SEMDEDUP_THETA, k=8, iters=3, d=64),
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id, unnest(list_filter(
+                         regexp_split_to_array(text, '\s+'), x -> x <> ''))
+                       AS w
+                FROM documents
+            ),
+            tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+            df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+            nd AS (SELECT count(*) AS n FROM documents)
+            SELECT tf.doc_id, tf.w AS top_term,
+                   CAST(tf.tf AS DOUBLE) * (SELECT n FROM nd) / df.df AS score
+            FROM tf JOIN df USING (w)
+            QUALIFY row_number() OVER (PARTITION BY tf.doc_id
+                                       ORDER BY score DESC, tf.w ASC) = 1
+            ORDER BY tf.doc_id
+        """,
         "big_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice, sum_qty
             FROM orders
