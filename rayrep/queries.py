@@ -526,6 +526,81 @@ def order_priority_revenue(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def orders_expensive_item_counts(sf_dir: str) -> pd.DataFrame:
+    """Large×large LEFT OUTER join: every order keeps a row even when no
+    lineitem survives the price filter (n_items=0, revenue=0) — the outer
+    semantics the inner co-group queries never exercise. Same ONE-shuffle
+    tagged-union co-group as ``order_priority_revenue``; the right side is
+    filtered at the read (only expensive items leave storage) and reduced
+    per key with sort+reduceat inside each partition; left keys that miss
+    get zeros via a searchsorted membership probe. No second shuffle: an
+    order lives in exactly one partition, so partition outputs concatenate
+    into the final result."""
+    P = 32
+    THR = 40_000.0
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey"])
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        key = t.column("o_orderkey").to_numpy()
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "rev": pa.nulls(len(key), pa.float64()),  # null rev = left side
+        })
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t.column("l_extendedprice"), THR))
+        key = t.column("l_orderkey").to_numpy()
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({
+            "part_id": pa.array((key % P).astype(np.int32)),
+            "key": pa.array(key),
+            "rev": rev.combine_chunks() if isinstance(rev, pa.ChunkedArray) else rev,
+        })
+
+    both = od.map_batches(tag_od, batch_format="pyarrow").union(
+        li.map_batches(tag_li, batch_format="pyarrow"))
+
+    def outer_join(group: pa.Table) -> pa.Table:
+        rev_col = group.column("rev")
+        is_left = pc.is_null(rev_col).to_numpy(zero_copy_only=False)
+        keys = group.column("key").to_numpy()
+        lk = keys[is_left]
+        rk = keys[~is_left]
+        rv = rev_col.to_numpy(zero_copy_only=False)[~is_left]
+        n = np.zeros(len(lk), dtype=np.int64)
+        s = np.zeros(len(lk), dtype=np.float64)
+        if len(rk):
+            o = np.argsort(rk, kind="stable")
+            rk, rv = rk[o], rv[o]
+            uk, starts = np.unique(rk, return_index=True)
+            cnt = np.diff(np.r_[starts, len(rk)])
+            sums = np.add.reduceat(rv, starts)
+            pos = np.searchsorted(uk, lk)
+            pos_c = np.minimum(pos, len(uk) - 1)
+            hit = uk[pos_c] == lk
+            n[hit] = cnt[pos_c[hit]]
+            s[hit] = sums[pos_c[hit]]
+        return pa.table({
+            "o_orderkey": pa.array(lk),
+            "n_items": pa.array(n),
+            "revenue": pa.array(np.round(s, 3)),
+        })
+
+    out = (
+        both.groupby("part_id")
+        .map_groups(outer_join, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def customers_without_urgent_orders(sf_dir: str) -> pd.DataFrame:
     """Distributed ANTI-join (the set-difference shape of TPC-H Q22 and of
     the applier's idempotence filter J5): customers with no 1-URGENT order.
@@ -1881,6 +1956,60 @@ def conv_stats(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def doc_token_rank(sf_dir: str) -> pd.DataFrame:
+    """Global order statistics WITHOUT a global sort: per-doc rank() and
+    dense_rank() by token count (desc) via a broadcast value histogram.
+    Pass 1 ships per-batch (token_count, n) partials — the shuffle is the
+    distinct-value table, bounded by max doc length, never the corpus;
+    the driver folds it into value→(rank, dense_rank) (rank-with-gaps =
+    1 + docs with a strictly greater count — tie-order-free), broadcast
+    once; pass 2 is a searchsorted lookup per batch. Docs never move."""
+    from ray.data.aggregate import Sum
+
+    from rayrep.ops.text import word_ngrams_with_docs
+
+    docs = lambda: _docs(sf_dir, columns=["doc_id", "text"])  # noqa: E731
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        toks, doc_of, n_docs = word_ngrams_with_docs(t.column("text"), 1)
+        n = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n, doc_of, 1)
+        agg = pa.TableGroupBy(pa.table({"v": pa.array(n)}), ["v"]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["v", "c"])
+
+    hist = (
+        docs().map_batches(count_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("v").aggregate(Sum("c", alias_name="c")).to_pandas()
+        .sort_values("v", ascending=False)
+    )
+    v_desc = hist["v"].to_numpy()
+    c_desc = hist["c"].to_numpy()
+    rank = np.ones(len(v_desc), dtype=np.int64)
+    rank[1:] = 1 + np.cumsum(c_desc[:-1])
+    dense = np.arange(1, len(v_desc) + 1, dtype=np.int64)
+    order = np.argsort(v_desc)  # ascending for searchsorted
+    ref = ray.put((v_desc[order], rank[order], dense[order]))
+
+    def assign(t: pa.Table) -> pa.Table:
+        vals, ranks, denses = ray.get(ref)
+        toks, doc_of, n_docs = word_ngrams_with_docs(t.column("text"), 1)
+        n = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(n, doc_of, 1)
+        pos = np.searchsorted(vals, n)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "token_count": pa.array(n),
+            "rnk": pa.array(ranks[pos]),
+            "dense_rnk": pa.array(denses[pos]),
+        })
+
+    out = docs().map_batches(assign, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def tfidf_top_terms(sf_dir: str) -> pd.DataFrame:
     """Per-doc top TF-IDF keyword. Pass 1 builds the exact df table (per-
     batch distinct-(doc,word) partials → one vocab-sized groupby-sum —
@@ -2010,6 +2139,8 @@ def queries() -> dict:
         "kmeans_clusters": kmeans_clusters,
         "semantic_dedup": semantic_dedup_docs,
         "tfidf_top_terms": tfidf_top_terms,
+        "doc_token_rank": doc_token_rank,
+        "orders_expensive_item_counts": orders_expensive_item_counts,
         "cdc_replay_events": cdc_replay_events,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
@@ -2551,6 +2682,30 @@ def oracle_sql() -> dict:
         """,
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=3, d=64),
         "semantic_dedup": _semantic_dedup_oracle_sql(SEMDEDUP_THETA, k=8, iters=3, d=64),
+        "doc_token_rank": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x <> '')) AS BIGINT)
+                           AS token_count
+                FROM documents
+            )
+            SELECT doc_id, token_count,
+                   CAST(rank() OVER (ORDER BY token_count DESC) AS BIGINT)
+                       AS rnk,
+                   CAST(dense_rank() OVER (ORDER BY token_count DESC) AS BIGINT)
+                       AS dense_rnk
+            FROM t ORDER BY doc_id
+        """,
+        "orders_expensive_item_counts": """
+            SELECT o.o_orderkey,
+                   CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+                   round(COALESCE(sum(l.l_extendedprice * (1 - l.l_discount)),
+                                  0), 3) AS revenue
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 40000
+            GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+        """,
         "tfidf_top_terms": r"""
             WITH toks AS (
                 SELECT doc_id, unnest(list_filter(
