@@ -193,6 +193,74 @@ def bloom_prefilter(ds: rd.Dataset, key_col: str, bloom_ref) -> rd.Dataset:
 
 
 # --------------------------------------------------------------------------
+# Count-min frequency sketch
+# --------------------------------------------------------------------------
+
+def cms_build(ds: rd.Dataset, key_col: str, *, width: int = 8192,
+              depth: int = 4) -> np.ndarray:
+    """Build a depth x width count-min sketch over a key column.
+
+    The mergeable-frequency member of the sketch family (KMV=distinct,
+    Bloom=membership, histogram=quantiles, CMS=frequency).  Per batch the
+    keys reduce to occupied (cell, count) pairs — at most
+    min(rows x depth, depth x width) rows of 16 bytes — via one vectorized
+    bincount; ONE tiny grouped Sum merges the batches (the shuffle carries
+    cell counts, never keys), and the driver materializes the final
+    depth x width int64 matrix (256 KiB at the defaults — broadcastable
+    with a single ``ray.put`` for distributed probing).  Buckets reuse the
+    Bloom double-hash family ``(h1 + i*h2) mod width``, so the arithmetic
+    is reproducible bit-for-bit by the DuckDB oracle's HUGEINT mul-mod
+    (``cms_oracle_cells_sql``)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        pos = _bloom_positions(
+            t.column(key_col).to_numpy(zero_copy_only=False), width, depth)
+        flat = (np.arange(depth, dtype=np.int64)[None, :] * width + pos).ravel()
+        cnt = np.bincount(flat, minlength=depth * width)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"cell": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(cnt[nz].astype(np.int64))})
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("cell").aggregate(Sum("c", alias_name="c")).to_pandas())
+    cms = np.zeros(depth * width, dtype=np.int64)
+    cms[cells["cell"].to_numpy()] = cells["c"].to_numpy()
+    return cms.reshape(depth, width)
+
+
+def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-query the sketch: min over depth rows of the key's cell —
+    the classic one-sided (never under-counting) CMS estimate."""
+    depth, width = cms.shape
+    pos = _bloom_positions(keys, width, depth)  # (n, depth)
+    return cms[np.arange(depth)[None, :], pos].min(axis=1)
+
+
+def cms_oracle_cells_sql(*, table: str, key_col: str, width: int,
+                         depth: int) -> str:
+    """SQL fragment computing the identical (i, bucket, count) cells with
+    HUGEINT mul-mod arithmetic (h2 forced odd via +1-(h2%2), the unsigned
+    equivalent of the numpy ``| 1``)."""
+    c1, c2 = int(KMV_MULT), 14029467366897019727
+    two64 = "18446744073709551616::HUGEINT"
+    return f"""
+        SELECT t2.i::BIGINT AS i,
+               (((h1 + t2.i::HUGEINT * h2) % {two64}) % {width})::BIGINT AS b,
+               count(*)::BIGINT AS c
+        FROM (
+            SELECT (({key_col}::HUGEINT * {c1}::HUGEINT) % {two64}) AS h1,
+                   (((xor({key_col}, {key_col} >> 32)::HUGEINT * {c2}::HUGEINT)
+                       % {two64})
+                    + 1 - ((xor({key_col}, {key_col} >> 32)::HUGEINT
+                            * {c2}::HUGEINT) % 2)) AS h2
+            FROM {table}
+        ), range({depth}) t2(i)
+        GROUP BY 1, 2
+    """
+
+
+# --------------------------------------------------------------------------
 # Fixed-bin histogram quantile sketch
 # --------------------------------------------------------------------------
 

@@ -1601,6 +1601,24 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
                         k=64, out_col="approx_users")
 
 
+def cms_user_counts(sf_dir: str) -> pd.DataFrame:
+    """Count-min-sketch frequency estimates for a fixed watchlist of user
+    ids (``rayrep/ops/sketch.py``) — the mergeable-frequency shape for key
+    sets too large to count exactly: per-batch keys collapse to occupied
+    sketch cells, ONE bounded grouped Sum (<= depth x width rows per
+    batch, never a key) merges them, and the watchlist probes the final
+    256 KiB matrix.  Estimates are one-sided (never under-count) and the
+    bucket arithmetic is bitwise-reproducible in SQL, so the oracle is
+    exact."""
+    from rayrep.ops.sketch import cms_build, cms_estimate
+
+    W, D = 8192, 4
+    ds = _events(sf_dir, columns=["user_id"])
+    cms = cms_build(ds, "user_id", width=W, depth=D)
+    watch = np.arange(50, dtype=np.int64)
+    return pd.DataFrame({"user_id": watch, "est_n": cms_estimate(cms, watch)})
+
+
 def urgent_lineitems_bloom(sf_dir: str) -> pd.DataFrame:
     """Bloom-prefiltered exact semi-join (reference J-shape: route only the
     rows a downstream applier will accept): revenue of lineitems whose
@@ -2127,6 +2145,7 @@ def queries() -> dict:
         "value_quantiles": value_quantiles,
         "user_peak_hour": user_peak_hour,
         "approx_distinct_users": approx_distinct_users,
+        "cms_user_counts": cms_user_counts,
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "daily_type_rollup": daily_type_rollup,
         "purchase_click_users": purchase_click_users,
@@ -2552,6 +2571,7 @@ def oracle_sql() -> dict:
         # Same-estimate KMV sketch: multiplicative hash + k-th-min formula
         # replayed with HUGEINT mul-mod (rayrep/ops/sketch.py).
         "approx_distinct_users": _kmv_users_oracle_sql(),
+        "cms_user_counts": _cms_users_oracle_sql(),
         # Fixed-point 1e-4 revenue: floor of identical IEEE products,
         # EXACT integer sum — deterministic across engines regardless of
         # summation order (no 3-decimal rounding cliff).
@@ -2752,6 +2772,42 @@ def _kmv_users_oracle_sql() -> str:
 
     return kmv_oracle_sql(table="events", group_col="event_type",
                           value_col="user_id", k=64, out_col="approx_users")
+
+
+def _cms_users_oracle_sql(width: int = 8192, depth: int = 4,
+                          n_watch: int = 50) -> str:
+    """DuckDB mirror of ``cms_user_counts``: identical double-hash buckets
+    (HUGEINT mul-mod, h2 forced odd), cell counts grouped over the full
+    events stream, then per-watchlist-key min over the depth rows — a
+    LEFT JOIN so a probe landing in an empty cell reads 0, exactly like
+    the numpy matrix lookup."""
+    from rayrep.ops.sketch import KMV_MULT, cms_oracle_cells_sql
+
+    c1, c2 = int(KMV_MULT), 14029467366897019727
+    two64 = "18446744073709551616::HUGEINT"
+    cells = cms_oracle_cells_sql(table="events", key_col="user_id",
+                                 width=width, depth=depth)
+    return f"""
+        WITH cells AS ({cells}),
+        keys AS (SELECT range::BIGINT AS user_id FROM range({n_watch})),
+        probes AS (
+            SELECT user_id, t2.i::BIGINT AS i,
+                   (((h1 + t2.i::HUGEINT * h2) % {two64}) % {width})::BIGINT AS b
+            FROM (
+                SELECT user_id,
+                       ((user_id::HUGEINT * {c1}::HUGEINT) % {two64}) AS h1,
+                       (((xor(user_id, user_id >> 32)::HUGEINT
+                           * {c2}::HUGEINT) % {two64})
+                        + 1 - ((xor(user_id, user_id >> 32)::HUGEINT
+                                * {c2}::HUGEINT) % 2)) AS h2
+                FROM keys
+            ), range({depth}) t2(i)
+        )
+        SELECT p.user_id, min(COALESCE(c.c, 0))::BIGINT AS est_n
+        FROM probes p LEFT JOIN cells c ON p.i = c.i AND p.b = c.b
+        GROUP BY p.user_id
+        ORDER BY p.user_id
+    """
 
 
 def _fingerprint_oracle_sql(k: int = 8) -> str:

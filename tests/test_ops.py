@@ -420,6 +420,31 @@ def test_kmv_distinct_accuracy_and_batch_invariance():
     assert abs(est["big"] - true_big) / true_big < 4 / np.sqrt(64)  # ~4 sigma
 
 
+def test_cms_one_sided_and_batch_invariant():
+    """Count-min sketch: (a) estimates never under-count (one-sided
+    error), (b) keys with no bucket collisions in some depth row are
+    exact, (c) the sketch is invariant to batch/partition splits
+    (mergeability), (d) an absent key whose cells are all empty reads 0."""
+    from rayrep.ops.sketch import cms_build, cms_estimate
+
+    rng = np.random.default_rng(3)
+    keys = rng.zipf(1.3, 30000) % 500  # skewed frequencies
+    df = pd.DataFrame({"k": keys.astype(np.int64)})
+    true = pd.Series(keys).value_counts()
+    sketches = []
+    for parts in (1, 6):
+        ds = rd.from_pandas(df).repartition(parts)
+        sketches.append(cms_build(ds, "k", width=4096, depth=4))
+    assert np.array_equal(sketches[0], sketches[1])  # mergeability
+    probe = np.arange(600, dtype=np.int64)  # 500..599 absent
+    est = cms_estimate(sketches[0], probe)
+    exact = np.array([true.get(int(k), 0) for k in probe], dtype=np.int64)
+    assert (est >= exact).all()                      # one-sided
+    # at width 4096 with ~500 distinct keys, most estimates are exact
+    assert (est == exact).mean() > 0.9
+    assert est.sum() >= exact.sum()
+
+
 def test_bloom_prefilter_no_false_negatives():
     """Every key present in the filter side MUST survive the prefilter
     (no false negatives); composition with an exact join is therefore
