@@ -1427,9 +1427,44 @@ def _arr_c(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _rollup_delta_dir(delta_dir: str) -> pd.DataFrame:
+    """Distributed rollup of the S7 daily-delta side output: per change
+    date, the number of net (key, day, epoch) change images, the distinct
+    keys touched, and an exact fixed-point value sum.  Two bounded grouped
+    aggregates — per-day counters plus one grouped count over distinct
+    (day, key) pairs; nothing event-sized reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = rd.read_parquet(delta_dir, columns=["change_date", "conv_id", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        # fixed-point 1e-4 sum: both engines floor identical IEEE
+        # products, so the aggregate is exact under any summation order
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "change_date": t.column("change_date"),
+            "conv_id": t.column("conv_id"),
+            "vfp": pa.array(np.floor(v * 10000.0).astype(np.int64)),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    day = (tagged.groupby("change_date")
+           .aggregate(Count(alias_name="n_changes"),
+                      Sum("vfp", alias_name="sum_value_fp"))
+           .to_pandas())
+    keys = (tagged.groupby(["change_date", "conv_id"])
+            .aggregate(Count(alias_name="c"))
+            .groupby("change_date").aggregate(Count(alias_name="n_keys"))
+            .to_pandas())
+    out = day.merge(keys, on="change_date")
+    out = out[["change_date", "n_changes", "n_keys", "sum_value_fp"]]
+    return out.sort_values("change_date").reset_index(drop=True)
+
+
 def _replay_events_through_engine(
     sf_dir: str, with_deletes: bool, with_ddl: bool = False,
-    changed_cells: bool = False,
+    changed_cells: bool = False, end_epoch: int | None = None,
+    delta_rollup: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1511,10 +1546,13 @@ def _replay_events_through_engine(
         pa.field("ts", pa.timestamp("us")),
     ]))
     cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
-                       initial_schema_json=sv.to_json(), delta_output=False,
+                       initial_schema_json=sv.to_json(),
+                       delta_output=delta_rollup,
                        changed_cells_updates=changed_cells,
                        per_cell_conflicts=changed_cells)
-    replay(cfg)
+    replay(cfg, end_epoch=end_epoch)
+    if delta_rollup:
+        return _rollup_delta_dir(os.path.join(lake, "delta"))
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
     keep = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -1528,6 +1566,28 @@ def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
     events-derived changelog; converged table must equal the DuckDB
     ``row_number()`` LWW query. End-to-end, not a re-implementation."""
     return _replay_events_through_engine(sf_dir, with_deletes=False)
+
+
+def cdc_epoch_snapshot(sf_dir: str) -> pd.DataFrame:
+    """Engine replay HALTED at the epoch-1 barrier (``end_epoch=1``): the
+    lake must contain exactly the LWW fold of the first two epochs'
+    events and nothing newer — the epoch-prefix contract the resume path
+    and the point-in-time reader rely on, pinned against SQL (oracle =
+    LWW over ``event_id*4 // B <= 1``, the fixture's epoch rule)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         end_epoch=1)
+
+
+def cdc_delta_rollup(sf_dir: str) -> pd.DataFrame:
+    """SQL-oracles the S7 daily-delta SIDE OUTPUT itself (not just the
+    converged table): real-engine replay with ``delta_output=True``, then
+    a distributed rollup of the delta files.  The oracle recomputes the
+    engine's exact contract in SQL — sequential LWW wins via a running
+    window max over seq order, then the per (key, epoch, utc-day) net
+    winner by (ts, seq) — so this is the first end-to-end SQL pin on the
+    map-side-combined delta netting (the round-2 ADVICE medium item)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         delta_rollup=True)
 
 
 def cdc_replay_deletes(sf_dir: str) -> pd.DataFrame:
@@ -2161,6 +2221,8 @@ def queries() -> dict:
         "doc_token_rank": doc_token_rank,
         "orders_expensive_item_counts": orders_expensive_item_counts,
         "cdc_replay_events": cdc_replay_events,
+        "cdc_epoch_snapshot": cdc_epoch_snapshot,
+        "cdc_delta_rollup": cdc_delta_rollup,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
         "cdc_replay_changed_cells": cdc_replay_changed_cells,
@@ -2301,6 +2363,37 @@ def oracle_sql() -> dict:
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_epoch_snapshot": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            WHERE event_id * 4 // (SELECT max(event_id) + 1 FROM events) <= 1
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_delta_rollup": """
+            WITH w AS (
+                SELECT user_id, event_id, ts, value,
+                       least(3, event_id * 4 //
+                                (SELECT max(event_id) + 1 FROM events)) AS epoch,
+                       max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS prior
+                FROM events
+            ), wins AS (
+                SELECT * FROM w WHERE prior IS NULL OR ts >= prior
+            ), d AS (
+                SELECT strftime(ts, '%Y%m%d') AS change_date, user_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id, epoch, strftime(ts, '%Y%m%d')
+                           ORDER BY ts DESC, event_id DESC) AS rk
+                FROM wins
+            )
+            SELECT change_date, count(*) AS n_changes,
+                   count(DISTINCT user_id) AS n_keys,
+                   sum(CAST(floor(value * 10000.0) AS BIGINT)) AS sum_value_fp
+            FROM d WHERE rk = 1
+            GROUP BY change_date
+            ORDER BY change_date
         """,
         "cdc_replay_evolution": """
             SELECT event_id, ts, user_id, event_type, value, props,
