@@ -1427,6 +1427,45 @@ def _arr_c(col):
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
 
 
+def _replica_from_deltas(delta_dir: str) -> pd.DataFrame:
+    """Downstream exactly-once consumer (the reference's Kafka-applier
+    analog, S5): rebuild the latest-image table from the daily-delta
+    stream ALONE — never touching engine state.  Sound because every
+    key's final state winner is by construction among its day-net delta
+    rows.  One hash shuffle of delta rows (already day-netted per epoch,
+    << event count), then a per-partition vectorized (ts, seq) argmax and
+    tombstone drop."""
+    from rayrep.apply import lww_last_rows
+    from rayrep.hashing import partition_ids
+
+    ds = rd.read_parquet(delta_dir)
+    P = 16
+
+    def tag(t: pa.Table) -> pa.Table:
+        # delta files may already carry the engine's routing part_id;
+        # re-derive with the replica's own partition count regardless (a
+        # consumer can't assume the producer's P)
+        if "part_id" in t.column_names:
+            t = t.drop_columns(["part_id"])
+        return t.append_column(
+            "part_id", pa.array(partition_ids(t.column("conv_id"), P)))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.rename_columns(
+            [c if c != "seq" else "__seq" for c in group.column_names])
+        win = lww_last_rows(g)
+        live = win.filter(pc.not_equal(win.column("op"), "D"))
+        return live.rename_columns(
+            [c if c != "__seq" else "seq" for c in live.column_names])
+
+    out = (ds.map_batches(tag, batch_format="pyarrow")
+           .groupby("part_id")
+           .map_groups(fold, batch_format="pyarrow")
+           .to_pandas())
+    out["user_id"] = out["conv_id"].astype("int64")
+    return out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
 def _rollup_delta_dir(delta_dir: str) -> pd.DataFrame:
     """Distributed rollup of the S7 daily-delta side output: per change
     date, the number of net (key, day, epoch) change images, the distinct
@@ -1464,7 +1503,8 @@ def _rollup_delta_dir(delta_dir: str) -> pd.DataFrame:
 def _replay_events_through_engine(
     sf_dir: str, with_deletes: bool, with_ddl: bool = False,
     changed_cells: bool = False, end_epoch: int | None = None,
-    delta_rollup: bool = False,
+    delta_rollup: bool = False, chaos: float = 0.0,
+    resume_split: bool = False, replica: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1547,12 +1587,20 @@ def _replay_events_through_engine(
     ]))
     cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
                        initial_schema_json=sv.to_json(),
-                       delta_output=delta_rollup,
+                       delta_output=delta_rollup or replica,
                        changed_cells_updates=changed_cells,
-                       per_cell_conflicts=changed_cells)
+                       per_cell_conflicts=changed_cells,
+                       chaos_fraction=chaos)
+    if resume_split:
+        # kill/resume mid-replay: the first run commits only the first two
+        # epoch barriers; the second must re-run ONLY the uncommitted tail
+        # and converge to the identical table (exactly-once redelivery).
+        replay(cfg, end_epoch=1)
     replay(cfg, end_epoch=end_epoch)
     if delta_rollup:
         return _rollup_delta_dir(os.path.join(lake, "delta"))
+    if replica:
+        return _replica_from_deltas(os.path.join(lake, "delta"))
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
     keep = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -1566,6 +1614,36 @@ def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
     events-derived changelog; converged table must equal the DuckDB
     ``row_number()`` LWW query. End-to-end, not a re-implementation."""
     return _replay_events_through_engine(sf_dir, with_deletes=False)
+
+
+def cdc_replay_chaos(sf_dir: str) -> pd.DataFrame:
+    """Exactly-once UNDER FAILURES, SQL-oracled: the deletes replay with a
+    5% injected applier crash rate (reference Chaos Monkey,
+    CHANGES.txt:126).  Crashed tasks retry against deterministic
+    tmp+rename writes and committed-manifest watermarks, so the converged
+    table must be bit-identical to the no-chaos oracle — any double-apply
+    or lost write breaks the hash match."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         chaos=0.05)
+
+
+def cdc_replay_resume(sf_dir: str) -> pd.DataFrame:
+    """Kill/resume mid-replay, SQL-oracled: run to the epoch-1 barrier,
+    then resume; the second run must re-apply ONLY the uncommitted tail
+    (watermark anti-join skips redelivered events) and converge to the
+    identical LWW table."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         resume_split=True)
+
+
+def cdc_downstream_replica(sf_dir: str) -> pd.DataFrame:
+    """Downstream consumer parity, SQL-oracled: rebuild the latest-image
+    table from the daily-delta STREAM alone (the reference's Kafka
+    applier analog) — one hash shuffle of day-netted delta rows, per-
+    partition LWW argmax, tombstones dropped.  Must equal the engine's
+    own converged table, i.e. the deletes LWW oracle."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         replica=True)
 
 
 def cdc_epoch_snapshot(sf_dir: str) -> pd.DataFrame:
@@ -2223,6 +2301,9 @@ def queries() -> dict:
         "cdc_replay_events": cdc_replay_events,
         "cdc_epoch_snapshot": cdc_epoch_snapshot,
         "cdc_delta_rollup": cdc_delta_rollup,
+        "cdc_replay_chaos": cdc_replay_chaos,
+        "cdc_replay_resume": cdc_replay_resume,
+        "cdc_downstream_replica": cdc_downstream_replica,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
         "cdc_replay_changed_cells": cdc_replay_changed_cells,
@@ -2231,6 +2312,15 @@ def queries() -> dict:
 
 
 def oracle_sql() -> dict:
+    d = _oracle_sql_base()
+    # same final-state contract, different engine path under test:
+    d["cdc_replay_chaos"] = d["cdc_replay_deletes"]        # + injected crashes
+    d["cdc_downstream_replica"] = d["cdc_replay_deletes"]  # rebuilt from deltas
+    d["cdc_replay_resume"] = d["cdc_replay_events"]        # kill/resume split
+    return d
+
+
+def _oracle_sql_base() -> dict:
     return {
         "cdc_lww_latest": f"""
             SELECT event_id, ts, user_id, event_type, value, props
