@@ -1351,6 +1351,7 @@ def _emit_changelog_batch(
     first_ref,
     with_ddl: bool,
     mask_cells: bool = False,
+    ddl_action: str = "add_column",
 ) -> pa.Table:
     """Per-batch changelog emitter (runs on workers): derive I/U/D ops,
     split rows into 4 contiguous-seq epochs by event_id, and write each
@@ -1398,23 +1399,27 @@ def _emit_changelog_batch(
     }
     epoch = np.minimum(3, eid * 4 // B).astype(np.int64)
     if with_ddl:
-        # post-DDL rows (epochs 2,3 ⇔ event_id >= ceil(B/2)) carry the
-        # evolved column, populated deterministically; pre-DDL files
-        # physically LACK it (file-level schema evolution, like binlog
-        # events written under the then-active schema)
+        # post-DDL rows (epochs 2,3 ⇔ event_id >= ceil(B/2)) are written
+        # under the evolved schema; pre-DDL files physically keep the old
+        # one (file-level schema evolution, like binlog events written
+        # under the then-active schema)
         thr = (B + 1) // 2
         post = eid >= thr
-        note = pa.array(
-            np.where(post, eid.astype("U20"), None), pa.string(),
-            mask=~post,
-        )
-        cols["note"] = note
         cols["schema_ver"] = pa.array(np.where(post, 2, 1).astype(np.int32))
+        if ddl_action == "add_column":
+            cols["note"] = pa.array(
+                np.where(post, eid.astype("U20"), None), pa.string(),
+                mask=~post,
+            )
     tbl = pa.table(cols)
     for e in np.unique(epoch):
         sub = tbl.filter(pa.array(epoch == e))
-        if with_ddl and e < 2:
+        if with_ddl and ddl_action == "add_column" and e < 2:
             sub = sub.drop_columns(["note"])
+        if with_ddl and ddl_action == "rename_column" and e >= 2:
+            # post-rename files carry the NEW column name
+            sub = sub.rename_columns(
+                [c if c != "props" else "meta" for c in sub.column_names])
         edir = os.path.join(cl_dir, f"epoch-{int(e):05d}")
         os.makedirs(edir, exist_ok=True)
         fp = os.path.join(edir, f"part-{uuid.uuid4().hex}.parquet")
@@ -1505,6 +1510,7 @@ def _replay_events_through_engine(
     changed_cells: bool = False, end_epoch: int | None = None,
     delta_rollup: bool = False, chaos: float = 0.0,
     resume_split: bool = False, replica: bool = False,
+    ddl_action: str = "add_column",
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1553,7 +1559,7 @@ def _replay_events_through_engine(
         _emit_changelog_batch,
         fn_kwargs={"cl_dir": cl, "B": B, "with_deletes": with_deletes,
                    "first_ref": first_ref, "with_ddl": with_ddl,
-                   "mask_cells": changed_cells},
+                   "mask_cells": changed_cells, "ddl_action": ddl_action},
         batch_format="pyarrow",
     ).take_all()  # tiny: one count row per batch
     assert sum(r["rows"] for r in counts) > 0
@@ -1561,6 +1567,14 @@ def _replay_events_through_engine(
         # DDL row at seq 2*ceil(B/2)-1: strictly between epoch 1's and
         # epoch 2's data seqs, in epoch 2's directory
         thr = (B + 1) // 2
+        if ddl_action == "add_column":
+            ddl_json = {"action": "add_column", "name": "note", "type": "string"}
+            extra = {"note": pa.nulls(1, pa.string())}
+            payload_col = "props"
+        else:  # rename_column: props -> meta mid-stream
+            ddl_json = {"action": "rename_column", "from": "props", "to": "meta"}
+            extra = {}
+            payload_col = "meta"  # the DDL row is written under the NEW schema
         ddl_row = pa.table({
             "seq": pa.array([2 * thr - 1], pa.int64()),
             "txn_id": pa.nulls(1, pa.int64()),
@@ -1571,11 +1585,10 @@ def _replay_events_through_engine(
             "event_id": pa.nulls(1, pa.int64()),
             "event_type": pa.nulls(1, pa.string()),
             "value": pa.nulls(1, pa.float64()),
-            "props": pa.nulls(1, pa.string()),
+            payload_col: pa.nulls(1, pa.string()),
             "ts": pa.array([pd.Timestamp("2024-01-01")], pa.timestamp("us")),
-            "ddl": pa.array([_json.dumps(
-                {"action": "add_column", "name": "note", "type": "string"})]),
-            "note": pa.nulls(1, pa.string()),
+            "ddl": pa.array([_json.dumps(ddl_json)]),
+            **extra,
         })
         pq.write_table(ddl_row, os.path.join(cl, "epoch-00002", "part-ddl.parquet"))
 
@@ -1605,7 +1618,10 @@ def _replay_events_through_engine(
     out["user_id"] = out["conv_id"].astype("int64")
     keep = ["event_id", "ts", "user_id", "event_type", "value", "props"]
     if with_ddl:
-        keep.append("note")
+        if ddl_action == "add_column":
+            keep.append("note")
+        else:  # rename: pre-DDL rows' payload must have migrated to `meta`
+            keep[keep.index("props")] = "meta"
     return out[keep]
 
 
@@ -1614,6 +1630,18 @@ def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
     events-derived changelog; converged table must equal the DuckDB
     ``row_number()`` LWW query. End-to-end, not a re-implementation."""
     return _replay_events_through_engine(sf_dir, with_deletes=False)
+
+
+def cdc_replay_rename(sf_dir: str) -> pd.DataFrame:
+    """Mid-stream ``rename_column`` (props → meta) through the real
+    engine, SQL-oracled: pre-rename epochs' files physically carry the OLD
+    column name, so the applier's chain-conform step must migrate their
+    payload into the renamed column instead of stranding it — the exact
+    failure mode the per-file conform exists for.  Oracle = the LWW SQL
+    with ``props AS meta``."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         with_ddl=True,
+                                         ddl_action="rename_column")
 
 
 def cdc_replay_chaos(sf_dir: str) -> pd.DataFrame:
@@ -2302,6 +2330,7 @@ def queries() -> dict:
         "cdc_epoch_snapshot": cdc_epoch_snapshot,
         "cdc_delta_rollup": cdc_delta_rollup,
         "cdc_replay_chaos": cdc_replay_chaos,
+        "cdc_replay_rename": cdc_replay_rename,
         "cdc_replay_resume": cdc_replay_resume,
         "cdc_downstream_replica": cdc_downstream_replica,
         "cdc_replay_deletes": cdc_replay_deletes,
@@ -2451,6 +2480,11 @@ def _oracle_sql_base() -> dict:
         """,
         "cdc_replay_events": """
             SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_replay_rename": """
+            SELECT event_id, ts, user_id, event_type, value, props AS meta
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
