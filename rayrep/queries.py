@@ -1510,7 +1510,7 @@ def _replay_events_through_engine(
     changed_cells: bool = False, end_epoch: int | None = None,
     delta_rollup: bool = False, chaos: float = 0.0,
     resume_split: bool = False, replica: bool = False,
-    ddl_action: str = "add_column",
+    ddl_action: str = "add_column", metrics: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1609,7 +1609,13 @@ def _replay_events_through_engine(
         # epoch barriers; the second must re-run ONLY the uncommitted tail
         # and converge to the identical table (exactly-once redelivery).
         replay(cfg, end_epoch=1)
-    replay(cfg, end_epoch=end_epoch)
+    res = replay(cfg, end_epoch=end_epoch)
+    if metrics:
+        return pd.DataFrame(
+            [{"epoch": np.int64(e["epoch"]), "input_rows": e["input_rows"],
+              "applied": e["applied"], "conflict": e["conflict"]}
+             for e in res["epochs"]]
+        ).sort_values("epoch").reset_index(drop=True)
     if delta_rollup:
         return _rollup_delta_dir(os.path.join(lake, "delta"))
     if replica:
@@ -1630,6 +1636,16 @@ def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
     events-derived changelog; converged table must equal the DuckDB
     ``row_number()`` LWW query. End-to-end, not a re-implementation."""
     return _replay_events_through_engine(sf_dir, with_deletes=False)
+
+
+def cdc_replay_metrics(sf_dir: str) -> pd.DataFrame:
+    """The replication-metrics registry (T5/A1) against SQL: per-epoch
+    (input_rows, applied, conflict) counters emitted by the real replay
+    must equal the sequential-LWW win/lose counts DuckDB derives from a
+    running window max over seq order.  Any combiner miscount, double
+    apply, or dropped conflict breaks the hash."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         metrics=True)
 
 
 def cdc_replay_rename(sf_dir: str) -> pd.DataFrame:
@@ -2331,6 +2347,7 @@ def queries() -> dict:
         "cdc_delta_rollup": cdc_delta_rollup,
         "cdc_replay_chaos": cdc_replay_chaos,
         "cdc_replay_rename": cdc_replay_rename,
+        "cdc_replay_metrics": cdc_replay_metrics,
         "cdc_replay_resume": cdc_replay_resume,
         "cdc_downstream_replica": cdc_downstream_replica,
         "cdc_replay_deletes": cdc_replay_deletes,
@@ -2482,6 +2499,22 @@ def _oracle_sql_base() -> dict:
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_replay_metrics": """
+            WITH w AS (
+                SELECT user_id, event_id, ts,
+                       least(3, event_id * 4 //
+                                (SELECT max(event_id) + 1 FROM events)) AS epoch,
+                       max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND 1 PRECEDING) AS prior
+                FROM events
+            )
+            SELECT epoch, count(*) AS input_rows,
+                   sum(CASE WHEN prior IS NULL OR ts >= prior
+                            THEN 1 ELSE 0 END)::BIGINT AS applied,
+                   sum(CASE WHEN ts < prior THEN 1 ELSE 0 END)::BIGINT AS conflict
+            FROM w GROUP BY epoch ORDER BY epoch
         """,
         "cdc_replay_rename": """
             SELECT event_id, ts, user_id, event_type, value, props AS meta
