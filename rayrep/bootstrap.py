@@ -47,10 +47,15 @@ class SeqAllocator:
 
 
 class _ToInsertEvents:
-    def __init__(self, allocator, schema_ver: int, ts_us: int | None):
+    def __init__(self, allocator, schema_ver: int, ts_us: int | None,
+                 payload_json: str | None = None):
         self.allocator = allocator
         self.schema_ver = schema_ver
         self.ts_us = ts_us
+        # optional custom payload schema (SchemaVersion JSON): the snapshot
+        # becomes a changelog prefix under THAT table's layout instead of
+        # the default transcript schema
+        self.payload_json = payload_json
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc  # noqa: F401
@@ -66,6 +71,23 @@ class _ToInsertEvents:
             "txn_id": pa.array([0] * n, pa.int64()),
             "op": pa.array(["I"] * n),
             "schema_ver": pa.array([self.schema_ver] * n, pa.int32()),
+        }
+        if self.payload_json is not None:
+            from rayrep.schema import SchemaVersion
+
+            sv = SchemaVersion.from_json(self.payload_json)
+            for f in sv.schema:
+                if f.name == "ts":
+                    continue
+                cols[f.name] = (
+                    batch.column(f.name).cast(f.type)
+                    if f.name in batch.column_names
+                    else pa.nulls(n, f.type)
+                )
+            cols["ts"] = ts.cast(pa.timestamp("us"))
+            cols["ddl"] = pa.nulls(n, pa.string())
+            return pa.table(cols)
+        cols.update({
             "conv_id": batch.column("conv_id"),
             "turn_idx": batch.column("turn_idx").cast(pa.int32()),
             "role": batch.column("role"),
@@ -75,7 +97,7 @@ class _ToInsertEvents:
             else pa.nulls(n, pa.string()),
             "ts": ts.cast(pa.timestamp("us")),
             "ddl": pa.nulls(n, pa.string()),
-        }
+        })
         return pa.table(cols, schema=CHANGELOG_SCHEMA)
 
 
@@ -85,9 +107,12 @@ def bootstrap_snapshot(
     schema_ver: int = 1,
     ts_us: int | None = None,
     epoch: int = 0,
+    payload_json: str | None = None,
 ) -> dict:
     """Write the snapshot prefix as changelog epoch ``epoch`` and a manifest
-    recording the next free seq (tail events must start at/after it)."""
+    recording the next free seq (tail events must start at/after it).
+    ``payload_json`` (a ``SchemaVersion`` JSON) bootstraps a table with a
+    custom payload layout instead of the default transcript schema."""
     allocator = SeqAllocator.remote(0)
     ds = base_table.map_batches(
         _ToInsertEvents,
@@ -95,6 +120,7 @@ def bootstrap_snapshot(
             "allocator": allocator,
             "schema_ver": schema_ver,
             "ts_us": ts_us,
+            "payload_json": payload_json,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
