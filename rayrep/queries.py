@@ -1892,6 +1892,20 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
                         k=64, out_col="approx_users")
 
 
+def dup_span_docs(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicate-span (substring) detection over the corpus
+    (``rayrep/ops/text.py dup_span_doc_counts``): per doc, the number of
+    20-byte positions whose exact gram also appears in another doc — the
+    span-level dedup signal suffix-array pipelines compute.  Oracle =
+    the identical definition via substr()/range() in SQL (the corpus is
+    ASCII, so byte grams == codepoint grams)."""
+    from rayrep.ops.text import dup_span_doc_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    return dup_span_doc_counts(ds, k=20)
+
+
 def cms_user_counts(sf_dir: str) -> pd.DataFrame:
     """Count-min-sketch frequency estimates for a fixed watchlist of user
     ids (``rayrep/ops/sketch.py``) — the mergeable-frequency shape for key
@@ -2437,6 +2451,7 @@ def queries() -> dict:
         "user_peak_hour": user_peak_hour,
         "approx_distinct_users": approx_distinct_users,
         "cms_user_counts": cms_user_counts,
+        "dup_span_docs": dup_span_docs,
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "daily_type_rollup": daily_type_rollup,
         "purchase_click_users": purchase_click_users,
@@ -2609,6 +2624,22 @@ def _oracle_sql_base() -> dict:
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "dup_span_docs": """
+            WITH g AS (
+                SELECT doc_id, substr(text, i::INT, 20) AS gram
+                FROM (
+                    SELECT doc_id, text,
+                           unnest(range(1, length(text) - 18)) AS i
+                    FROM documents WHERE length(text) >= 20
+                )
+            ), c AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, count(*) AS dup_spans
+            FROM g JOIN c USING (gram)
+            GROUP BY doc_id
         """,
         "cdc_bootstrap_tail": """
             WITH t AS (SELECT (max(event_id) + 2) // 2 AS thr FROM events),
