@@ -1511,6 +1511,7 @@ def _replay_events_through_engine(
     delta_rollup: bool = False, chaos: float = 0.0,
     resume_split: bool = False, replica: bool = False,
     ddl_action: str = "add_column", metrics: bool = False,
+    tail_mode: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1555,9 +1556,15 @@ def _replay_events_through_engine(
     d = tempfile.mkdtemp(prefix="rayrep_qe_")
     cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
     os.makedirs(cl)
+    # tail mode: workers write the fixture into a STAGING dir; the test
+    # then publishes epochs progressively via atomic renames (the
+    # gen.publish_epoch producer protocol) while tail() polls
+    emit_dir = os.path.join(d, "stage") if tail_mode else cl
+    if tail_mode:
+        os.makedirs(emit_dir)
     counts = ds.map_batches(
         _emit_changelog_batch,
-        fn_kwargs={"cl_dir": cl, "B": B, "with_deletes": with_deletes,
+        fn_kwargs={"cl_dir": emit_dir, "B": B, "with_deletes": with_deletes,
                    "first_ref": first_ref, "with_ddl": with_ddl,
                    "mask_cells": changed_cells, "ddl_action": ddl_action},
         batch_format="pyarrow",
@@ -1609,7 +1616,18 @@ def _replay_events_through_engine(
         # epoch barriers; the second must re-run ONLY the uncommitted tail
         # and converge to the identical table (exactly-once redelivery).
         replay(cfg, end_epoch=1)
-    res = replay(cfg, end_epoch=end_epoch)
+    if tail_mode:
+        from rayrep.pipeline import tail as _tail
+
+        res = None
+        for batch_epochs in ((0, 1), (2, 3)):
+            for e in batch_epochs:
+                os.replace(os.path.join(emit_dir, f"epoch-{e:05d}"),
+                           os.path.join(cl, f"epoch-{e:05d}"))
+            res = _tail(cfg, poll_interval_s=0.05, idle_timeout_s=30.0,
+                        max_epochs=2)
+    else:
+        res = replay(cfg, end_epoch=end_epoch)
     if metrics:
         return pd.DataFrame(
             [{"epoch": np.int64(e["epoch"]), "input_rows": e["input_rows"],
@@ -1636,6 +1654,18 @@ def cdc_replay_events(sf_dir: str) -> pd.DataFrame:
     events-derived changelog; converged table must equal the DuckDB
     ``row_number()`` LWW query. End-to-end, not a re-implementation."""
     return _replay_events_through_engine(sf_dir, with_deletes=False)
+
+
+def cdc_tail_mode(sf_dir: str) -> pd.DataFrame:
+    """Continuous-tail mode (§2.9) SQL-oracled: the changelog fixture is
+    published PROGRESSIVELY (two epochs, then two more, each via the
+    atomic-rename producer protocol) while ``pipeline.tail`` polls and
+    applies them as they appear — with tombstones in the stream.  The
+    converged table must equal the deletes LWW oracle; a tail that
+    double-applied a polled epoch or missed a late-published one breaks
+    the hash."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         tail_mode=True)
 
 
 def cdc_replay_metrics(sf_dir: str) -> pd.DataFrame:
@@ -2473,6 +2503,7 @@ def queries() -> dict:
         "cdc_replay_rename": cdc_replay_rename,
         "cdc_replay_metrics": cdc_replay_metrics,
         "cdc_bootstrap_tail": cdc_bootstrap_tail,
+        "cdc_tail_mode": cdc_tail_mode,
         "cdc_replay_resume": cdc_replay_resume,
         "cdc_downstream_replica": cdc_downstream_replica,
         "cdc_replay_deletes": cdc_replay_deletes,
@@ -2488,6 +2519,7 @@ def oracle_sql() -> dict:
     d["cdc_replay_chaos"] = d["cdc_replay_deletes"]        # + injected crashes
     d["cdc_downstream_replica"] = d["cdc_replay_deletes"]  # rebuilt from deltas
     d["cdc_replay_resume"] = d["cdc_replay_events"]        # kill/resume split
+    d["cdc_tail_mode"] = d["cdc_replay_deletes"]           # progressive publish
     return d
 
 
