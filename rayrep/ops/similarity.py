@@ -394,3 +394,62 @@ def train_ivf_from_dataset(
     if len(sample) == 0:
         sample = ds.limit(min(sample_rows, total)).to_pandas()[emb_col]
     return IVFIndex(**kw).train(np.stack(sample.to_numpy()))
+
+
+def ivf_exact_pruned_topk(
+    ds: "rd.Dataset", *, k_clusters: int = 8, iters: int = 3,
+    nprobe: int = 2, k: int = 10, query_id: int = 0,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF pruned search that is EXACT-ORACLE-VERIFIABLE end to end: the
+    coarse quantizer is the bitwise-exact integer k-means
+    (``kmeans_fit``), the probe-cell choice and the candidate ranking are
+    both integer squared-L2 with (d2, id) tie-breaks — every step is
+    deterministic and SQL-replayable, so the pruned (approximate!) result
+    itself hash-matches DuckDB instead of needing a rows-only check.
+
+    Scale shape: train = iters streaming passes (k×d partials, data never
+    shuffles); search = one pruned pass — each batch assigns, keeps only
+    probe-cell rows, and emits its local top-k (k rows/batch cross the
+    cluster), merged by one bounded driver fold."""
+    cent = kmeans_fit(ds, k=k_clusters, iters=iters,
+                      id_col=id_col, emb_col=emb_col)
+
+    def pick_query(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.equal(t.column(id_col), query_id))
+
+    qrow = ds.map_batches(pick_query, batch_format="pyarrow").take_all()
+    if not qrow:
+        raise ValueError(f"query id {query_id} not found")
+    q = np.floor(np.asarray(qrow[0][emb_col], dtype=np.float64)
+                 * KM_SCALE).astype(np.int64)[None, :]
+    qd = _km_sqdist(q, cent)[0]
+    probe = np.lexsort((np.arange(len(qd)), qd))[:nprobe]
+    probe_set = set(int(p) for p in probe)
+    cent_ref = ray.put(cent)
+    q_ref = ray.put(q)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        qv = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        x = _quantize_embeddings(batch.column(emb_col))
+        assign = _km_sqdist(x, c).argmin(axis=1)
+        keep = np.isin(assign, list(probe_set))
+        ids = batch.column(id_col).to_numpy()[keep]
+        if not len(ids):
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        d2 = _km_sqdist(x[keep], qv)[:, 0]
+        top = np.lexsort((ids, d2))[:k]  # local top-k: k rows leave the task
+        return pa.table({id_col: pa.array(ids[top].astype(np.int64)),
+                         "d2": pa.array(d2[top])})
+
+    part = ds.map_batches(scan, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    part = part.sort_values(["d2", id_col]).head(k)
+    return part.reset_index(drop=True)

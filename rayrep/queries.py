@@ -1561,6 +1561,8 @@ def _replay_events_through_engine(
     # gen.publish_epoch producer protocol) while tail() polls
     emit_dir = os.path.join(d, "stage") if tail_mode else cl
     if tail_mode:
+        if with_ddl:  # the DDL row is written into the published dir
+            raise ValueError("tail_mode and with_ddl are mutually exclusive")
         os.makedirs(emit_dir)
     counts = ds.map_batches(
         _emit_changelog_batch,
@@ -2416,6 +2418,19 @@ def semantic_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def ann_ivf_exact_pruned(sf_dir: str) -> pd.DataFrame:
+    """Pruned IVF search whose APPROXIMATE result is itself hash-verified:
+    coarse quantizer = the bitwise-exact integer k-means, probe choice
+    and candidate ranking = integer squared L2 with (d2, id) tie-breaks,
+    so DuckDB replays the identical pruned top-k (no rows-only check
+    needed despite the pruning)."""
+    from rayrep.ops.similarity import ivf_exact_pruned_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    return ivf_exact_pruned_topk(ds, k_clusters=8, iters=3, nprobe=2, k=10)
+
+
 def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     """Distributed Lloyd k-means over the embeddings table (k=8, 3
     iterations), EXACT: fixed-point 2^20 quantization + integer distances +
@@ -2492,6 +2507,7 @@ def queries() -> dict:
         "repetition_stats": repetition_stats,
         "conv_stats": conv_stats,
         "kmeans_clusters": kmeans_clusters,
+        "ann_ivf_exact_pruned": ann_ivf_exact_pruned,
         "semantic_dedup": semantic_dedup_docs,
         "tfidf_top_terms": tfidf_top_terms,
         "doc_token_rank": doc_token_rank,
@@ -3145,6 +3161,7 @@ def _oracle_sql_base() -> dict:
             FROM events GROUP BY user_id ORDER BY conv_id
         """,
         "kmeans_clusters": _kmeans_oracle_sql(k=8, iters=3, d=64),
+        "ann_ivf_exact_pruned": _ivf_exact_pruned_oracle_sql(),
         "semantic_dedup": _semantic_dedup_oracle_sql(SEMDEDUP_THETA, k=8, iters=3, d=64),
         "doc_token_rank": r"""
             WITH t AS (
@@ -3373,6 +3390,40 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 3, d: int = 64) -> str:
         LEFT JOIN summary s USING (cluster)
         ORDER BY r.cluster"""
     return "WITH " + ",".join(parts) + "," + final
+
+
+def _ivf_exact_pruned_oracle_sql(
+    k_clusters: int = 8, iters: int = 3, d: int = 64,
+    nprobe: int = 2, k: int = 10, query_id: int = 0,
+) -> str:
+    """Same exact k-means CTE chain up to the final assignment, then the
+    pruned search verbatim: probe the ``nprobe`` centroids nearest to the
+    query by integer squared L2 (ties → lowest cluster), rank probe-cell
+    members by integer squared L2 to the query (ties → lowest vec_id) —
+    the pruned result is deterministic, so the comparison is bitwise."""
+    kmeans = _kmeans_oracle_sql(k=k_clusters, iters=iters, d=d)
+    body = kmeans[: kmeans.index(",\n        summary AS")]
+    return body + f""",
+        qdist AS (
+            SELECT ct.cluster, SUM((cq.q - ct.c) * (cq.q - ct.c)) AS d2
+            FROM comp cq JOIN cent{iters} ct USING (dim)
+            WHERE cq.vec_id = {query_id}
+            GROUP BY ct.cluster
+        ),
+        probes AS (
+            SELECT cluster FROM qdist
+            QUALIFY row_number() OVER (ORDER BY d2 ASC, cluster ASC) <= {nprobe}
+        ),
+        cd AS (
+            SELECT ca.vec_id, SUM((ca.q - cq.q) * (ca.q - cq.q)) AS d2
+            FROM comp ca
+            JOIN comp cq ON cq.dim = ca.dim AND cq.vec_id = {query_id}
+            JOIN assignF a ON a.vec_id = ca.vec_id
+            JOIN probes p ON p.cluster = a.cluster
+            GROUP BY ca.vec_id
+        )
+        SELECT vec_id, d2 FROM cd ORDER BY d2 ASC, vec_id ASC LIMIT {k}
+    """
 
 
 def _semantic_dedup_oracle_sql(
