@@ -531,3 +531,39 @@ def test_semdedup_group_block_invariance_and_rule():
         assert out.column("vec_id").to_pylist() == sorted(ids.tolist())
         assert np.array_equal(
             out.column("is_dup").to_numpy(zero_copy_only=False), expect)
+
+
+def test_dup_span_matches_bruteforce_and_split_invariant():
+    """Duplicate-span counts equal an O(n^2) per-doc brute force over a
+    corpus with planted shared spans, and are invariant to how docs are
+    split into blocks."""
+    from rayrep.ops.text import dup_span_doc_counts
+
+    rng = np.random.default_rng(5)
+    shared = "the quick brown fox jumps over it"  # 33 chars
+    docs = []
+    for i in range(40):
+        base = "".join(rng.choice(list("abcdefgh "), 60))
+        if i % 5 == 0:
+            base = base[:20] + shared + base[20:]
+        docs.append(base)
+    df = pd.DataFrame({"doc_id": np.arange(40, dtype=np.int64), "text": docs})
+
+    k = 20
+    grams = {}
+    for i, t in enumerate(docs):
+        for p in range(len(t) - k + 1):
+            grams.setdefault(t[p:p + k], set()).add(i)
+    expect = {}
+    for i, t in enumerate(docs):
+        c = sum(1 for p in range(len(t) - k + 1)
+                if len(grams[t[p:p + k]]) >= 2)
+        if c:
+            expect[i] = c
+
+    outs = []
+    for parts in (1, 7):
+        ds = rd.from_pandas(df).repartition(parts)
+        out = dup_span_doc_counts(ds, k=k)
+        outs.append(dict(zip(out["doc_id"], out["dup_spans"])))
+    assert outs[0] == outs[1] == expect
