@@ -1433,40 +1433,13 @@ def _arr_c(col):
 
 
 def _replica_from_deltas(delta_dir: str) -> pd.DataFrame:
-    """Downstream exactly-once consumer (the reference's Kafka-applier
-    analog, S5): rebuild the latest-image table from the daily-delta
-    stream ALONE — never touching engine state.  Sound because every
-    key's final state winner is by construction among its day-net delta
-    rows.  One hash shuffle of delta rows (already day-netted per epoch,
-    << event count), then a per-partition vectorized (ts, seq) argmax and
-    tombstone drop."""
-    from rayrep.apply import lww_last_rows
-    from rayrep.hashing import partition_ids
+    """Query wrapper over ``sinks.replica_from_deltas`` (S5 consumer, a
+    streaming Dataset): the ``to_pandas`` here is result-sized at the
+    conformance tiers; at scale the replica is consumed with
+    ``write_parquet``, never the driver."""
+    from rayrep.sinks import replica_from_deltas
 
-    ds = rd.read_parquet(delta_dir)
-    P = 16
-
-    def tag(t: pa.Table) -> pa.Table:
-        # delta files may already carry the engine's routing part_id;
-        # re-derive with the replica's own partition count regardless (a
-        # consumer can't assume the producer's P)
-        if "part_id" in t.column_names:
-            t = t.drop_columns(["part_id"])
-        return t.append_column(
-            "part_id", pa.array(partition_ids(t.column("conv_id"), P)))
-
-    def fold(group: pa.Table) -> pa.Table:
-        g = group.rename_columns(
-            [c if c != "seq" else "__seq" for c in group.column_names])
-        win = lww_last_rows(g)
-        live = win.filter(pc.not_equal(win.column("op"), "D"))
-        return live.rename_columns(
-            [c if c != "__seq" else "seq" for c in live.column_names])
-
-    out = (ds.map_batches(tag, batch_format="pyarrow")
-           .groupby("part_id")
-           .map_groups(fold, batch_format="pyarrow")
-           .to_pandas())
+    out = replica_from_deltas(delta_dir).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
     return out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
 

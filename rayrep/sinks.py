@@ -64,6 +64,47 @@ class CountingSink:
         return {"rows": rows, "bytes": nbytes}
 
 
+def replica_from_deltas(delta_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """Downstream exactly-once consumer (the reference's Kafka-applier
+    analog): rebuild the latest-image table from the daily-delta stream
+    ALONE — never touching engine state.  Sound because every key's final
+    state winner is by construction among its day-net delta rows.  One
+    hash shuffle of delta rows (already day-netted per epoch, << event
+    count), then a per-partition vectorized (ts, seq) argmax and
+    tombstone drop.  Returns a streaming Dataset — consume with
+    ``write_parquet`` / ``iter_batches``; the table never lands on the
+    driver."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from rayrep.apply import lww_last_rows
+    from rayrep.hashing import partition_ids
+
+    ds = rd.read_parquet(delta_dir)
+
+    def tag(t: pa.Table) -> pa.Table:
+        # delta files may already carry the engine's routing part_id;
+        # re-derive with the replica's own partition count regardless (a
+        # consumer can't assume the producer's P)
+        if "part_id" in t.column_names:
+            t = t.drop_columns(["part_id"])
+        return t.append_column(
+            "part_id",
+            pa.array(partition_ids(t.column("conv_id"), num_partitions)))
+
+    def fold(group: pa.Table) -> pa.Table:
+        g = group.rename_columns(
+            [c if c != "seq" else "__seq" for c in group.column_names])
+        win = lww_last_rows(g)
+        live = win.filter(pc.not_equal(win.column("op"), "D"))
+        return live.rename_columns(
+            [c if c != "__seq" else "seq" for c in live.column_names])
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("part_id")
+            .map_groups(fold, batch_format="pyarrow"))
+
+
 def write_delta_by_day(delta_dir: str, out_dir: str) -> dict:
     """Compact the applier's per-(partition, epoch) delta files into
     day-partitioned output (daily delta tables for cheap downstream import,
