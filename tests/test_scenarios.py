@@ -535,3 +535,26 @@ def test_epoch_with_only_ddl_events(tmp_path):
     assert res["schema_version"] == 2
     got = final_table_pandas(lake)
     assert list(got["text"]) == ["y"] and got["tool"].iloc[0] == "search"
+
+
+def test_replica_from_deltas_equals_final_table(tmp_path):
+    """The delta-stream consumer (sinks.replica_from_deltas) rebuilds the
+    exact converged table from the daily-delta files alone, on a random
+    generator changelog with deletes, conflicts, and zipf-hot keys —
+    live rows AND their payload must match final_table bit-for-bit."""
+    from rayrep.sinks import replica_from_deltas
+
+    d = str(tmp_path / "cl")
+    lake = str(tmp_path / "lake")
+    write_changelog(d, SPEC)
+    cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=8,
+                       applier_concurrency=2, delta_output=True)
+    replay(cfg)
+    want = final_table_pandas(lake)
+    got = (replica_from_deltas(os.path.join(lake, "delta"), num_partitions=4)
+           .to_pandas())
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert_frames_equal(
+        got[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        want[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
