@@ -58,6 +58,14 @@ def main(argv=None) -> int:
     b.add_argument("changelog_dir")
     b.add_argument("--num-cpus", type=int, default=8)
 
+    k = sub.add_parser("replica",
+                       help="rebuild the latest-image table from a lake's "
+                            "daily-delta stream (Kafka-consumer analog)")
+    k.add_argument("delta_dir")
+    k.add_argument("out_dir")
+    k.add_argument("--partitions", type=int, default=32)
+    k.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     c = sub.add_parser("compact", help="major-compact state chains + GC old files")
     c.add_argument("lake_dir")
     c.add_argument("--keep-epochs", type=int, default=0,
@@ -133,6 +141,13 @@ def main(argv=None) -> int:
                 args.changelog_dir, args.ts_us, args.out_dir,
                 num_partitions=args.partitions,
             )
+            print(json.dumps({"out_dir": args.out_dir}))
+        elif args.cmd == "replica":
+            from rayrep.sinks import replica_from_deltas
+
+            ds = replica_from_deltas(args.delta_dir,
+                                     num_partitions=args.partitions)
+            ds.write_parquet(args.out_dir)
             print(json.dumps({"out_dir": args.out_dir}))
         elif args.cmd == "bootstrap":
             import ray.data as rd
