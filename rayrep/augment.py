@@ -41,9 +41,11 @@ class Augmenter:
         num_partitions: int,
         table_filter_regex: str = "",
         carry_txn: bool = False,
+        salt_turn_keys: bool = False,
     ):
         self.target = SchemaVersion.from_json(target_schema_json)
         self.num_partitions = num_partitions
+        self.salt_turn_keys = salt_turn_keys
         self.table_filter_regex = table_filter_regex or None
         # txn_id is pure lineage — nothing downstream computes on it, so by
         # default it is consumed here instead of shipped through the sort
@@ -94,7 +96,16 @@ class Augmenter:
         # M2/M3: evolve payload to the target canonical schema (vectorized).
         payload = evolve_table(payload, self.target)
         # M6: partition stamp (salt analog) — drives the one hash shuffle.
-        pid = pa.array(partition_ids(batch.column("conv_id"), self.num_partitions))
+        if self.salt_turn_keys:
+            from rayrep.hashing import partition_ids_salted
+
+            pid = pa.array(partition_ids_salted(
+                batch.column("conv_id"),
+                batch.column("turn_idx").to_numpy(zero_copy_only=False),
+                self.num_partitions))
+        else:
+            pid = pa.array(partition_ids(batch.column("conv_id"),
+                                         self.num_partitions))
         out = payload
         for name, col in meta_cols.items():
             if name == "schema_ver":

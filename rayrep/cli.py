@@ -35,6 +35,8 @@ def main(argv=None) -> int:
     r.add_argument("--dry-run", action="store_true")
     r.add_argument("--no-delta", action="store_true")
     r.add_argument("--chaos", type=float, default=0.0)
+    r.add_argument("--salt-turns", action="store_true",
+                   help="route by (conv_id, turn_idx) to spread hot conversations")
     r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
     w = sub.add_parser("tail", help="continuous tail: apply epochs as they are published")
@@ -119,6 +121,7 @@ def main(argv=None) -> int:
                 dry_run=args.dry_run,
                 delta_output=not args.no_delta,
                 chaos_fraction=args.chaos,
+                salt_turn_keys=args.salt_turns,
             )
             res = replay(cfg, end_epoch=args.end_epoch)
             print(json.dumps(res))

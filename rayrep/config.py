@@ -18,6 +18,12 @@ class EngineConfig:
     lake_dir: str = ""               # output lake root (partition state + _manifests)
     # Partitioning (reference analog: md5-salt row-key spreading, CHANGES.txt:102-104)
     num_partitions: int = 32
+    # Hot-key salting: route by hash(conv_id) ^ mix(turn_idx) instead of
+    # hash(conv_id), spreading a zipf-hot conversation's turns across
+    # partitions. Correctness-neutral (every engine contract is per
+    # (conv_id, turn_idx)); pinned in LakeMeta because routing must stay
+    # stable for the life of a lake.
+    salt_turn_keys: bool = False
     # Actor pool sizing for the applier stage (reference: HBase applier task
     # pool, CHANGES.txt:137) and the augmenter (CHANGES.txt:97-98).
     # The applier pool autoscales (1, N) so the groupby shuffle's tasks are

@@ -26,3 +26,15 @@ def stable_hash_strings(values) -> np.ndarray:
 def partition_ids(conv_ids, num_partitions: int) -> np.ndarray:
     """part_id = stable_hash(conv_id) % P, as int32."""
     return (stable_hash_strings(conv_ids) % np.uint64(num_partitions)).astype(np.int32)
+
+
+def partition_ids_salted(conv_ids, turn_idx, num_partitions: int) -> np.ndarray:
+    """Hot-key salting: part_id = (hash(conv_id) ^ mix(turn_idx)) % P —
+    spreads ONE zipf-hot conversation's turns across partitions instead of
+    pinning them to a single applier.  Correctness-neutral for the engine:
+    every contract (LWW state, watermark anti-join, manifests, chain
+    folds) is per (conv_id, turn_idx), so routing only needs to be STABLE
+    across epochs/resumes — which the LakeMeta pin enforces."""
+    h = stable_hash_strings(conv_ids)
+    t = np.asarray(turn_idx, dtype=np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return ((h ^ t) % np.uint64(num_partitions)).astype(np.int32)

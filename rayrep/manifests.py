@@ -115,6 +115,7 @@ class LakeMeta:
     num_partitions: int = 0
     changed_cells: bool = False
     per_cell: bool = False
+    salt_turn_keys: bool = False
 
     @staticmethod
     def path(lake_dir: str) -> str:

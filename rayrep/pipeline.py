@@ -124,6 +124,7 @@ def _augment(
     batch_size: int = 16384,
     concurrency: int | None = None,
     carry_txn: bool = False,
+    salt_turn_keys: bool = False,
 ):
     """Attach the augmenter stage. With ``concurrency=None`` it runs as
     stateless tasks (elastic, no idle CPU reservation — an idle actor pool
@@ -135,6 +136,7 @@ def _augment(
         num_partitions=num_partitions,
         table_filter_regex=table_filter_regex,
         carry_txn=carry_txn,
+        salt_turn_keys=salt_turn_keys,
     )
     if concurrency is None:
         return ds.map_batches(
@@ -255,11 +257,18 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                 committed_parts = max(ids) + 1
         lm = LakeMeta(num_partitions=committed_parts or cfg.num_partitions,
                       changed_cells=cfg.changed_cells_updates,
-                      per_cell=cfg.per_cell_conflicts and cfg.changed_cells_updates)
+                      per_cell=cfg.per_cell_conflicts and cfg.changed_cells_updates,
+                      salt_turn_keys=cfg.salt_turn_keys)
     if lm.num_partitions != cfg.num_partitions:
         raise ValueError(
             f"lake {cfg.lake_dir} was committed with num_partitions="
             f"{lm.num_partitions}; resuming with {cfg.num_partitions} would "
+            "route keys to different partitions and duplicate state rows"
+        )
+    if lm.salt_turn_keys != cfg.salt_turn_keys:
+        raise ValueError(
+            f"lake {cfg.lake_dir} was committed with salt_turn_keys="
+            f"{lm.salt_turn_keys}; resuming with {cfg.salt_turn_keys} would "
             "route keys to different partitions and duplicate state rows"
         )
     if lm.changed_cells != cfg.changed_cells_updates or lm.per_cell != (
@@ -304,6 +313,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                     cfg.batch_size,
                     cfg.augmenter_concurrency,
                     carry_txn=cfg.txn_lineage,
+                    salt_turn_keys=cfg.salt_turn_keys,
                 )
             )
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]

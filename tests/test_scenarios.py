@@ -558,3 +558,44 @@ def test_replica_from_deltas_equals_final_table(tmp_path):
         got[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
         want[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
     )
+
+
+def test_salt_turn_keys_equal_table_balanced_and_pinned(tmp_path):
+    """Hot-key salting: (a) the salted replay converges to the identical
+    table (routing is correctness-neutral — every contract is per
+    (conv_id, turn_idx)); (b) a zipf-hot conversation's load actually
+    spreads (max per-partition input share drops); (c) flipping the flag
+    on an existing lake is refused (LakeMeta pin)."""
+    from rayrep.manifests import PartitionManifest
+
+    spec = GenSpec(seed=3, n_conversations=5, max_turns=64, n_events=2000,
+                   n_epochs=2, zipf_a=2.5)
+    d = str(tmp_path / "cl")
+    write_changelog(d, spec)
+
+    def run(salt: bool, name: str):
+        lake = str(tmp_path / name)
+        cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=8,
+                           applier_concurrency=2, delta_output=False,
+                           salt_turn_keys=salt)
+        replay(cfg)
+        loads = [PartitionManifest.load(lake, p).counters.get("input_rows", 0)
+                 for p in range(8)]
+        return lake, final_table_pandas(lake), np.array(loads)
+
+    lake_plain, t_plain, load_plain = run(False, "lake_plain")
+    _, t_salt, load_salt = run(True, "lake_salt")
+
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert_frames_equal(
+        t_salt[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        t_plain[cols].sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+    )
+    # 5 zipf-2.5 convs over 8 partitions: unsalted pins the hot conv to one
+    # partition; salted spreads its turns
+    assert load_salt.max() < load_plain.max()
+    assert (load_salt > 0).sum() >= (load_plain > 0).sum()
+
+    with pytest.raises(ValueError, match="salt_turn_keys"):
+        replay(EngineConfig(changelog_dir=d, lake_dir=lake_plain,
+                            num_partitions=8, salt_turn_keys=True))
