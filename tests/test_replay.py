@@ -127,3 +127,19 @@ def test_replay_restores_session_block_size(changelog_dir, tmp_lake):
     )
     replay(cfg)
     assert ctx.target_max_block_size == before
+
+
+def test_partition_routing_golden_values():
+    """Routing must stay stable across library upgrades — every existing
+    lake's state placement depends on it (stable_hash_strings delegates
+    to pandas' fixed-key SipHash). If this test ever fails, the hash
+    changed underneath us and existing lakes need a full re-route
+    migration before resuming."""
+    import numpy as np
+
+    from rayrep.hashing import partition_ids, partition_ids_salted
+
+    keys = ["conv-00000", "conv-12345", "hot-conversation"]
+    assert partition_ids(keys, 32).tolist() == [30, 15, 13]
+    assert partition_ids_salted(
+        keys, np.array([0, 7, 63]), 32).tolist() == [30, 6, 28]
