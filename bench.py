@@ -196,6 +196,20 @@ def main_bench(headline_only: bool) -> dict:
     }
 
 
+def _cpu_sample() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — hypervisor health."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()[1:]
+    vals = [int(x) for x in parts]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 1) if dt > 0 else 0.0
+
+
 def main_scaling() -> dict:
     lo = int(os.environ.get("BENCH_LO", "8"))
     hi = int(os.environ.get("BENCH_HI", "32"))
@@ -208,12 +222,18 @@ def main_scaling() -> dict:
         # deflate both levels of the ratio — the 10^10-event design point
         # amortizes fixed startup to nothing
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="2")
+        s0 = _cpu_sample()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        r = json.loads(out.strip().splitlines()[-1])
+        # hypervisor-steal % over this level's whole run: every ladder is
+        # self-annotating with host health, so a degraded-window number
+        # can't masquerade as an engine property
+        r["steal_pct"] = _steal_pct(s0, _cpu_sample())
+        return r
 
     # interleave lo/hi rounds so machine drift (page cache, THP compaction)
     # biases both levels equally; best-of per level
@@ -240,6 +260,8 @@ def main_scaling() -> dict:
         "per_cpu_throughput": {
             str(lo): round(thr_lo / lo), str(hi): round(thr_hi / hi)
         },
+        "steal_pct": {str(lo): r_lo.get("steal_pct"),
+                      str(hi): r_hi.get("steal_pct")},
     }
     _append_bench_md(result)
     return result
@@ -320,6 +342,8 @@ def _append_bench_md(result: dict) -> None:
             f"- num_cpus={hi}: {result[f'sec_{hi}']}s = {result[f'events_per_sec_{hi}']:,} ev/s "
             f"({result['per_cpu_throughput'][str(hi)]:,} ev/s/cpu)\n"
             f"- scaling efficiency (thr_hi/thr_lo)/({hi}/{lo}) = {result['scaling_efficiency']}\n"
+            f"- hypervisor steal during best level runs: "
+            f"{result.get('steal_pct', {})}\n"
             f"- caveat: both levels share ONE machine's memory/IO bandwidth; "
             f"shuffle bytes cross a single memory system, unlike a real {hi // lo}x-node cluster\n"
         )
