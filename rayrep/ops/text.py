@@ -479,12 +479,22 @@ class Fingerprint:
 
 
 def _gram_pairs(batch: pa.Table, *, k: int, id_col: str,
-                text_col: str) -> pa.Table:
+                text_col: str, stride: int = 1,
+                hashed: bool = False) -> pa.Table:
     """Every k-byte gram position as a (gram, doc_id) row — one
     sliding-window view over the batch's concatenated bytes with doc
     boundaries masked, no per-row Python.  Gram strings (not hashes) so
     the downstream equality is EXACT; byte==codepoint holds for ASCII
-    corpora (the oracle's substr() is codepoint-based)."""
+    corpora (the oracle's substr() is codepoint-based).
+
+    Scale levers: ``stride=s`` keeps only grams whose rolling hash is
+    0 mod s — CONTENT-DEFINED sampling, so an identical gram is sampled
+    identically in every doc containing it (positional sampling would
+    pick different grams of a shared span in different docs and miss it);
+    a duplicated span of length L is caught with prob 1-(1-1/s)^(L-k+1).
+    ``hashed`` ships the 8-byte rolling hash instead of the k-byte string
+    (collision probability ~n^2/2^64; the exact-string mode is the
+    verified one)."""
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
@@ -492,7 +502,8 @@ def _gram_pairs(batch: pa.Table, *, k: int, id_col: str,
     bs = [(t or "").encode("utf-8", "ignore") for t in texts]
     lens = np.array([len(b) for b in bs], dtype=np.int64)
     buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
-    empty = pa.table({"gram": pa.array([], pa.string()),
+    gtype = pa.uint64() if hashed else pa.string()
+    empty = pa.table({"gram": pa.array([], gtype),
                       id_col: pa.array([], pa.int64())})
     if len(buf) < k:
         return empty
@@ -502,18 +513,32 @@ def _gram_pairs(batch: pa.Table, *, k: int, id_col: str,
     pos = np.arange(len(win), dtype=np.int64)
     doc_of = np.searchsorted(starts, pos, side="right") - 1
     valid = pos <= starts[doc_of] + lens[doc_of] - k
+    g = None
+    if hashed or stride > 1:
+        u = buf.astype(np.uint64)
+        with np.errstate(over="ignore"):
+            g = np.zeros(len(win), dtype=np.uint64)
+            w, B = np.uint64(1), np.uint64(1099511628211)
+            for j in range(k):
+                g += u[j: len(u) - k + 1 + j] * w
+                w = np.uint64(w * B)
+    if stride > 1:  # content-defined sample: same gram → same decision
+        valid &= g % np.uint64(stride) == 0
     sel = np.flatnonzero(valid)
     if not len(sel):
         return empty
+    ids = batch.column(id_col).to_numpy()[doc_of[sel]]
+    if hashed:
+        return pa.table({"gram": pa.array(g[sel], pa.uint64()),
+                         id_col: pa.array(ids)})
     grams = np.ascontiguousarray(win[sel])
     gram_str = grams.view(f"S{k}").ravel().astype(f"U{k}")
-    ids = batch.column(id_col).to_numpy()[doc_of[sel]]
     return pa.table({"gram": pa.array(gram_str), id_col: pa.array(ids)})
 
 
 def dup_span_doc_counts(ds, *, k: int = 20, id_col: str = "doc_id",
-                        text_col: str = "text",
-                        num_parts: int = 32) -> pd.DataFrame:
+                        text_col: str = "text", num_parts: int = 32,
+                        stride: int = 1, hashed: bool = False) -> pd.DataFrame:
     """Exact duplicate-SPAN detection (the substring-dedup shape of
     Lee et al.'s 'Deduplicating Training Data Makes Language Models
     Better', arXiv:2107.06499, done with hashed-gram grouping instead of
@@ -524,23 +549,31 @@ def dup_span_doc_counts(ds, *, k: int = 20, id_col: str = "doc_id",
     shuffle, co-grouped by gram-hash partition; the per-partition fold is
     a single factorize + lexsort (distinct-doc counts per gram, then
     per-doc position counts) — no per-gram Python.  This is the inherent
-    all-to-all cost of exact substring dedup; at 10^14 bytes, stride
-    sampling and 8-byte gram hashes (both trivially swappable here) cut
-    the exchanged volume at a documented false-positive/negative cost.
-    The verified query keeps exact gram strings so the SQL oracle is
-    bit-exact."""
+    all-to-all cost of exact substring dedup; at 10^14 bytes,
+    ``stride=s`` cuts exchanged rows ~s-fold via content-defined gram
+    sampling (a shared span of length L is caught with prob
+    1-(1-1/s)^(L-k+1); counts become per-sample) and ``hashed=True``
+    cuts bytes/row from k to 8 at ~n^2/2^64 collision risk.  The
+    verified query keeps exact gram strings at stride 1 so the SQL
+    oracle is bit-exact."""
     from ray.data.aggregate import Sum
 
     from rayrep.hashing import stable_hash_strings
 
     pairs = ds.map_batches(
-        _gram_pairs, fn_kwargs={"k": k, "id_col": id_col, "text_col": text_col},
+        _gram_pairs,
+        fn_kwargs={"k": k, "id_col": id_col, "text_col": text_col,
+                   "stride": stride, "hashed": hashed},
         batch_format="pyarrow",
     )
 
     def tag(t: pa.Table) -> pa.Table:
-        pid = (stable_hash_strings(t.column("gram"))
-               % np.uint64(num_parts)).astype(np.int32)
+        if hashed:
+            pid = (t.column("gram").to_numpy()
+                   % np.uint64(num_parts)).astype(np.int32)
+        else:
+            pid = (stable_hash_strings(t.column("gram"))
+                   % np.uint64(num_parts)).astype(np.int32)
         return t.append_column("part_id", pa.array(pid))
 
     def per_part(g: pa.Table) -> pa.Table:

@@ -567,3 +567,36 @@ def test_dup_span_matches_bruteforce_and_split_invariant():
         out = dup_span_doc_counts(ds, k=k)
         outs.append(dict(zip(out["doc_id"], out["dup_spans"])))
     assert outs[0] == outs[1] == expect
+
+
+def test_dup_span_scale_levers():
+    """hashed=True must reproduce the exact-string doc counts on the test
+    corpus (64-bit collisions effectively impossible at this size);
+    content-defined stride sampling must (a) flag a subset of the exact
+    mode's docs, (b) still catch a long planted shared span, (c) pick the
+    SAME grams in both docs sharing a span (content-defined, not
+    positional)."""
+    from rayrep.ops.text import dup_span_doc_counts
+
+    rng = np.random.default_rng(9)
+    shared = "a very long shared passage that two documents have in common verbatim"
+    docs = []
+    for i in range(30):
+        base = "".join(rng.choice(list("abcdefgh "), 80))
+        if i in (3, 17):
+            base = base[:10] + shared + base[10:]
+        docs.append(base)
+    df = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64), "text": docs})
+    ds = rd.from_pandas(df).repartition(4)
+
+    exact = dup_span_doc_counts(ds, k=20)
+    hashed = dup_span_doc_counts(ds, k=20, hashed=True)
+    pd.testing.assert_frame_equal(exact, hashed)
+
+    sampled = dup_span_doc_counts(ds, k=20, stride=4, hashed=True)
+    flagged = set(sampled["doc_id"])
+    assert flagged <= set(exact["doc_id"])          # no new docs appear
+    assert {3, 17} <= flagged                       # long span still caught
+    # both members of the pair see the same sampled grams → equal counts
+    s = sampled.set_index("doc_id")["dup_spans"]
+    assert s[3] == s[17] > 0
