@@ -349,6 +349,73 @@ def _append_bench_md(result: dict) -> None:
         )
 
 
+def main_bytes() -> dict:
+    """Exchange-volume accounting (STEAL-PROOF: row/byte counts are
+    deterministic regardless of host state): bytes and rows entering the
+    sort exchange per event, for raw-augmented vs map-side-combined vs
+    packed-IPC variants.  This is the quantity the scaling ladder's
+    memory-bus ceiling is made of."""
+    import ray
+    import ray.data as rd
+
+    n = int(os.environ.get("BENCH_EVENTS_ABS", "2000000"))
+    os.environ["BENCH_EVENTS_ABS"] = str(n)
+    cl = ensure_changelog(n)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        import pyarrow as pa
+
+        from rayrep.combine import combine_batch
+        from rayrep.exchange import pack_batch
+        from rayrep.pipeline import _augment, discover_epochs
+        from rayrep.registry import SchemaRegistry
+
+        target_json = SchemaRegistry().current_json()
+
+        def measure(ds) -> tuple[int, int]:
+            def count(t: pa.Table) -> pa.Table:
+                return pa.table({"rows": pa.array([t.num_rows], pa.int64()),
+                                 "nbytes": pa.array([t.nbytes], pa.int64())})
+            parts = ds.map_batches(count, batch_format="pyarrow").take_all()
+            return (sum(r["rows"] for r in parts),
+                    sum(r["nbytes"] for r in parts))
+
+        out = {}
+        for name in ("augmented", "combined", "packed"):
+            total_rows = total_bytes = 0
+            for _, path in discover_epochs(cl):
+                ds = _augment(rd.read_parquet(path), target_json, 32)
+                if name in ("combined", "packed"):
+                    ds = ds.map_batches(combine_batch, fn_kwargs={"by_day": True},
+                                        batch_format="pyarrow", zero_copy_batch=True)
+                if name == "packed":
+                    ds = ds.map_batches(pack_batch, batch_format="pyarrow",
+                                        zero_copy_batch=True)
+                r, b = measure(ds)
+                total_rows += r
+                total_bytes += b
+            out[name] = {"rows": total_rows,
+                         "bytes_per_event": round(total_bytes / n, 1),
+                         "rows_per_event": round(total_rows / n, 3)}
+    finally:
+        ray.shutdown()
+    result = {"metric": "bytes entering the sort exchange per event",
+              "events": n, "variants": out}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "BASELINE.md")
+    with open(path, "a") as f:
+        f.write(f"\n## Exchange-volume accounting {time.strftime('%Y-%m-%d %H:%M:%S')} "
+                f"({n:,} events — deterministic, steal-independent)\n\n")
+        for k, v in out.items():
+            f.write(f"- {k}: {v['bytes_per_event']} B/event, "
+                    f"{v['rows_per_event']} rows/event\n")
+    return result
+
+
 def main_delta_state() -> dict:
     """Long-tail epoch bench: a big snapshot builds a large converged lake,
     then many tiny epochs trickle in. Demonstrates that epoch wall-time in
@@ -520,6 +587,8 @@ if __name__ == "__main__":
         print(json.dumps(main_scaling()))
     elif "--weak-scaling" in sys.argv:
         print(json.dumps(main_weak_scaling()))
+    elif "--bytes" in sys.argv:
+        print(json.dumps(main_bytes()))
     elif "--delta-state" in sys.argv:
         print(json.dumps(main_delta_state()))
     elif "--staged" in sys.argv:
