@@ -1585,7 +1585,11 @@ def _replay_events_through_engine(
                        delta_output=delta_rollup or replica,
                        changed_cells_updates=changed_cells,
                        per_cell_conflicts=changed_cells,
-                       chaos_fraction=chaos)
+                       chaos_fraction=chaos,
+                       # the delta-rollup oracle nets per (key, day, EPOCH
+                       # DIR); pin the round granularity so a future
+                       # default change can't silently shift the contract
+                       epochs_per_round=1)
     if resume_split:
         # kill/resume mid-replay: the first run commits only the first two
         # epoch barriers; the second must re-run ONLY the uncommitted tail
