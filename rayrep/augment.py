@@ -42,10 +42,17 @@ class Augmenter:
         table_filter_regex: str = "",
         carry_txn: bool = False,
         salt_turn_keys: bool = False,
+        validate_events: bool = False,
     ):
         self.target = SchemaVersion.from_json(target_schema_json)
         self.num_partitions = num_partitions
         self.salt_turn_keys = salt_turn_keys
+        # fail-fast malformed-event gate: a data event with a null routing
+        # key or version column can neither be routed nor LWW-resolved —
+        # refuse the batch with a counted, named error instead of letting
+        # undefined grouping corrupt a partition (reference analog:
+        # fail-fast + supervisor restart, CHANGES.txt:66-69)
+        self.validate_events = validate_events
         self.table_filter_regex = table_filter_regex or None
         # txn_id is pure lineage — nothing downstream computes on it, so by
         # default it is consumed here instead of shipped through the sort
@@ -86,6 +93,19 @@ class Augmenter:
             batch = batch.filter(keep)
         if batch.num_rows == 0:
             return self._empty()
+
+        if self.validate_events:
+            bad = pc.is_null(batch["conv_id"])
+            for col in ("turn_idx", "ts", "seq"):
+                bad = pc.or_(bad, pc.is_null(batch[col]))
+            n_bad = pc.sum(bad).as_py() or 0
+            if n_bad:
+                seqs = batch.filter(bad).column("seq").to_pylist()[:5]
+                raise ValueError(
+                    f"{n_bad} malformed data event(s) in batch: null "
+                    f"conv_id/turn_idx/ts/seq (first seqs: {seqs}); refusing "
+                    "the epoch — fix or filter the changelog upstream"
+                )
 
         meta_cols = {
             c: batch.column(c) for c in META_COLUMNS if c != "ddl" and c in batch.column_names

@@ -24,6 +24,13 @@ class EngineConfig:
     # (conv_id, turn_idx)); pinned in LakeMeta because routing must stay
     # stable for the life of a lake.
     salt_turn_keys: bool = False
+    # Fail-fast gate for malformed data events (null conv_id / turn_idx /
+    # ts / seq): such rows can neither be routed nor LWW-resolved, so with
+    # validation on the augmenter refuses the epoch with a counted, named
+    # error (fail-fast + supervisor restart, the reference's model) rather
+    # than let undefined grouping corrupt a partition. Off by default:
+    # trusted changelogs skip the extra null-scan.
+    validate_events: bool = False
     # Actor pool sizing for the applier stage (reference: HBase applier task
     # pool, CHANGES.txt:137) and the augmenter (CHANGES.txt:97-98).
     # The applier pool autoscales (1, N) so the groupby shuffle's tasks are

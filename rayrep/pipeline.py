@@ -125,6 +125,7 @@ def _augment(
     concurrency: int | None = None,
     carry_txn: bool = False,
     salt_turn_keys: bool = False,
+    validate_events: bool = False,
 ):
     """Attach the augmenter stage. With ``concurrency=None`` it runs as
     stateless tasks (elastic, no idle CPU reservation — an idle actor pool
@@ -137,6 +138,7 @@ def _augment(
         table_filter_regex=table_filter_regex,
         carry_txn=carry_txn,
         salt_turn_keys=salt_turn_keys,
+        validate_events=validate_events,
     )
     if concurrency is None:
         return ds.map_batches(
@@ -314,6 +316,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                     cfg.augmenter_concurrency,
                     carry_txn=cfg.txn_lineage,
                     salt_turn_keys=cfg.salt_turn_keys,
+                    validate_events=cfg.validate_events,
                 )
             )
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]

@@ -599,3 +599,32 @@ def test_salt_turn_keys_equal_table_balanced_and_pinned(tmp_path):
     with pytest.raises(ValueError, match="salt_turn_keys"):
         replay(EngineConfig(changelog_dir=d, lake_dir=lake_plain,
                             num_partitions=8, salt_turn_keys=True))
+
+
+def test_validate_events_refuses_malformed_rows(tmp_path):
+    """With validate_events=True a data event with a null routing/version
+    column fails the epoch with a counted, named error (fail-fast +
+    supervisor model) instead of undefined grouping; a clean changelog
+    passes untouched."""
+    d = str(tmp_path / "cl")
+    good = [ev(1, "I", "c0", 0, "hello", ts=10), ev(2, "U", "c1", 0, "there", ts=20)]
+    bad = dict(ev(3, "U", "c2", 0, "x", ts=30))
+    bad["conv_id"] = None
+    write_epochs(d, good + [bad])
+
+    cfg = EngineConfig(changelog_dir=d, lake_dir=str(tmp_path / "lake"),
+                       num_partitions=4, applier_concurrency=2,
+                       delta_output=False, validate_events=True)
+    import ray
+
+    with pytest.raises(ray.exceptions.RayTaskError, match="malformed data event"):
+        replay(cfg)
+
+    # clean changelog: validation is a no-op
+    d2 = str(tmp_path / "cl2")
+    write_epochs(d2, good)
+    cfg2 = EngineConfig(changelog_dir=d2, lake_dir=str(tmp_path / "lake2"),
+                        num_partitions=4, applier_concurrency=2,
+                        delta_output=False, validate_events=True)
+    replay(cfg2)
+    assert len(final_table_pandas(str(tmp_path / "lake2"))) == 2
