@@ -2734,7 +2734,8 @@ def _oracle_sql_base() -> dict:
             )
             SELECT change_date, count(*) AS n_changes,
                    count(DISTINCT user_id) AS n_keys,
-                   sum(CAST(floor(value * 10000.0) AS BIGINT)) AS sum_value_fp
+                   CAST(sum(CAST(floor(value * 10000.0) AS BIGINT))
+                        AS BIGINT) AS sum_value_fp
             FROM d WHERE rk = 1
             GROUP BY change_date
             ORDER BY change_date
@@ -3399,8 +3400,13 @@ def _ivf_exact_pruned_oracle_sql(
             JOIN probes p ON p.cluster = a.cluster
             GROUP BY ca.vec_id
         )
-        SELECT vec_id, d2 FROM cd ORDER BY d2 ASC, vec_id ASC LIMIT {k}
+        SELECT vec_id, CAST(d2 AS BIGINT) AS d2
+        FROM cd ORDER BY d2 ASC, vec_id ASC LIMIT {k}
     """
+    # ^ the BIGINT cast matters: DuckDB's SUM(BIGINT) is HUGEINT, which
+    # pandas renders as float64 — and a driver-side round(6) on a ~1e12
+    # float loses integer precision (1401388873746 -> ...745.9998) and
+    # breaks the hash against the Ray side's exact int64.
 
 
 def _semantic_dedup_oracle_sql(
