@@ -119,9 +119,24 @@ class Augmenter:
         if self.salt_turn_keys:
             from rayrep.hashing import partition_ids_salted
 
+            # Routing must stay byte-stable for the life of the lake: a null
+            # turn_idx would become NaN here and the uint64 cast inside
+            # partition_ids_salted would yield a platform-dependent garbage
+            # partition id (validate_events is off by default, so this is
+            # NOT already guaranteed). Fail with the same named
+            # malformed-event error instead of routing silently.
+            tcol = batch.column("turn_idx")
+            n_null = tcol.null_count
+            if n_null:
+                seqs = batch.filter(pc.is_null(tcol)).column("seq").to_pylist()[:5]
+                raise ValueError(
+                    f"{n_null} malformed data event(s) in batch: null "
+                    f"turn_idx with salt_turn_keys=True (first seqs: {seqs}); "
+                    "refusing the epoch — fix or filter the changelog upstream"
+                )
             pid = pa.array(partition_ids_salted(
                 batch.column("conv_id"),
-                batch.column("turn_idx").to_numpy(zero_copy_only=False),
+                tcol.to_numpy(zero_copy_only=False),
                 self.num_partitions))
         else:
             pid = pa.array(partition_ids(batch.column("conv_id"),

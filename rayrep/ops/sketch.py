@@ -38,6 +38,51 @@ KMV_MULT = np.uint64(11400714819323198485)
 _TWO64 = 18446744073709551616.0  # 2^64, exactly representable in float64
 
 
+_SQL_TWO64 = "18446744073709551616::HUGEINT"
+_SQL_TWO32 = "4294967296::HUGEINT"
+
+
+def _sql_u64(expr: str) -> str:
+    """HUGEINT expression for the uint64 value of an int64 SQL expression —
+    numpy's ``astype(uint64)`` two's-complement wrap.  DuckDB's ``%`` takes
+    the dividend's sign, so a bare ``key % 2^64`` stays negative for
+    negative keys and the oracle would silently diverge from the sketch."""
+    return f"((({expr})::HUGEINT % {_SQL_TWO64} + {_SQL_TWO64}) % {_SQL_TWO64})"
+
+
+def _sql_mulmod64(uexpr: str, c: int) -> str:
+    """``(u * c) mod 2^64`` for a non-negative ``u < 2^64`` WITHOUT int128
+    overflow: a full u64 x u64 product can reach 2^128 > HUGEINT max, so
+    split u into 32-bit halves — ``(hi*c mod 2^32)*2^32 + lo*c`` keeps every
+    intermediate under 2^97."""
+    return (f"((((({uexpr}) // {_SQL_TWO32}) * {c}::HUGEINT % {_SQL_TWO32})"
+            f" * {_SQL_TWO32} + (({uexpr}) % {_SQL_TWO32}) * {c}::HUGEINT)"
+            f" % {_SQL_TWO64})")
+
+
+def sql_hash_pair_select(key_col: str, table_expr: str) -> str:
+    """Subquery producing ``({key_col}, h1, h2)`` for every row of
+    ``table_expr``, reproducing ``_bloom_positions``'s double hash
+    bit-for-bit for ANY int64 key: two's-complement wrap (``_sql_u64``),
+    LOGICAL right shift (``uv // 2^32`` — DuckDB's ``>>`` on a negative
+    BIGINT sign-extends, numpy's uint64 shift does not), overflow-free
+    mul-mod, and h2 forced odd (the numpy ``| 1``)."""
+    c1, c2 = int(KMV_MULT), 14029467366897019727
+    return f"""(
+        SELECT {key_col},
+               {_sql_mulmod64('uv', c1)} AS h1,
+               m2 + 1 - (m2 % 2) AS h2
+        FROM (
+            SELECT {key_col}, uv, {_sql_mulmod64('xv', c2)} AS m2
+            FROM (
+                SELECT {key_col}, uv, xor(uv, uv // {_SQL_TWO32}) AS xv
+                FROM (SELECT {key_col}, {_sql_u64(key_col)} AS uv
+                      FROM {table_expr})
+            )
+        )
+    )"""
+
+
 def _kmv_hash(vals: np.ndarray) -> np.ndarray:
     """h(v) = (v * KMV_MULT) mod 2^64 — a Weyl-style multiplicative hash.
     uint64 multiply wraps mod 2^64 in numpy, which is the emulated
@@ -100,15 +145,16 @@ def kmv_distinct(ds: rd.Dataset, *, group_col: str, value_col: str,
 def kmv_oracle_sql(*, table: str, group_col: str, value_col: str,
                    k: int = 64, out_col: str = "approx_distinct") -> str:
     """DuckDB SQL computing the identical KMV estimate: the same
-    multiplicative hash via HUGEINT mul-mod, the same k-th-smallest
-    selection, the same DOUBLE estimate formula."""
+    multiplicative hash via overflow-free HUGEINT mul-mod on the key's
+    uint64 (two's-complement) value — bit-identical to numpy for ANY int64
+    value, negative keys included — the same k-th-smallest selection, the
+    same DOUBLE estimate formula."""
     c = int(KMV_MULT)
     return f"""
         WITH h AS (
-            SELECT DISTINCT {group_col},
-                   ({value_col}::HUGEINT * {c}::HUGEINT)
-                       % 18446744073709551616::HUGEINT AS hv
-            FROM {table}
+            SELECT DISTINCT {group_col}, {_sql_mulmod64('uv', c)} AS hv
+            FROM (SELECT {group_col}, {_sql_u64(value_col)} AS uv
+                  FROM {table})
         ), r AS (
             SELECT {group_col}, hv,
                    row_number() OVER (PARTITION BY {group_col} ORDER BY hv) AS rk,
@@ -239,23 +285,17 @@ def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
 
 def cms_oracle_cells_sql(*, table: str, key_col: str, width: int,
                          depth: int) -> str:
-    """SQL fragment computing the identical (i, bucket, count) cells with
-    HUGEINT mul-mod arithmetic (h2 forced odd via +1-(h2%2), the unsigned
-    equivalent of the numpy ``| 1``)."""
-    c1, c2 = int(KMV_MULT), 14029467366897019727
-    two64 = "18446744073709551616::HUGEINT"
+    """SQL fragment computing the identical (i, bucket, count) cells via
+    ``sql_hash_pair_select`` — the uint64-normalized, overflow-free
+    double-hash family, bit-identical to ``_bloom_positions`` for ANY
+    int64 key (negative keys wrap through two's complement exactly as
+    numpy's ``astype(uint64)`` does)."""
     return f"""
         SELECT t2.i::BIGINT AS i,
-               (((h1 + t2.i::HUGEINT * h2) % {two64}) % {width})::BIGINT AS b,
+               (((h1 + t2.i::HUGEINT * h2) % {_SQL_TWO64})
+                   % {width})::BIGINT AS b,
                count(*)::BIGINT AS c
-        FROM (
-            SELECT (({key_col}::HUGEINT * {c1}::HUGEINT) % {two64}) AS h1,
-                   (((xor({key_col}, {key_col} >> 32)::HUGEINT * {c2}::HUGEINT)
-                       % {two64})
-                    + 1 - ((xor({key_col}, {key_col} >> 32)::HUGEINT
-                            * {c2}::HUGEINT) % 2)) AS h2
-            FROM {table}
-        ), range({depth}) t2(i)
+        FROM {sql_hash_pair_select(key_col, table)} t1, range({depth}) t2(i)
         GROUP BY 1, 2
     """
 

@@ -502,6 +502,21 @@ def _gram_pairs(batch: pa.Table, *, k: int, id_col: str,
     bs = [(t or "").encode("utf-8", "ignore") for t in texts]
     lens = np.array([len(b) for b in bs], dtype=np.int64)
     buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+    if not hashed and len(buf) and buf.max() >= 128:
+        # byte==codepoint only holds for ASCII; the S->U gram view below
+        # would otherwise die mid-kernel with an anonymous
+        # UnicodeDecodeError. Name the offending doc instead (hashed=True
+        # is the non-ASCII-safe mode: it never builds gram strings).
+        first = int(np.flatnonzero(buf >= 128)[0])
+        starts0 = np.zeros(len(bs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts0[1:])
+        bad_doc = batch.column(id_col)[
+            int(np.searchsorted(starts0, first, side="right") - 1)].as_py()
+        raise ValueError(
+            f"dup-span exact-gram mode requires ASCII text (oracle parity: "
+            f"substr() is codepoint-based); {id_col}={bad_doc} contains "
+            "non-ASCII bytes — normalize upstream or use hashed=True"
+        )
     gtype = pa.uint64() if hashed else pa.string()
     empty = pa.table({"gram": pa.array([], gtype),
                       id_col: pa.array([], pa.int64())})

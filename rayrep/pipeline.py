@@ -250,17 +250,25 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         # window, the committed partition ids (0..P-1 → max+1 is a lower
         # bound on the routing width the keys were hashed with).
         committed_parts = em.num_partitions
-        if not committed_parts:
-            ids = [
-                int(re.search(r"p(\d+)\.json$", p).group(1))
-                for p in glob.glob(os.path.join(cfg.lake_dir, "_manifests", "p*.json"))
-            ]
-            if ids and max(ids) + 1 > cfg.num_partitions:
-                committed_parts = max(ids) + 1
+        ids = [
+            int(re.search(r"p(\d+)\.json$", p).group(1))
+            for p in glob.glob(os.path.join(cfg.lake_dir, "_manifests", "p*.json"))
+        ]
+        if not committed_parts and ids and max(ids) + 1 > cfg.num_partitions:
+            committed_parts = max(ids) + 1
+        # A lake with ANY committed state but no lake.json predates LakeMeta,
+        # and therefore predates turn-key salting: it was necessarily written
+        # unsalted. Pin salt_turn_keys=False so a resume with
+        # cfg.salt_turn_keys=True fails the pin check below instead of
+        # silently re-routing (conv_id, turn_idx>0) keys to different
+        # partitions and duplicating state rows. A genuinely fresh lake (no
+        # manifests at all) takes the config values — they get pinned on the
+        # first commit.
+        legacy = bool(em.num_partitions) or bool(ids)
         lm = LakeMeta(num_partitions=committed_parts or cfg.num_partitions,
                       changed_cells=cfg.changed_cells_updates,
                       per_cell=cfg.per_cell_conflicts and cfg.changed_cells_updates,
-                      salt_turn_keys=cfg.salt_turn_keys)
+                      salt_turn_keys=False if legacy else cfg.salt_turn_keys)
     if lm.num_partitions != cfg.num_partitions:
         raise ValueError(
             f"lake {cfg.lake_dir} was committed with num_partitions="

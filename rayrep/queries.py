@@ -550,18 +550,22 @@ def orders_expensive_item_counts(sf_dir: str) -> pd.DataFrame:
         return pa.table({
             "part_id": pa.array((key % P).astype(np.int32)),
             "key": pa.array(key),
-            "rev": pa.nulls(len(key), pa.float64()),  # null rev = left side
+            "rev": pa.nulls(len(key), pa.int64()),  # null rev = left side
         })
 
     def tag_li(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t.column("l_extendedprice"), THR))
         key = t.column("l_orderkey").to_numpy()
-        rev = pc.multiply(t.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        # Fixed-point 1e-4 revenue (the daily_revenue pattern): floor of the
+        # identical IEEE product as int64, summed EXACTLY in any arrival
+        # order — a float64 reduceat in nondeterministic within-key order can
+        # flip round(,3) at a .0005 boundary and break the oracle hash.
+        rev = (t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+               * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False)))
         return pa.table({
             "part_id": pa.array((key % P).astype(np.int32)),
             "key": pa.array(key),
-            "rev": rev.combine_chunks() if isinstance(rev, pa.ChunkedArray) else rev,
+            "rev": pa.array(np.floor(rev * 10000.0).astype(np.int64)),
         })
 
     both = od.map_batches(tag_od, batch_format="pyarrow").union(
@@ -575,10 +579,10 @@ def orders_expensive_item_counts(sf_dir: str) -> pd.DataFrame:
         rk = keys[~is_left]
         rv = rev_col.to_numpy(zero_copy_only=False)[~is_left]
         n = np.zeros(len(lk), dtype=np.int64)
-        s = np.zeros(len(lk), dtype=np.float64)
+        s = np.zeros(len(lk), dtype=np.int64)
         if len(rk):
             o = np.argsort(rk, kind="stable")
-            rk, rv = rk[o], rv[o]
+            rk, rv = rk[o], rv[o].astype(np.int64)
             uk, starts = np.unique(rk, return_index=True)
             cnt = np.diff(np.r_[starts, len(rk)])
             sums = np.add.reduceat(rv, starts)
@@ -590,7 +594,7 @@ def orders_expensive_item_counts(sf_dir: str) -> pd.DataFrame:
         return pa.table({
             "o_orderkey": pa.array(lk),
             "n_items": pa.array(n),
-            "revenue": pa.array(np.round(s, 3)),
+            "revenue": pa.array(s.astype(np.float64) / 10000.0),
         })
 
     out = (
@@ -894,28 +898,50 @@ def ann_topk(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id"]]
 
 
-def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
-    """IVF search with nprobe = n_cells (exhaustive probe): must equal
-    brute force exactly, so the brute-force SQL is its oracle — proves the
-    cell-assignment/probe machinery loses nothing."""
+def _ivf_float_index_dir(sf_dir: str, n_cells: int = 8,
+                         sample_rows: int = 2048) -> str:
+    """Cached cell-partitioned float-IVF layout over the embeddings table
+    (train once from a hash sample, assign once, write ``cell=N`` hive
+    dirs) — searches prune the READ instead of rescanning the corpus."""
     from rayrep.ops.similarity import train_ivf_from_dataset
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    idx = train_ivf_from_dataset(ds, n_cells=8, sample_rows=2048)
-    out = idx.search(ds, _query_vec(sf_dir), k=10, nprobe=8).to_pandas()
+    def build(stage: str) -> None:
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        idx = train_ivf_from_dataset(ds, n_cells=n_cells,
+                                     sample_rows=sample_rows)
+        idx.materialize(ds, stage)
+
+    return _disk_cached_dir(
+        "ivff", [*_table_key(sf_dir, "embeddings"), n_cells, sample_rows],
+        build)
+
+
+def ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF search with nprobe = n_cells (exhaustive probe) over the
+    MATERIALIZED cell-partitioned layout: must equal brute force exactly,
+    so the brute-force SQL is its oracle — proves the cell-partitioned
+    index layout loses nothing."""
+    from rayrep.ops.similarity import IVFIndex
+
+    index_dir = _ivf_float_index_dir(sf_dir)
+    idx = IVFIndex.load(index_dir)
+    out = idx.search_index(index_dir, _query_vec(sf_dir), k=10,
+                           nprobe=idx.n_cells).to_pandas()
     return out[["vec_id"]]
 
 
 def ann_ivf_pruned(sf_dir: str) -> pd.DataFrame:
-    """The scale path: probe only the 4 nearest of 8 cells (approximate by
-    design → rows-only check; recall vs brute force is pytest-pinned)."""
-    from rayrep.ops.similarity import train_ivf_from_dataset
+    """The scale path: probe only the 4 nearest of 8 cells, READING only
+    those cells' files from the materialized layout (~nprobe/n_cells of
+    the corpus bytes — the r3 full-scan-probe fix).  Approximate by
+    design → rows-only check; recall vs brute force is pytest-pinned."""
+    from rayrep.ops.similarity import IVFIndex
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    idx = train_ivf_from_dataset(ds, n_cells=8, sample_rows=2048)
-    out = idx.search(ds, _query_vec(sf_dir), k=10, nprobe=4).to_pandas()
+    index_dir = _ivf_float_index_dir(sf_dir)
+    idx = IVFIndex.load(index_dir)
+    out = idx.search_index(index_dir, _query_vec(sf_dir), k=10,
+                           nprobe=4).to_pandas()
     return out[["vec_id"]]
 
 
@@ -1478,6 +1504,166 @@ def _rollup_delta_dir(delta_dir: str) -> pd.DataFrame:
     return out.sort_values("change_date").reset_index(drop=True)
 
 
+_FIXTURE_FORMAT = 1  # bump to invalidate cached changelog fixtures
+
+
+def _scratch_root() -> str:
+    """Root for worker-written fixture/lake staging.  On a multi-node
+    cluster this MUST point at shared storage (set ``RAYREP_SCRATCH`` to a
+    lake-adjacent shared path): the changelog fixture and the lake are
+    written by WORKER tasks, and a driver-local tempdir is not visible to
+    remote workers (r3 verdict item #3).  Defaults to the local tempdir,
+    which is correct on the single-node conformance tiers."""
+    import tempfile
+
+    root = os.environ.get("RAYREP_SCRATCH") or tempfile.gettempdir()
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def _disk_cached_dir(name: str, key_parts, build) -> str:
+    """Content-keyed on-disk directory cache under ``_scratch_root()``:
+    ``build(stage_dir)`` runs at most once per key — the staged result is
+    atomically renamed into place with a ``_COMPLETE`` marker, so reuse is
+    safe across queries, processes, and rounds.  Callers must treat the
+    returned directory as READ-ONLY."""
+    import hashlib
+    import json as _json
+    import shutil
+    import tempfile
+
+    h = hashlib.sha256(_json.dumps(key_parts).encode()).hexdigest()[:16]
+    final = os.path.join(_scratch_root(), f"rayrep_{name}_{h}")
+    done = os.path.join(final, "_COMPLETE")
+    if os.path.exists(done):
+        return final
+    stage = tempfile.mkdtemp(prefix=f"rayrep_{name}_{h}.build.",
+                             dir=_scratch_root())
+    build(stage)
+    with open(os.path.join(stage, "_COMPLETE"), "w") as f:
+        f.write("ok\n")
+    try:
+        os.rename(stage, final)
+    except OSError:
+        if os.path.exists(done):  # lost a benign build race: reuse theirs
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            raise
+    return final
+
+
+def _table_key(sf_dir: str, table: str) -> list:
+    """Cache-key identity of one input parquet (path + size + mtime)."""
+    p = os.path.realpath(os.path.join(sf_dir, f"{table}.parquet"))
+    st = os.stat(p)
+    return [p, st.st_size, st.st_mtime_ns]
+
+
+def _changelog_fixture(sf_dir: str, *, with_deletes: bool, with_ddl: bool,
+                       mask_cells: bool, ddl_action: str) -> tuple[str, int]:
+    """Build (or reuse) the events-derived changelog fixture for one
+    parameter combination, returning ``(cl_dir, B)``.
+
+    The 13 ``cdc_replay_*`` conformance queries share only FOUR distinct
+    fixtures (plain / deletes / ddl / changed-cells); building one per
+    query meant 13 redundant full passes over the events table per
+    conformance run (r3 verdict item #1).  The fixture is content-keyed
+    (events.parquet identity + params + format version) and cached on
+    disk under ``_scratch_root()``: built once into a staging dir, then
+    atomically renamed into place with a ``_COMPLETE`` marker, so reuse
+    is safe across queries, processes, and rounds.  Callers must treat
+    the returned directory as READ-ONLY."""
+    import json as _json
+
+    path = os.path.join(sf_dir, "events.parquet")
+    key = [_FIXTURE_FORMAT, *_table_key(sf_dir, "events"), with_deletes,
+           with_ddl, mask_cells, ddl_action if with_ddl else ""]
+
+    def build(stage: str) -> None:
+        max_eid = _parquet_col_max(path, "event_id")
+        ds = rd.read_parquet(path, columns=EVENT_COLS[:5] + ["props"])
+        if max_eid is None:  # stats missing: one tiny distributed aggregate
+            from ray.data.aggregate import Max
+
+            max_eid = ds.select_columns(["event_id"]).aggregate(
+                Max("event_id"))["max(event_id)"]
+        B = int(max_eid) + 1
+        first_ref = None
+        if with_deletes:
+            from ray.data.aggregate import Min
+
+            fm = (
+                ds.select_columns(["user_id", "event_id"])
+                .groupby("user_id")
+                .aggregate(Min("event_id", alias_name="min_eid"))
+                .to_pandas()  # small: one row per user
+            )
+            fk = fm["user_id"].to_numpy()
+            order = np.argsort(fk)
+            first_ref = ray.put((fk[order], fm["min_eid"].to_numpy()[order]))
+
+        counts = ds.map_batches(
+            _emit_changelog_batch,
+            fn_kwargs={"cl_dir": stage, "B": B, "with_deletes": with_deletes,
+                       "first_ref": first_ref, "with_ddl": with_ddl,
+                       "mask_cells": mask_cells, "ddl_action": ddl_action},
+            batch_format="pyarrow",
+        ).take_all()  # tiny: one count row per batch
+        assert sum(r["rows"] for r in counts) > 0
+        if with_ddl:
+            # DDL row at seq 2*ceil(B/2)-1: strictly between epoch 1's and
+            # epoch 2's data seqs, in epoch 2's directory
+            thr = (B + 1) // 2
+            if ddl_action == "add_column":
+                ddl_json = {"action": "add_column", "name": "note",
+                            "type": "string"}
+                extra = {"note": pa.nulls(1, pa.string())}
+                payload_col = "props"
+            else:  # rename_column: props -> meta mid-stream
+                ddl_json = {"action": "rename_column", "from": "props",
+                            "to": "meta"}
+                extra = {}
+                payload_col = "meta"  # DDL row written under the NEW schema
+            ddl_row = pa.table({
+                "seq": pa.array([2 * thr - 1], pa.int64()),
+                "txn_id": pa.nulls(1, pa.int64()),
+                "op": pa.array(["DDL"]),
+                "schema_ver": pa.array([2], pa.int32()),
+                "conv_id": pa.nulls(1, pa.string()),
+                "turn_idx": pa.nulls(1, pa.int32()),
+                "event_id": pa.nulls(1, pa.int64()),
+                "event_type": pa.nulls(1, pa.string()),
+                "value": pa.nulls(1, pa.float64()),
+                payload_col: pa.nulls(1, pa.string()),
+                "ts": pa.array([pd.Timestamp("2024-01-01")],
+                               pa.timestamp("us")),
+                "ddl": pa.array([_json.dumps(ddl_json)]),
+                **extra,
+            })
+            pq.write_table(ddl_row,
+                           os.path.join(stage, "epoch-00002",
+                                        "part-ddl.parquet"))
+        with open(os.path.join(stage, "_META.json"), "w") as f:
+            _json.dump({"B": B}, f)
+
+    final = _disk_cached_dir("clfix", key, build)
+    with open(os.path.join(final, "_META.json")) as f:
+        return final, int(_json.load(f)["B"])
+
+
+def _link_or_copy_tree(src: str, dst: str) -> None:
+    """Populate ``dst`` with hardlinks to ``src``'s files (copy fallback
+    across filesystems) — O(files), no data movement on the same fs."""
+    import shutil
+
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        try:
+            os.link(os.path.join(src, name), os.path.join(dst, name))
+        except OSError:
+            shutil.copy2(os.path.join(src, name), os.path.join(dst, name))
+
+
 def _replay_events_through_engine(
     sf_dir: str, with_deletes: bool, with_ddl: bool = False,
     changed_cells: bool = False, end_epoch: int | None = None,
@@ -1492,87 +1678,30 @@ def _replay_events_through_engine(
     mid-stream add_column DDL when ``with_ddl``) replayed through the
     REAL engine — augment → hash shuffle → Applier → exactly-once
     manifests — on a custom payload schema, returning the converged lake
-    table. The fixture itself is built DISTRIBUTED (map_batches writes
-    the epoch part files; the only driver-side state is the small
-    user→first-event map for the deletes variant)."""
-    import json as _json
+    table.  The fixture build is distributed AND shared: one cached
+    changelog per parameter combination (``_changelog_fixture``) serves
+    every query variant; only the lake is per-query."""
     import tempfile
 
     from rayrep.config import EngineConfig
     from rayrep.pipeline import final_table, replay
     from rayrep.schema import SchemaVersion
 
-    path = os.path.join(sf_dir, "events.parquet")
-    max_eid = _parquet_col_max(path, "event_id")
-    ds = rd.read_parquet(path, columns=EVENT_COLS[:5] + ["props"])
-    if max_eid is None:  # stats missing: one tiny distributed aggregate
-        from ray.data.aggregate import Max
-
-        max_eid = ds.select_columns(["event_id"]).aggregate(Max("event_id"))[
-            "max(event_id)"
-        ]
-    B = int(max_eid) + 1
-    first_ref = None
-    if with_deletes:
-        from ray.data.aggregate import Min
-
-        fm = (
-            ds.select_columns(["user_id", "event_id"])
-            .groupby("user_id")
-            .aggregate(Min("event_id", alias_name="min_eid"))
-            .to_pandas()  # small: one row per user
-        )
-        fk = fm["user_id"].to_numpy()
-        order = np.argsort(fk)
-        first_ref = ray.put((fk[order], fm["min_eid"].to_numpy()[order]))
-
-    d = tempfile.mkdtemp(prefix="rayrep_qe_")
-    cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
-    os.makedirs(cl)
-    # tail mode: workers write the fixture into a STAGING dir; the test
-    # then publishes epochs progressively via atomic renames (the
-    # gen.publish_epoch producer protocol) while tail() polls
-    emit_dir = os.path.join(d, "stage") if tail_mode else cl
+    if tail_mode and with_ddl:  # the DDL row sits inside the cached dir
+        raise ValueError("tail_mode and with_ddl are mutually exclusive")
+    cl_src, B = _changelog_fixture(
+        sf_dir, with_deletes=with_deletes, with_ddl=with_ddl,
+        mask_cells=changed_cells, ddl_action=ddl_action)
+    d = tempfile.mkdtemp(prefix="rayrep_qe_", dir=_scratch_root())
+    lake = os.path.join(d, "lake")
     if tail_mode:
-        if with_ddl:  # the DDL row is written into the published dir
-            raise ValueError("tail_mode and with_ddl are mutually exclusive")
-        os.makedirs(emit_dir)
-    counts = ds.map_batches(
-        _emit_changelog_batch,
-        fn_kwargs={"cl_dir": emit_dir, "B": B, "with_deletes": with_deletes,
-                   "first_ref": first_ref, "with_ddl": with_ddl,
-                   "mask_cells": changed_cells, "ddl_action": ddl_action},
-        batch_format="pyarrow",
-    ).take_all()  # tiny: one count row per batch
-    assert sum(r["rows"] for r in counts) > 0
-    if with_ddl:
-        # DDL row at seq 2*ceil(B/2)-1: strictly between epoch 1's and
-        # epoch 2's data seqs, in epoch 2's directory
-        thr = (B + 1) // 2
-        if ddl_action == "add_column":
-            ddl_json = {"action": "add_column", "name": "note", "type": "string"}
-            extra = {"note": pa.nulls(1, pa.string())}
-            payload_col = "props"
-        else:  # rename_column: props -> meta mid-stream
-            ddl_json = {"action": "rename_column", "from": "props", "to": "meta"}
-            extra = {}
-            payload_col = "meta"  # the DDL row is written under the NEW schema
-        ddl_row = pa.table({
-            "seq": pa.array([2 * thr - 1], pa.int64()),
-            "txn_id": pa.nulls(1, pa.int64()),
-            "op": pa.array(["DDL"]),
-            "schema_ver": pa.array([2], pa.int32()),
-            "conv_id": pa.nulls(1, pa.string()),
-            "turn_idx": pa.nulls(1, pa.int32()),
-            "event_id": pa.nulls(1, pa.int64()),
-            "event_type": pa.nulls(1, pa.string()),
-            "value": pa.nulls(1, pa.float64()),
-            payload_col: pa.nulls(1, pa.string()),
-            "ts": pa.array([pd.Timestamp("2024-01-01")], pa.timestamp("us")),
-            "ddl": pa.array([_json.dumps(ddl_json)]),
-            **extra,
-        })
-        pq.write_table(ddl_row, os.path.join(cl, "epoch-00002", "part-ddl.parquet"))
+        # progressive publication: epochs are hardlink-staged from the
+        # cached fixture and os.replace'd into the tailed dir — the
+        # gen.publish_epoch atomic-rename producer protocol
+        cl = os.path.join(d, "cl")
+        os.makedirs(cl)
+    else:
+        cl = cl_src  # read-only input to replay()
 
     sv = SchemaVersion(1, pa.schema([
         pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
@@ -1601,8 +1730,12 @@ def _replay_events_through_engine(
         res = None
         for batch_epochs in ((0, 1), (2, 3)):
             for e in batch_epochs:
-                os.replace(os.path.join(emit_dir, f"epoch-{e:05d}"),
-                           os.path.join(cl, f"epoch-{e:05d}"))
+                # hardlink-stage the cached epoch on the SAME fs, then one
+                # atomic rename makes it visible to the poller whole
+                staged = os.path.join(d, f"stage-{e:05d}")
+                _link_or_copy_tree(os.path.join(cl_src, f"epoch-{e:05d}"),
+                                   staged)
+                os.replace(staged, os.path.join(cl, f"epoch-{e:05d}"))
             res = _tail(cfg, poll_interval_s=0.05, idle_timeout_s=30.0,
                         max_epochs=2)
     else:
@@ -1722,7 +1855,7 @@ def cdc_bootstrap_tail(sf_dir: str) -> pd.DataFrame:
         pa.field("value", pa.float64()), pa.field("props", pa.string()),
         pa.field("ts", pa.timestamp("us")),
     ]))
-    d = tempfile.mkdtemp(prefix="rayrep_bt_")
+    d = tempfile.mkdtemp(prefix="rayrep_bt_", dir=_scratch_root())
     cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
     man = bootstrap_snapshot(snap, cl, payload_json=sv.to_json())
     off = int(man["next_seq"])  # tail seqs strictly above the prefix
@@ -1863,24 +1996,40 @@ def cdc_replay_changed_cells(sf_dir: str) -> pd.DataFrame:
                                          changed_cells=True)
 
 
+def _transcripts_dump_path() -> str:
+    """Stable path where ``cdc_replay_transcripts`` dumps its generated
+    changelog so the DuckDB oracle can ``read_parquet`` the identical
+    input (the generator stream is PCG64-deterministic but not SQL-
+    expressible from the events view)."""
+    return os.path.join(_scratch_root(), "rayrep_transcripts_changelog.parquet")
+
+
 def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
-    """The flagship: full streaming CDC replay (augment → shuffle → applier
-    → manifests) on a deterministic changelog sized to the sf tier; returns
-    the converged transcript table. Verified in pytest against the Python
-    oracle; the driver records a rows-only check here (non-SQL: schema
-    evolution + exactly-once manifests)."""
+    """The flagship, now SQL-ORACLED: full streaming CDC replay (augment →
+    shuffle → applier → manifests) on a deterministic generated changelog
+    sized to the sf tier — tombstones, resurrection, ts inversions AND a
+    mid-stream ``add_column`` DDL.  The generated log is dumped once to
+    ``_transcripts_dump_path()``; the oracle replays the exact semantics
+    in SQL over that dump (LWW winner per (conv_id, turn_idx) by
+    (ts, seq), winner-delete absent, pre-DDL winners' ``tool`` NULL)."""
     import tempfile
 
     from rayrep.config import EngineConfig
-    from rayrep.gen import GenSpec, write_changelog
+    from rayrep.gen import GenSpec, generate_changelog, write_changelog
     from rayrep.pipeline import final_table_pandas, replay
 
     n_events = max(2000, pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows)
-    d = tempfile.mkdtemp(prefix="rayrep_q_")
+    d = tempfile.mkdtemp(prefix="rayrep_q_", dir=_scratch_root())
     cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
-    write_changelog(cl, GenSpec(seed=42, n_events=n_events,
-                                n_conversations=max(50, n_events // 50),
-                                n_epochs=4, zipf_a=1.1))
+    spec = GenSpec(seed=42, n_events=n_events,
+                   n_conversations=max(50, n_events // 50),
+                   n_epochs=4, zipf_a=1.1)
+    table = generate_changelog(spec)
+    write_changelog(cl, spec, table=table)
+    dump = _transcripts_dump_path()
+    tmp = f"{dump}.tmp{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, dump)
     cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
                        applier_concurrency=4)
     replay(cfg)
@@ -2395,17 +2544,34 @@ def semantic_dedup_docs(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
-def ann_ivf_exact_pruned(sf_dir: str) -> pd.DataFrame:
-    """Pruned IVF search whose APPROXIMATE result is itself hash-verified:
-    coarse quantizer = the bitwise-exact integer k-means, probe choice
-    and candidate ranking = integer squared L2 with (d2, id) tie-breaks,
-    so DuckDB replays the identical pruned top-k (no rows-only check
-    needed despite the pruning)."""
-    from rayrep.ops.similarity import ivf_exact_pruned_topk
+def _ivf_exact_index_dir(sf_dir: str, k_clusters: int = 8,
+                         iters: int = 3) -> str:
+    """Cached EXACT-quantizer IVF layout (bitwise integer k-means cells,
+    hive ``cell=N`` dirs + centroids)."""
+    from rayrep.ops.similarity import ivf_exact_build
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                         columns=["vec_id", "embedding"])
-    return ivf_exact_pruned_topk(ds, k_clusters=8, iters=3, nprobe=2, k=10)
+    def build(stage: str) -> None:
+        ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                             columns=["vec_id", "embedding"])
+        ivf_exact_build(ds, stage, k_clusters=k_clusters, iters=iters)
+
+    return _disk_cached_dir(
+        "ivfx", [*_table_key(sf_dir, "embeddings"), k_clusters, iters], build)
+
+
+def ann_ivf_exact_pruned(sf_dir: str) -> pd.DataFrame:
+    """Pruned IVF search whose APPROXIMATE result is itself hash-verified,
+    now over the MATERIALIZED cell-partitioned layout: coarse quantizer =
+    the bitwise-exact integer k-means, probe choice and candidate ranking
+    = integer squared L2 with (d2, id) tie-breaks, and the search READS
+    only the 2 probed cells' files (~nprobe/k_clusters of the corpus) —
+    DuckDB replays the identical pruned top-k, so the pruned-read path
+    itself is hash-oracled (r3 verdict item #2)."""
+    from rayrep.ops.similarity import KM_SCALE, ivf_exact_pruned_read_topk
+
+    index_dir = _ivf_exact_index_dir(sf_dir)
+    q_int = np.floor(_query_vec(sf_dir) * KM_SCALE).astype(np.int64)
+    return ivf_exact_pruned_read_topk(index_dir, q_int, nprobe=2, k=10)
 
 
 def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
@@ -3157,10 +3323,14 @@ def _oracle_sql_base() -> dict:
             FROM t ORDER BY doc_id
         """,
         "orders_expensive_item_counts": """
+            -- fixed-point 1e-4 exact sum (daily_revenue pattern): both
+            -- engines floor identical IEEE products, so int64 sums match
+            -- bitwise in any order
             SELECT o.o_orderkey,
                    CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
-                   round(COALESCE(sum(l.l_extendedprice * (1 - l.l_discount)),
-                                  0), 3) AS revenue
+                   CAST(COALESCE(sum(CAST(floor(
+                            l.l_extendedprice * (1 - l.l_discount) * 10000.0)
+                        AS BIGINT)), 0) AS DOUBLE) / 10000.0 AS revenue
             FROM orders o LEFT JOIN lineitem l
               ON l.l_orderkey = o.o_orderkey AND l.l_extendedprice > 40000
             GROUP BY o.o_orderkey ORDER BY o.o_orderkey
@@ -3196,13 +3366,26 @@ def _oracle_sql_base() -> dict:
         # finalizer + per-doc min, replayed in DuckDB over the UTF-8 bytes
         # (hex-pair extraction) with HUGEINT mul-mod arithmetic.
         "doc_fingerprint": _fingerprint_oracle_sql(),
+        # The generator changelog is not derivable from the events view,
+        # but the query dumps the exact PCG64-deterministic log it replays
+        # to a stable parquet path — the oracle reads it back and applies
+        # the engine's contract in SQL: LWW winner per (conv_id, turn_idx)
+        # by (ts, seq); a winning tombstone removes the row; pre-DDL
+        # winners read NULL ``tool`` (the dump already carries NULL there,
+        # mirroring the engine's schema-evolution backfill).
+        "cdc_replay_transcripts": f"""
+            SELECT conv_id, turn_idx, role, text, tool, ts
+            FROM read_parquet('{_transcripts_dump_path()}')
+            WHERE op IN ('I', 'U', 'D')
+            QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
+                                       ORDER BY ts DESC, seq DESC) = 1
+                AND op <> 'D'
+            ORDER BY conv_id, turn_idx
+        """,
         # ann_ivf_pruned (approximate by design — probed cells depend on
         # k-means training) / multimodal_features (fake decoder projects
-        # through PCG64 gaussians) / cdc_replay_transcripts (stateful
-        # engine with schema evolution on a generator changelog): genuinely
-        # non-SQL-expressible → rows-only checks; correctness covered by
-        # pytest oracles. The engine path itself IS SQL-oracled via
-        # cdc_replay_events/deletes/evolution/changed_cells.
+        # through PCG64 gaussians): genuinely non-SQL-expressible →
+        # rows-only checks; correctness covered by pytest oracles.
     }
 
 
@@ -3216,31 +3399,24 @@ def _kmv_users_oracle_sql() -> str:
 def _cms_users_oracle_sql(width: int = 8192, depth: int = 4,
                           n_watch: int = 50) -> str:
     """DuckDB mirror of ``cms_user_counts``: identical double-hash buckets
-    (HUGEINT mul-mod, h2 forced odd), cell counts grouped over the full
-    events stream, then per-watchlist-key min over the depth rows — a
-    LEFT JOIN so a probe landing in an empty cell reads 0, exactly like
-    the numpy matrix lookup."""
-    from rayrep.ops.sketch import KMV_MULT, cms_oracle_cells_sql
+    (uint64-normalized overflow-free HUGEINT mul-mod via
+    ``sql_hash_pair_select`` — valid for any int64 key), cell counts
+    grouped over the full events stream, then per-watchlist-key min over
+    the depth rows — a LEFT JOIN so a probe landing in an empty cell reads
+    0, exactly like the numpy matrix lookup."""
+    from rayrep.ops.sketch import cms_oracle_cells_sql, sql_hash_pair_select
 
-    c1, c2 = int(KMV_MULT), 14029467366897019727
     two64 = "18446744073709551616::HUGEINT"
     cells = cms_oracle_cells_sql(table="events", key_col="user_id",
                                  width=width, depth=depth)
+    probe_hashes = sql_hash_pair_select(
+        "user_id", f"(SELECT range::BIGINT AS user_id FROM range({n_watch}))")
     return f"""
         WITH cells AS ({cells}),
-        keys AS (SELECT range::BIGINT AS user_id FROM range({n_watch})),
         probes AS (
             SELECT user_id, t2.i::BIGINT AS i,
                    (((h1 + t2.i::HUGEINT * h2) % {two64}) % {width})::BIGINT AS b
-            FROM (
-                SELECT user_id,
-                       ((user_id::HUGEINT * {c1}::HUGEINT) % {two64}) AS h1,
-                       (((xor(user_id, user_id >> 32)::HUGEINT
-                           * {c2}::HUGEINT) % {two64})
-                        + 1 - ((xor(user_id, user_id >> 32)::HUGEINT
-                                * {c2}::HUGEINT) % 2)) AS h2
-                FROM keys
-            ), range({depth}) t2(i)
+            FROM {probe_hashes} t1, range({depth}) t2(i)
         )
         SELECT p.user_id, min(COALESCE(c.c, 0))::BIGINT AS est_n
         FROM probes p LEFT JOIN cells c ON p.i = c.i AND p.b = c.b

@@ -445,6 +445,103 @@ def test_cms_one_sided_and_batch_invariant():
     assert est.sum() >= exact.sum()
 
 
+def test_ivf_exact_pruned_read_matches_and_prunes(tmp_path):
+    """The materialized cell-partitioned IVF layout must (a) return the
+    IDENTICAL pruned top-k as the per-query full-scan path, and (b)
+    actually prune the READ: the probed files' bytes must be a strict
+    minority of the index (nprobe=2 of 8 cells).  Regression for the r3
+    'full scan per query' verdict item."""
+    from rayrep.ops.similarity import (ivf_exact_build,
+                                       ivf_exact_pruned_read_topk,
+                                       ivf_exact_pruned_topk)
+
+    SF = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(SF + "/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    legacy = ivf_exact_pruned_topk(ds, k_clusters=8, iters=3, nprobe=2, k=10)
+    index_dir = str(tmp_path / "ivfx")
+    ivf_exact_build(ds, index_dir, k_clusters=8, iters=3)
+    import pyarrow.parquet as pq
+
+    from rayrep.ops.similarity import KM_SCALE
+    t = pq.read_table(SF + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    qpos = t["vec_id"].to_pylist().index(0)
+    q_int = np.floor(np.asarray(t["embedding"][qpos].as_py(),
+                                dtype=np.float64) * KM_SCALE).astype(np.int64)
+    out, detail = ivf_exact_pruned_read_topk(index_dir, q_int, nprobe=2,
+                                             k=10, return_detail=True)
+    pd.testing.assert_frame_equal(out, legacy)
+    assert detail["bytes_read"] < 0.75 * detail["bytes_total"], detail
+    assert len(detail["paths"]) >= 1
+
+
+def test_ivf_float_index_exhaustive_probe_is_exact(tmp_path):
+    """Materialized float-IVF layout with nprobe=n_cells must equal brute
+    force (the layout loses no rows); nprobe<n_cells reads fewer files."""
+    from rayrep.ops.similarity import (IVFIndex, topk_cosine,
+                                       train_ivf_from_dataset)
+
+    SF = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(SF + "/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(SF + "/embeddings.parquet", columns=["vec_id", "embedding"])
+    q = np.asarray(t["embedding"][t["vec_id"].to_pylist().index(0)].as_py())
+    idx = train_ivf_from_dataset(ds, n_cells=8, sample_rows=1024)
+    index_dir = str(tmp_path / "ivff")
+    idx.materialize(ds, index_dir)
+    loaded = IVFIndex.load(index_dir)
+    full = sorted(topk_cosine(ds, q, k=10).to_pandas()["vec_id"])
+    via_index = sorted(
+        loaded.search_index(index_dir, q, k=10, nprobe=8).to_pandas()["vec_id"])
+    assert via_index == full
+    pruned_files = loaded._probe_paths(
+        index_dir,
+        np.argsort(-( q / np.linalg.norm(q) @ loaded.centroids.T))[:2])
+    all_files = loaded._probe_paths(index_dir, range(8))
+    assert len(pruned_files) < len(all_files)
+
+
+def test_sketch_sql_hash_parity_negative_keys():
+    """The DuckDB oracle's double-hash family must be bit-identical to the
+    numpy kernels for ANY int64 key — negative keys wrap through two's
+    complement (numpy ``astype(uint64)``), the shift is LOGICAL, and the
+    mul-mod is overflow-free HUGEINT arithmetic.  Regression for the r3
+    advice item: the old SQL used the signed value directly, so buckets
+    silently depended on keys being non-negative."""
+    import duckdb
+
+    from rayrep.ops.sketch import (KMV_MULT, _bloom_positions, _kmv_hash,
+                                   _sql_mulmod64, _sql_u64,
+                                   sql_hash_pair_select)
+
+    rng = np.random.default_rng(11)
+    keys = np.concatenate([
+        rng.integers(-2**63, 2**63, 400, dtype=np.int64),
+        np.array([0, -1, 1, -2**63, 2**63 - 1], dtype=np.int64)])
+    con = duckdb.connect()
+    con.register("t", pa.table({"k": keys}))
+    hv_sql = [int(r[0]) for r in con.sql(
+        f"SELECT {_sql_mulmod64(_sql_u64('k'), int(KMV_MULT))} FROM t"
+    ).fetchall()]
+    assert hv_sql == [int(h) for h in _kmv_hash(keys)]
+    width, depth = 8192, 4
+    pos_np = _bloom_positions(keys, width, depth)
+    rows = con.sql(f"""
+        SELECT k, t2.i,
+               ((h1 + t2.i::HUGEINT * h2) % 18446744073709551616::HUGEINT)
+                   % {width}
+        FROM {sql_hash_pair_select('k', 't')} t1, range({depth}) t2(i)
+    """).fetchall()
+    pm = {(int(k), int(i)): int(b) for k, i, b in rows}
+    for j, k in enumerate(keys):
+        for i in range(depth):
+            assert pm[(int(k), i)] == int(pos_np[j, i])
+    con.close()
+
+
 def test_bloom_prefilter_no_false_negatives():
     """Every key present in the filter side MUST survive the prefilter
     (no false negatives); composition with an exact join is therefore
