@@ -1328,28 +1328,23 @@ def asof_click_value(sf_dir: str) -> pd.DataFrame:
 
 # ----------------------------------------------------------- multimodal
 def multimodal_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing as a pipeline: a deterministic binary media
-    corpus (sized to the sf tier) → actor-pool decode (fake deterministic
-    decoder; real decoders are NotImplementedError in this container) →
-    per-item feature norms. Rows-only check: the schema/batch/actor
-    plumbing is the deliverable (SURVEY training-data ops)."""
-    from rayrep.ops.multimodal import DecodeImage, synthesize_media_table
+    """Multimodal decode as a SQL-ORACLED pipeline: a deterministic corpus
+    of REAL binary containers (PPM images / RIFF-WAVE PCM16 audio with
+    closed-form value streams, sized to the sf tier) → actor-pool
+    ``MediaStats`` stage that genuinely PARSES each container
+    (dependency-free decoders) and emits exact integer aggregates of the
+    decoded values.  The DuckDB oracle regenerates the value streams from
+    the closed forms, so any decoder mis-parse breaks the hash — the
+    r3 'permanent FAIL row' is now a verified real-decode path."""
+    from rayrep.ops.multimodal import MediaStats, synthesize_codec_media_table
 
     n = max(64, pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows // 4)
-    ds = rd.from_arrow(synthesize_media_table(n))
-    feats = ds.map_batches(
-        DecodeImage, fn_constructor_kwargs={"decoder": "fake"},
-        batch_format="pyarrow", batch_size=256, concurrency=(1, 4),
-    )
-
-    def norms(t: pa.Table) -> pa.Table:
-        m = np.stack(t.column("feature").to_numpy(zero_copy_only=False))
-        return pa.table({
-            "media_id": t.column("media_id"),
-            "feat_norm": pa.array(np.linalg.norm(m, axis=1).astype(np.float64)),
-        })
-
-    return feats.map_batches(norms, batch_format="pyarrow").to_pandas()
+    ds = rd.from_arrow(synthesize_codec_media_table(n))
+    out = ds.map_batches(
+        MediaStats, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    ).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 # --------------------------------------------------- flagship CDC replay
@@ -3382,10 +3377,52 @@ def _oracle_sql_base() -> dict:
                 AND op <> 'D'
             ORDER BY conv_id, turn_idx
         """,
+        # The media fixture's value streams are closed-form, so the oracle
+        # regenerates each decoded payload with range()/unnest and the
+        # engine's REAL container decode (PPM / RIFF-WAVE parsers) must
+        # reproduce the exact integer aggregates.
+        "multimodal_features": """
+            WITH m AS (
+                -- scalar-list range (table-function range can't take a
+                -- subquery argument)
+                SELECT unnest(range(greatest(64,
+                    (SELECT count(*) FROM documents) // 4)))::BIGINT
+                    AS media_id
+            ),
+            imgv AS (
+                SELECT media_id, i, (media_id * 7 + i * 13) % 256 AS v
+                FROM (
+                    SELECT media_id,
+                           unnest(range((12 + media_id % 3)
+                                        * (20 + media_id % 4) * 3)) AS i
+                    FROM m WHERE media_id % 2 = 0
+                )
+            ),
+            audv AS (
+                SELECT media_id, i,
+                       (media_id * 31 + i * 17) % 4096 - 2048 AS v
+                FROM (
+                    SELECT media_id,
+                           unnest(range(1000 + 100 * (media_id % 7))) AS i
+                    FROM m WHERE media_id % 2 = 1
+                )
+            ),
+            allv AS (
+                SELECT media_id, 'image' AS kind, i, v FROM imgv
+                UNION ALL
+                SELECT media_id, 'audio' AS kind, i, v FROM audv
+            )
+            SELECT media_id, kind,
+                   count(*)::BIGINT AS n_values,
+                   sum(v)::BIGINT AS sum_values,
+                   sum(i * v)::BIGINT AS wsum_values,
+                   min(v)::BIGINT AS min_value,
+                   max(v)::BIGINT AS max_value
+            FROM allv GROUP BY media_id, kind ORDER BY media_id
+        """,
         # ann_ivf_pruned (approximate by design — probed cells depend on
-        # k-means training) / multimodal_features (fake decoder projects
-        # through PCG64 gaussians): genuinely non-SQL-expressible →
-        # rows-only checks; correctness covered by pytest oracles.
+        # k-means training): genuinely non-SQL-expressible → rows-only
+        # check; correctness covered by pytest oracles.
     }
 
 

@@ -276,6 +276,47 @@ def test_multimodal_plumbing():
     assert audio.num_rows == 32
 
 
+def test_builtin_codecs_roundtrip_and_stats():
+    """Dependency-free PPM/WAV codecs: byte-exact round-trip, comment-
+    tolerant PPM headers, extra-chunk-tolerant WAV, named errors on
+    malformed containers, and MediaStats aggregates over a genuinely
+    decoded corpus (the closed-form streams the SQL oracle replays)."""
+    from rayrep.ops.multimodal import (MediaStats, decode_ppm,
+                                       decode_wav_pcm16, encode_ppm,
+                                       encode_wav_pcm16,
+                                       synthesize_codec_media_table)
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (9, 17, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(px)), px)
+    assert np.array_equal(
+        decode_ppm(b"P6\n# comment\n17 9\n255\n" + px.tobytes()), px)
+    s = rng.integers(-2048, 2048, 333).astype(np.int16)
+    wav, rate = decode_wav_pcm16(encode_wav_pcm16(s, 8000))
+    assert np.array_equal(wav, s) and rate == 8000
+    # extra chunk before data (LIST) must be skipped
+    raw = encode_wav_pcm16(s, 8000)
+    import struct
+    with_list = raw[:12] + struct.pack("<4sI", b"LIST", 4) + b"INFO" + raw[12:]
+    # fix RIFF size
+    with_list = (b"RIFF" + struct.pack("<I", len(with_list) - 8)
+                 + with_list[8:])
+    wav2, _ = decode_wav_pcm16(with_list)
+    assert np.array_equal(wav2, s)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\0")      # wrong magic
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFFxxxxNOPE")    # not WAVE
+    # stats over a decoded corpus: spot-check one image row exactly
+    tbl = synthesize_codec_media_table(6)
+    st = MediaStats()(tbl).to_pandas().set_index("media_id")
+    i = np.arange((12 + 0) * (20 + 0) * 3, dtype=np.int64)
+    v = (0 * 7 + i * 13) % 256
+    assert st.loc[0, "n_values"] == len(v)
+    assert st.loc[0, "sum_values"] == v.sum()
+    assert st.loc[0, "wsum_values"] == (i * v).sum()
+
+
 def _has(mod):
     try:
         __import__(mod)
