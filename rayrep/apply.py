@@ -224,19 +224,39 @@ def conform_state(state: pa.Table, target: SchemaVersion) -> pa.Table:
     return out
 
 
-def fold_state_chain(lake_dir: str, chain: list[str], target: SchemaVersion) -> pa.Table:
+# Collapse threshold for the incremental chain fold: once the running
+# accumulator exceeds this many rows it is reduced to one row per key
+# before the next file loads.  Peak memory per fold task is therefore
+# bounded by ~(live keys in partition + one delta file + this slack), NOT
+# by the sum of the whole chain — the per-partition envelope is the live
+# key set, which ``num_partitions`` must be sized to fit in a worker heap
+# (COVERAGE.md "state-memory envelope").
+FOLD_COLLAPSE_ROWS = 4_000_000
+
+
+def fold_state_chain(lake_dir: str, chain: list[str], target: SchemaVersion,
+                     collapse_rows: int = FOLD_COLLAPSE_ROWS) -> pa.Table:
     """Full-payload merge-on-read of a state chain: each file is conformed
     to the target schema FIRST (so a rename between deltas doesn't strand
-    old rows' payload in a dead column), then the newest row per key wins."""
-    tabs = [
-        conform_state(pq.read_table(os.path.join(lake_dir, f)), target) for f in chain
-    ]
-    if not tabs:
+    old rows' payload in a dead column), then the newest row per key wins.
+
+    The fold is INCREMENTAL: files load oldest→newest and the accumulator
+    collapses to one row per key whenever it crosses ``collapse_rows`` —
+    positional-last-per-key is associative under ordered concatenation,
+    so any collapse schedule yields the identical result (property-
+    tested) while bounding peak memory to live-keys + one file instead of
+    the whole chain (r3 advice: the chain used to concatenate whole)."""
+    acc = None
+    for f in chain:
+        t = conform_state(pq.read_table(os.path.join(lake_dir, f)), target)
+        acc = t if acc is None else pa.concat_tables([acc, t])
+        if acc.num_rows > collapse_rows:
+            acc = acc.filter(pa.array(last_per_key_mask(acc))).combine_chunks()
+    if acc is None:
         return state_schema(target).empty_table()
-    comb = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
-    if comb.num_rows == 0:
-        return comb
-    return comb.filter(pa.array(last_per_key_mask(comb)))
+    if acc.num_rows == 0:
+        return acc
+    return acc.filter(pa.array(last_per_key_mask(acc)))
 
 
 def _segmented_last_pos(seg_id: np.ndarray, mark: np.ndarray) -> np.ndarray:

@@ -340,3 +340,41 @@ def test_kmv_partial_merge_invariant(rows, n_splits, rnd):
     split = finalize([_kmv_partial(table(p), group_col="g", value_col="v", k=k)
                       for p in pieces])
     assert single == split
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(event_st, min_size=1, max_size=8),
+                min_size=1, max_size=8))
+def test_fold_state_chain_collapse_schedule_invariant(tmp_path_factory,
+                                                     file_events):
+    """The incremental chain fold's memory bound (collapse whenever the
+    accumulator crosses ``collapse_rows``) must not change the result:
+    positional-last-per-key is associative under ordered concatenation,
+    so collapse_rows=1 (collapse after EVERY file — the deliberately
+    oversized-partition schedule) must equal the one-shot fold for ANY
+    chain of state files."""
+    from rayrep.apply import fold_state_chain, state_schema
+
+    sv = SchemaVersion(2, CANONICAL_SCHEMA_V2)
+    lake = str(tmp_path_factory.mktemp("lakef"))
+    chain = []
+    seq = 0
+    for fi, events in enumerate(file_events):
+        rows = []
+        for op, ki, ts in events:
+            conv, turn = KEYS[ki]
+            rows.append({
+                "conv_id": conv, "turn_idx": turn,
+                "role": None if op == "D" else "user",
+                "text": None if op == "D" else f"{conv}{turn}-{seq}",
+                "tool": None, "ts": T0_US + ts * 1_000_000,
+                "__seq": seq, "__deleted": op == "D",
+            })
+            seq += 1
+        t = pa.Table.from_pylist(rows, schema=state_schema(sv))
+        fp = f"state-{fi:05d}.parquet"
+        pq.write_table(t, os.path.join(lake, fp))
+        chain.append(fp)
+    oneshot = fold_state_chain(lake, chain, sv, collapse_rows=10**9)
+    stepped = fold_state_chain(lake, chain, sv, collapse_rows=1)
+    assert oneshot.equals(stepped)
