@@ -164,6 +164,37 @@ def run_queries() -> dict[str, float]:
     return out
 
 
+# Second, VERSIONED suite (v2): the session-3/4 additions — sketches,
+# delta rollup, exact k-means, pruned-read IVF, real-container decode —
+# tracked per-round for scale behavior WITHOUT perturbing the
+# round-comparable core suite above (their times are reported under
+# ``queries_v2`` and excluded from the headline total).
+SUITE_V2 = [
+    "approx_distinct_users",
+    "cms_user_counts",
+    "value_quantile_sketch",
+    "urgent_lineitems_bloom",
+    "cdc_delta_rollup",
+    "kmeans_clusters",
+    "semantic_dedup",
+    "ann_ivf_exact_pruned",
+    "multimodal_features",
+    "doc_fingerprint",
+]
+
+
+def run_queries_v2() -> dict[str, float]:
+    from rayrep import queries as q
+
+    out = {}
+    reg = q.queries()
+    for name in SUITE_V2:
+        t0 = time.perf_counter()
+        consume(reg[name](SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 def main_bench(headline_only: bool) -> dict:
     import ray
 
@@ -179,12 +210,13 @@ def main_bench(headline_only: bool) -> dict:
         warmup()
         replay_stats = run_replay(cl, n_events)
         queries = {} if headline_only else run_queries()
+        queries_v2 = {} if headline_only else run_queries_v2()
     finally:
         ray.shutdown()
 
     queries = {"cdc_replay": round(replay_stats["sec"], 3), **queries}
     total = round(sum(queries.values()), 3)
-    return {
+    out = {
         "metric": "rayrep bench: CDC replay + operator suite wall time",
         "value": total,
         "unit": "sec",
@@ -194,6 +226,11 @@ def main_bench(headline_only: bool) -> dict:
         "replay_events": n_events,
         "replay_events_per_sec": round(replay_stats["events_per_sec"]),
     }
+    if queries_v2:
+        # v2 suite tracked separately; NOT in `value` (round comparability)
+        out["queries_v2"] = queries_v2
+        out["v2_total"] = round(sum(queries_v2.values()), 3)
+    return out
 
 
 def _cpu_sample() -> tuple[int, int]:

@@ -1336,14 +1336,14 @@ def multimodal_features(sf_dir: str) -> pd.DataFrame:
     decoded values.  The DuckDB oracle regenerates the value streams from
     the closed forms, so any decoder mis-parse breaks the hash — the
     r3 'permanent FAIL row' is now a verified real-decode path."""
-    from rayrep.ops.multimodal import MediaStats, synthesize_codec_media_table
+    from rayrep.ops.multimodal import synthesize_codec_media_table
 
     n = max(64, pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows // 4)
     ds = rd.from_arrow(synthesize_codec_media_table(n))
-    out = ds.map_batches(
-        MediaStats, batch_format="pyarrow", batch_size=256,
-        concurrency=(1, 4),
-    ).to_pandas()
+    # cheap-init stateless decoder → cached-task stage (init once per
+    # worker process, no actor-pool spin-up); a model-holding decoder
+    # would use map_batches(Cls, concurrency=N) instead
+    out = _stage(ds, "rayrep.ops.multimodal.MediaStats").to_pandas()
     return out.sort_values("media_id").reset_index(drop=True)
 
 
