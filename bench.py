@@ -122,6 +122,10 @@ def run_replay(cl: str, n_events: int) -> dict:
                 lake_dir=lake,
                 num_partitions=32,
                 epochs_per_round=int(os.environ.get("BENCH_EPR", "4")),
+                # BENCH_PACK=1: compressed-IPC-blob exchange (trades ALU,
+                # which the busprobe shows is plentiful at 32 procs, for
+                # exchange bytes on the saturated memory bus / network)
+                pack_exchange=bool(int(os.environ.get("BENCH_PACK", "0"))),
             )
         )
         dt = time.perf_counter() - t0
