@@ -184,6 +184,7 @@ SUITE_V2 = [
     "ann_ivf_exact_pruned",
     "multimodal_features",
     "doc_fingerprint",
+    "cdc_ingest_dedup",
 ]
 
 

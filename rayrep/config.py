@@ -130,6 +130,16 @@ class EngineConfig:
     # becomes the round boundary. 1 = the reference-faithful per-epoch
     # checkpoint cadence (default; bench raises it).
     epochs_per_round: int = 1
+    # Dedup-on-ingest (rayrep/ingest_dedup.py): drop INSERT events whose
+    # content column's value was already claimed by a smaller-seq event —
+    # first-writer-wins at CONTENT level (the LLM-corpus ingest policy),
+    # via one extra content-bucket exchange per round and a lake-side
+    # (ckey, seq) claim index. U/D/null-content rows pass through. Pinned
+    # in LakeMeta: flipping it mid-lake would silently change which rows
+    # exist. In dry_run the stage previews (within-round dedup only, no
+    # claims persisted).
+    dedup_ingest: bool = False
+    dedup_content_col: str = "text"
     dry_run: bool = False            # STDOUT/JSON debug sink (CHANGES.txt:43,143)
     collect_stats: bool = False      # capture ds.stats() per round into metrics.json
     # Override the v1 payload schema (SchemaVersion JSON). Empty = the

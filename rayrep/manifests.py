@@ -116,6 +116,11 @@ class LakeMeta:
     changed_cells: bool = False
     per_cell: bool = False
     salt_turn_keys: bool = False
+    # Dedup-on-ingest is a row-EXISTENCE semantic: a lake written with it
+    # off contains rows a deduping resume would have dropped (and has no
+    # claim index), so the flag is pinned like the routing params.
+    # Defaulted False on load: legacy lakes predate the feature.
+    dedup_ingest: bool = False
 
     @staticmethod
     def path(lake_dir: str) -> str:

@@ -268,7 +268,8 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         lm = LakeMeta(num_partitions=committed_parts or cfg.num_partitions,
                       changed_cells=cfg.changed_cells_updates,
                       per_cell=cfg.per_cell_conflicts and cfg.changed_cells_updates,
-                      salt_turn_keys=False if legacy else cfg.salt_turn_keys)
+                      salt_turn_keys=False if legacy else cfg.salt_turn_keys,
+                      dedup_ingest=False if legacy else cfg.dedup_ingest)
     if lm.num_partitions != cfg.num_partitions:
         raise ValueError(
             f"lake {cfg.lake_dir} was committed with num_partitions="
@@ -280,6 +281,12 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             f"lake {cfg.lake_dir} was committed with salt_turn_keys="
             f"{lm.salt_turn_keys}; resuming with {cfg.salt_turn_keys} would "
             "route keys to different partitions and duplicate state rows"
+        )
+    if lm.dedup_ingest != cfg.dedup_ingest:
+        raise ValueError(
+            f"lake {cfg.lake_dir} was committed with dedup_ingest="
+            f"{lm.dedup_ingest}; resuming with {cfg.dedup_ingest} would "
+            "change which rows exist (content claims are lake state)"
         )
     if lm.changed_cells != cfg.changed_cells_updates or lm.per_cell != (
         cfg.per_cell_conflicts and cfg.changed_cells_updates
@@ -328,6 +335,21 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                 )
             )
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        if cfg.dedup_ingest:
+            # Dedup-on-ingest: content-bucket exchange + first-claim filter
+            # BEFORE combine/pack/the conv exchange (rayrep/ingest_dedup.py).
+            from rayrep.ingest_dedup import dedup_stage
+
+            ds = dedup_stage(
+                ds,
+                lake_dir=cfg.lake_dir,
+                epoch=epoch,
+                num_buckets=cfg.num_partitions,
+                content_col=cfg.dedup_content_col,
+                persist=not cfg.dry_run,
+                durable=cfg.durable_sync,
+                batch_size=cfg.batch_size,
+            )
         # Map-side combine (rayrep/combine.py): only when every event seq in
         # this round is provably above every committed watermark — always
         # true in normal forward replay; a resumed round that overlaps a
@@ -446,11 +468,19 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             "wall_s": round(time.perf_counter() - t0, 4),
             "replication_delay_s": round(delay_s, 3),
         }
+        if cfg.dedup_ingest:
+            from rayrep.ingest_dedup import deduped_for_epoch
+
+            entry["deduped"] = deduped_for_epoch(cfg.lake_dir, epoch)
         if stage_stats:
             entry["stage_stats"] = stage_stats
         per_epoch.append(entry)
 
     metrics = {"totals": totals, "epochs": per_epoch, "schema_version": registry.current_version()}
+    if cfg.dedup_ingest:
+        from rayrep.ingest_dedup import cumulative_deduped
+
+        metrics["deduped_total"] = cumulative_deduped(cfg.lake_dir)
     if not cfg.dry_run:
         atomic_write_json(os.path.join(cfg.lake_dir, "_manifests", "metrics.json"), metrics)
     return ReplayResult(metrics)

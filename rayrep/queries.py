@@ -2031,6 +2031,108 @@ def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
     return final_table_pandas(lake)
 
 
+def _emit_ingest_dedup_batch(batch: pa.Table, cl_dir: str, N: int) -> pa.Table:
+    """Per-batch emitter for the dedup-on-ingest fixture (runs on workers):
+    documents become I events (seq = doc_id, 4 contiguous-seq epochs by
+    doc_id range) with a deterministically duplicated ``content`` payload
+    (lang|source|n_chars%13 — many-to-one, so re-crawled bodies exist), and
+    every 10th doc gets a later U event (seq = N + doc_id, epoch 4) bumping
+    ``n_chars`` — updates must PASS THROUGH dedup untouched."""
+    import uuid
+
+    did = batch.column("doc_id").to_numpy()
+    n = batch.num_rows
+    lang, source = _arr_c(batch.column("lang")), _arr_c(batch.column("source"))
+    nch = batch.column("n_chars").to_numpy()
+    content = pc.binary_join_element_wise(
+        lang, source, pc.cast(pa.array(nch % 13), pa.string()), "|"
+    )
+    base = 1_700_000_000_000_000  # fixed ts origin (us)
+
+    def rows(op: str, dids, cont, lng, src, nch_vals, seq_off: int) -> pa.Table:
+        m = len(dids)
+        return pa.table({
+            "seq": pa.array(seq_off + dids, pa.int64()),
+            "txn_id": pa.nulls(m, pa.int64()),
+            "op": pa.array([op] * m),
+            "schema_ver": pa.array(np.ones(m, np.int32)),
+            "conv_id": pc.cast(pa.array(dids), pa.string()),
+            "turn_idx": pa.array(np.zeros(m, np.int32)),
+            "content": cont,
+            "lang": lng,
+            "source": src,
+            "n_chars": pa.array(nch_vals, pa.int64()),
+            "ts": pa.array(base + seq_off + dids, pa.timestamp("us")),
+            "ddl": pa.nulls(m, pa.string()),
+        })
+
+    def write(tbl: pa.Table, e: int) -> None:
+        edir = os.path.join(cl_dir, f"epoch-{e:05d}")
+        os.makedirs(edir, exist_ok=True)
+        fp = os.path.join(edir, f"part-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, fp + ".tmp")
+        os.replace(fp + ".tmp", fp)
+
+    ins = rows("I", did, content, lang, source, nch.astype(np.int64), 0)
+    epoch = np.minimum(3, did * 4 // N)
+    for e in np.unique(epoch):
+        write(ins.filter(pa.array(epoch == e)), int(e))
+    um = did % 10 == 0
+    if um.any():
+        u = pa.array(um)
+        upd = rows("U", did[um], content.filter(u), lang.filter(u),
+                   source.filter(u), (nch[um] + 1000).astype(np.int64), N)
+        write(upd, 4)
+    return pa.table({"rows": pa.array([n], pa.int64())})
+
+
+def cdc_ingest_dedup(sf_dir: str) -> pd.DataFrame:
+    """Dedup-on-ingest through the REAL engine (rayrep/ingest_dedup.py):
+    a documents-derived changelog — inserts across 4 epochs with
+    deterministically duplicated content, then updates in a 5th — replayed
+    with ``dedup_ingest=True``. First-writer-wins at CONTENT level: an
+    insert whose content was claimed by a smaller seq is dropped; updates
+    pass through (an update to a deduped key re-materializes the row under
+    LWW upsert — the documented wart, oracled here). The cross-epoch claim
+    index, the extra content-bucket exchange, and the exactly-once claim
+    deltas are all on the hot path of this oracle."""
+    import tempfile
+
+    from rayrep.config import EngineConfig
+    from rayrep.pipeline import final_table, replay
+    from rayrep.schema import SchemaVersion
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    N = int(_parquet_col_max(path, "doc_id")) + 1
+    key = [_FIXTURE_FORMAT, *_table_key(sf_dir, "documents"), "ingest_dedup"]
+
+    def build(stage: str) -> None:
+        ds = rd.read_parquet(path, columns=["doc_id", "lang", "source", "n_chars"])
+        counts = ds.map_batches(
+            _emit_ingest_dedup_batch,
+            fn_kwargs={"cl_dir": stage, "N": N},
+            batch_format="pyarrow",
+        ).take_all()  # tiny: one count row per batch
+        assert sum(r["rows"] for r in counts) > 0
+
+    cl = _disk_cached_dir("ddfix", key, build)
+    lake = os.path.join(tempfile.mkdtemp(prefix="rayrep_qd_", dir=_scratch_root()), "lake")
+    sv = SchemaVersion(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("content", pa.string()), pa.field("lang", pa.string()),
+        pa.field("source", pa.string()), pa.field("n_chars", pa.int64()),
+        pa.field("ts", pa.timestamp("us")),
+    ]))
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
+                       initial_schema_json=sv.to_json(), delta_output=False,
+                       dedup_ingest=True, dedup_content_col="content",
+                       epochs_per_round=1)
+    replay(cfg)
+    out = final_table(lake).to_pandas()
+    out["turn_idx"] = out["turn_idx"].astype("int64")
+    return out[["conv_id", "turn_idx", "content", "lang", "source", "n_chars"]]
+
+
 def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     """Approximate COUNT(DISTINCT user_id) per event_type via a K-minimum-
     values sketch (``rayrep/ops/sketch.py``).  The shuffle carries at most
@@ -2664,6 +2766,7 @@ def queries() -> dict:
         "cdc_replay_evolution": cdc_replay_evolution,
         "cdc_replay_changed_cells": cdc_replay_changed_cells,
         "cdc_replay_transcripts": cdc_replay_transcripts,
+        "cdc_ingest_dedup": cdc_ingest_dedup,
     }
 
 
@@ -3376,6 +3479,30 @@ def _oracle_sql_base() -> dict:
                                        ORDER BY ts DESC, seq DESC) = 1
                 AND op <> 'D'
             ORDER BY conv_id, turn_idx
+        """,
+        # dedup-on-ingest: first-writer-wins per CONTENT (min doc_id = min
+        # seq); every 10th doc's later U passes through — and re-creates a
+        # deduped key (LWW upsert), hence the `OR doc_id % 10 = 0` arm.
+        "cdc_ingest_dedup": """
+            WITH docs AS (
+                SELECT doc_id, lang, source, n_chars,
+                       lang || '|' || source || '|' ||
+                           CAST(n_chars % 13 AS VARCHAR) AS content
+                FROM documents
+            ), first AS (
+                SELECT doc_id,
+                       row_number() OVER (PARTITION BY content
+                                          ORDER BY doc_id) AS rn
+                FROM docs
+            )
+            SELECT CAST(d.doc_id AS VARCHAR) AS conv_id,
+                   CAST(0 AS BIGINT) AS turn_idx,
+                   d.content, d.lang, d.source,
+                   CAST(CASE WHEN d.doc_id % 10 = 0 THEN d.n_chars + 1000
+                             ELSE d.n_chars END AS BIGINT) AS n_chars
+            FROM docs d JOIN first f USING (doc_id)
+            WHERE f.rn = 1 OR d.doc_id % 10 = 0
+            ORDER BY conv_id
         """,
         # The media fixture's value streams are closed-form, so the oracle
         # regenerates each decoded payload with range()/unnest and the
