@@ -185,6 +185,7 @@ SUITE_V2 = [
     "multimodal_features",
     "doc_fingerprint",
     "cdc_ingest_dedup",
+    "cdc_repartition",
 ]
 
 

@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     r.add_argument("--chaos", type=float, default=0.0)
     r.add_argument("--salt-turns", action="store_true",
                    help="route by (conv_id, turn_idx) to spread hot conversations")
+    r.add_argument("--dedup-ingest", action="store_true",
+                   help="drop INSERTs whose content was already ingested "
+                        "(first-writer-wins per content; pinned in LakeMeta)")
+    r.add_argument("--dedup-content-col", default="text")
     r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
     w = sub.add_parser("tail", help="continuous tail: apply epochs as they are published")
@@ -73,6 +77,36 @@ def main(argv=None) -> int:
     c.add_argument("--keep-epochs", type=int, default=0,
                    help="retain superseded files newer than committed-N (forensics; use `snapshot` for point-in-time)")
 
+    rp = sub.add_parser("repartition",
+                        help="rescale a committed lake to a new partition "
+                             "count (offline, between replays; src is "
+                             "read-only, dst is a fresh lake)")
+    rp.add_argument("src_lake")
+    rp.add_argument("dst_lake")
+    rp.add_argument("--partitions", type=int, required=True)
+    rp.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
+    er = sub.add_parser("erase",
+                        help="targeted erasure (GDPR): reads hide the "
+                             "keys at once; `purge` makes it physical")
+    er.add_argument("lake_dir")
+    er.add_argument("--key", action="append", required=True, dest="keys",
+                    help="conv_id to erase (repeatable)")
+
+    pu = sub.add_parser("purge",
+                        help="physical retention pass: rewrite chains "
+                             "without erased keys / expired rows")
+    pu.add_argument("lake_dir")
+    pu.add_argument("--before-ts-us", type=int, default=None,
+                    help="drop rows (incl. tombstones) with ts below this "
+                         "epoch-microsecond cutoff (HBase TTL analog)")
+
+    ci = sub.add_parser("compact-index",
+                        help="fold the dedup-ingest content index's delta "
+                             "chains (one base file per bucket)")
+    ci.add_argument("lake_dir")
+
     args = p.parse_args(argv)
 
     if args.cmd == "compact":
@@ -81,6 +115,26 @@ def main(argv=None) -> int:
 
         res = {"compact": compact_lake(args.lake_dir),
                "gc": gc_lake(args.lake_dir, keep_epochs=args.keep_epochs)}
+        print(json.dumps(res))
+        return 0
+
+    if args.cmd == "erase":
+        from rayrep.retention import erase_keys
+
+        print(json.dumps(erase_keys(args.lake_dir, args.keys)))
+        return 0
+
+    if args.cmd == "purge":
+        from rayrep.retention import purge_lake
+
+        print(json.dumps(purge_lake(args.lake_dir, args.before_ts_us)))
+        return 0
+
+    if args.cmd == "compact-index":
+        from rayrep.ingest_dedup import compact_content_index, cumulative_deduped
+
+        res = {"files_removed": compact_content_index(args.lake_dir),
+               "deduped_total": cumulative_deduped(args.lake_dir)}
         print(json.dumps(res))
         return 0
 
@@ -122,8 +176,16 @@ def main(argv=None) -> int:
                 delta_output=not args.no_delta,
                 chaos_fraction=args.chaos,
                 salt_turn_keys=args.salt_turns,
+                dedup_ingest=args.dedup_ingest,
+                dedup_content_col=args.dedup_content_col,
             )
             res = replay(cfg, end_epoch=args.end_epoch)
+            print(json.dumps(res))
+        elif args.cmd == "repartition":
+            from rayrep.repart import repartition_lake
+
+            res = repartition_lake(args.src_lake, args.dst_lake,
+                                   args.partitions)
             print(json.dumps(res))
         elif args.cmd == "tail":
             from rayrep.config import EngineConfig

@@ -580,13 +580,20 @@ def final_table(lake_dir: str) -> rd.Dataset:
     target_json = SchemaRegistry(persist_dir=lake_dir).current_json()
     lm = LakeMeta.load(lake_dir)
     cells = bool(lm and lm.changed_cells)
+    # Targeted erasure (rayrep/retention.py): reads anti-filter the
+    # request list IMMEDIATELY — before any physical rewrite (`purge`)
+    # runs. The set ships in the fold closure: erasure lists are
+    # request-sized, not corpus-sized (ray.put it if one ever isn't).
+    from rayrep.retention import _erase_filter, load_erased
+
+    erased = load_erased(lake_dir)
 
     def fold(batch: pa.Table) -> pa.Table:
         target = SchemaVersion.from_json(target_json)
         fold_fn = fold_state_chain_cells if cells else fold_state_chain
         outs = []
         for files in batch.column("files").to_pylist():
-            t = fold_fn(lake_dir, files, target)
+            t = _erase_filter(fold_fn(lake_dir, files, target), erased)
             outs.append(
                 t.filter(pc.invert(t["__deleted"])).drop_columns(["__seq", "__deleted"])
             )

@@ -1665,7 +1665,8 @@ def _replay_events_through_engine(
     delta_rollup: bool = False, chaos: float = 0.0,
     resume_split: bool = False, replica: bool = False,
     ddl_action: str = "add_column", metrics: bool = False,
-    tail_mode: bool = False,
+    tail_mode: bool = False, repartition_to: int | None = None,
+    erase_mod: int | None = None, purge_mid_ts: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1719,6 +1720,22 @@ def _replay_events_through_engine(
         # epoch barriers; the second must re-run ONLY the uncommitted tail
         # and converge to the identical table (exactly-once redelivery).
         replay(cfg, end_epoch=1)
+    if repartition_to is not None:
+        # mid-stream cluster rescale (rayrep/repart.py): commit the first
+        # two epochs at the original partition count, rescale the lake
+        # offline, then replay the remaining epochs INTO the rescaled
+        # lake at the new count. The final table must be bit-identical to
+        # an uninterrupted replay — the repartition is invisible to LWW.
+        import dataclasses
+
+        from rayrep.repart import repartition_lake
+
+        replay(cfg, end_epoch=1)
+        lake2 = os.path.join(d, "lake2")
+        repartition_lake(lake, lake2, repartition_to)
+        cfg = dataclasses.replace(cfg, lake_dir=lake2,
+                                  num_partitions=repartition_to)
+        lake = lake2
     if tail_mode:
         from rayrep.pipeline import tail as _tail
 
@@ -1735,6 +1752,36 @@ def _replay_events_through_engine(
                         max_epochs=2)
     else:
         res = replay(cfg, end_epoch=end_epoch)
+    if erase_mod is not None:
+        # targeted erasure (rayrep/retention.py): the request list is
+        # user_id % erase_mod == 3 — request-sized, held on the driver by
+        # design (erasure lists come from requests, not scans)
+        from rayrep.retention import erase_keys
+
+        uids = np.unique(
+            pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id"]).column("user_id").to_numpy()
+        )
+        erase_keys(lake, [str(u) for u in uids if u % erase_mod == 3])
+    if purge_mid_ts:
+        # physical retention: purge below the 99.9% point of the events
+        # ts range — min/max from row-group stats (no data read), floor'd in
+        # integer µs exactly as the SQL. High on purpose: LWW winners are
+        # each user's LATEST ts, so a median cutoff drops nothing and the
+        # oracle would have no discriminating power.
+        from rayrep.retention import purge_lake
+
+        md = pq.read_metadata(os.path.join(sf_dir, "events.parquet"))
+        names = md.schema.to_arrow_schema().names
+        ci = names.index("ts")
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        lo_us = pa.scalar(lo, pa.timestamp("us")).cast(pa.int64()).as_py()
+        hi_us = pa.scalar(hi, pa.timestamp("us")).cast(pa.int64()).as_py()
+        purge_lake(lake, before_ts_us=lo_us + 999 * (hi_us - lo_us) // 1000)
     if metrics:
         return pd.DataFrame(
             [{"epoch": np.int64(e["epoch"]), "input_rows": e["input_rows"],
@@ -1964,6 +2011,41 @@ def cdc_replay_deletes(sf_dir: str) -> pd.DataFrame:
     must be ABSENT from the converged table, and a delete overwritten by a
     later event resurrects the row — mirrored exactly in the SQL."""
     return _replay_events_through_engine(sf_dir, with_deletes=True)
+
+
+def cdc_repartition(sf_dir: str) -> pd.DataFrame:
+    """Mid-stream cluster rescale, SQL-oracled (rayrep/repart.py): two
+    epochs commit at P=16, the lake repartitions offline to P=11 (per-
+    source-partition fold → disjoint-key shards, NO shuffle), and the
+    remaining epochs — tombstones included — replay into the rescaled
+    lake. The converged table must equal the uninterrupted deletes LWW
+    oracle: a routing drift, lost watermark, or dropped/duplicated state
+    row across the rescale breaks the hash."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         repartition_to=11)
+
+
+def cdc_erasure(sf_dir: str) -> pd.DataFrame:
+    """Targeted erasure (GDPR; rayrep/retention.py), SQL-oracled: after a
+    tombstoned replay, every key with user_id % 10 == 3 is erased; the
+    read-side anti-filter must hide them IMMEDIATELY (no purge runs
+    here). Oracle = deletes LWW minus the erased users."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         erase_mod=10)
+
+
+def cdc_retention(sf_dir: str) -> pd.DataFrame:
+    """Physical retention purge (HBase-TTL analog), SQL-oracled: after a
+    tombstoned replay, ``purge_lake`` rewrites every chain dropping rows
+    — live and tombstone — below the 99.9% point of the events ts range
+    (that high on purpose: LWW winners are each user's LATEST ts, so any
+    lower cutoff drops nothing and the oracle cannot discriminate). The surviving table must equal the
+    deletes LWW oracle restricted to rows at-or-above the same
+    integer-µs cutoff; a purge that consulted the wrong
+    LWW ts, kept an expired winner, or dropped a boundary row (>= vs >)
+    breaks the hash."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         purge_mid_ts=True)
 
 
 def cdc_replay_evolution(sf_dir: str) -> pd.DataFrame:
@@ -2767,6 +2849,9 @@ def queries() -> dict:
         "cdc_replay_changed_cells": cdc_replay_changed_cells,
         "cdc_replay_transcripts": cdc_replay_transcripts,
         "cdc_ingest_dedup": cdc_ingest_dedup,
+        "cdc_repartition": cdc_repartition,
+        "cdc_erasure": cdc_erasure,
+        "cdc_retention": cdc_retention,
     }
 
 
@@ -2777,6 +2862,39 @@ def oracle_sql() -> dict:
     d["cdc_downstream_replica"] = d["cdc_replay_deletes"]  # rebuilt from deltas
     d["cdc_replay_resume"] = d["cdc_replay_events"]        # kill/resume split
     d["cdc_tail_mode"] = d["cdc_replay_deletes"]           # progressive publish
+    d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
+    d["cdc_erasure"] = """
+        WITH e AS (
+            SELECT *,
+                   (event_id % 7 = 0 AND row_number() OVER
+                        (PARTITION BY user_id ORDER BY event_id) > 1) AS is_del
+            FROM events
+        ), r AS (
+            SELECT *, row_number() OVER
+                (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e
+        )
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM r WHERE rn = 1 AND NOT is_del AND user_id % 10 != 3
+    """
+    d["cdc_retention"] = """
+        WITH e AS (
+            SELECT *,
+                   (event_id % 7 = 0 AND row_number() OVER
+                        (PARTITION BY user_id ORDER BY event_id) > 1) AS is_del
+            FROM events
+        ), r AS (
+            SELECT *, row_number() OVER
+                (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e
+        )
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM r WHERE rn = 1 AND NOT is_del
+          AND epoch_us(ts) >= (SELECT epoch_us(min(ts))
+                                      + 999 * (epoch_us(max(ts))
+                                             - epoch_us(min(ts))) // 1000
+                               FROM events)
+    """
     return d
 
 

@@ -1,0 +1,141 @@
+"""Retention and erasure: bounded lake history as an explicit operator.
+
+Reference anchor: the reference's primary store is HBase, where column
+families carry a TTL and expired cells vanish at (minor/major)
+compaction — retention is a STORE property applied when files rewrite,
+not a per-read filter (README.md:17-20 store semantics). Here the lake
+is Parquet chains, so the same semantics become two explicit operators:
+
+- ``erase_keys(lake, conv_ids)`` — targeted erasure (GDPR/right-to-be-
+  forgotten): the keys land in a small audit list
+  (``_erasures/erased.json``, atomic rewrite, idempotent) that readers
+  apply IMMEDIATELY (``final_table`` anti-filters it — erasure must be
+  visible before any physical rewrite happens) and the next ``purge``
+  or replay-time read applies physically. Erasure lists are small by
+  nature (requests, not scans); readers ship the set in the fold
+  closure — one serialization per task, ``ray.put`` it if a list ever
+  grows large.
+- ``purge_lake(lake, before_ts_us=None)`` — the compaction that makes
+  retention physical: one bounded fold+rewrite per partition (the
+  ``compact_lake`` shape) dropping (a) all erased keys and (b) every
+  row — live OR tombstone — whose LWW ``ts`` is below the cutoff.
+  Dropping old tombstones is safe: the seq watermark already guarantees
+  events at-or-below it never re-apply, so a tombstone's shadow is
+  never needed again after commit. An explicit ``before_ts_us`` keeps
+  the operator deterministic and SQL-oracle-able; a standing TTL
+  policy is just this operator on a schedule (cron the CLI).
+
+Semantics note (documented, tested): erasure and TTL are POINT-IN-TIME
+— a later epoch's INSERT for an erased key legitimately re-creates the
+row (new data, new consent). The changelog and the ``delta/`` stream
+are upstream/downstream artifacts with their own retention owners;
+these operators govern the lake state only.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from rayrep.manifests import LakeMeta, PartitionManifest, atomic_write_json
+
+_ERASE_PATH = ("_erasures", "erased.json")
+
+
+def erasure_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, *_ERASE_PATH)
+
+
+def load_erased(lake_dir: str) -> frozenset[str]:
+    p = erasure_path(lake_dir)
+    if not os.path.exists(p):
+        return frozenset()
+    with open(p) as f:
+        return frozenset(json.load(f)["conv_ids"])
+
+
+def erase_keys(lake_dir: str, conv_ids: list[str]) -> dict:
+    """Record an erasure request. Readers anti-filter the list at once;
+    ``purge_lake`` makes it physical. Idempotent (set union), atomic
+    (tmp+rename), audit-preserving (the list only grows)."""
+    cur = set(load_erased(lake_dir))
+    before = len(cur)
+    cur.update(str(c) for c in conv_ids)
+    atomic_write_json(erasure_path(lake_dir), {"conv_ids": sorted(cur)})
+    return {"erased_total": len(cur), "added": len(cur) - before}
+
+
+def _erase_filter(t: pa.Table, erased: frozenset[str]) -> pa.Table:
+    if not erased or t.num_rows == 0:
+        return t
+    return t.filter(
+        pc.invert(pc.is_in(t["conv_id"], value_set=pa.array(sorted(erased))))
+    )
+
+
+def purge_lake(lake_dir: str, before_ts_us: int | None = None) -> dict:
+    """Physical retention pass: fold every partition's chain and rewrite
+    it WITHOUT erased keys and without rows older than ``before_ts_us``
+    (live and tombstone alike — the seq watermark keeps old events from
+    ever re-applying, so expired tombstones shadow nothing). Driver-side
+    loop over partitions like ``compact_lake`` (a Ray task per partition
+    at very large lakes); each rewrite is manifest-atomic, so a crash
+    mid-purge leaves every partition either purged or intact — re-run to
+    finish. Returns dropped-row accounting."""
+    from rayrep.apply import (
+        _live_count,
+        fold_state_chain,
+        fold_state_chain_cells,
+        write_parquet_atomic,
+    )
+    from rayrep.compact import _partition_ids
+    from rayrep.registry import SchemaRegistry
+    from rayrep.schema import SchemaVersion
+
+    target = SchemaVersion.from_json(
+        SchemaRegistry(persist_dir=lake_dir).current_json())
+    lm = LakeMeta.load(lake_dir)
+    fold_fn = fold_state_chain_cells if (lm and lm.changed_cells) else fold_state_chain
+    erased = load_erased(lake_dir)
+    dropped_erased = dropped_expired = 0
+    for part_id in _partition_ids(lake_dir):
+        m = PartitionManifest.load(lake_dir, part_id)
+        if not m.state_chain:
+            continue
+        state = fold_fn(lake_dir, m.state_chain, target)
+        n0 = state.num_rows
+        state = _erase_filter(state, erased)
+        n1 = state.num_rows
+        if before_ts_us is not None and state.num_rows:
+            ts = state.column("ts").cast(pa.int64())
+            state = state.filter(pc.greater_equal(ts, before_ts_us))
+        n2 = state.num_rows
+        dropped_erased += n0 - n1
+        dropped_expired += n1 - n2
+        if n2 == n0 and len(m.state_chain) == 1:
+            continue  # nothing to drop, chain already compact
+        out = os.path.join(
+            lake_dir, f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet"
+        )
+        write_parquet_atomic(state, out)
+        old_chain = list(m.state_chain)
+        m.state_chain = [os.path.relpath(out, lake_dir)]
+        m.live_rows = _live_count(state)
+        m.save(lake_dir)  # atomic: readers see old chain or purged file
+        # Erasure must be PHYSICAL: unlike `compact` (which leaves
+        # superseded files for `gc`), purge removes them itself — a
+        # superseded state file still carrying an erased key is exactly
+        # what the operator exists to destroy.
+        for f in old_chain:
+            if f not in m.state_chain:
+                try:
+                    os.remove(os.path.join(lake_dir, f))
+                except FileNotFoundError:
+                    pass
+    return {"dropped_erased": dropped_erased,
+            "dropped_expired": dropped_expired,
+            "erased_keys": len(erased)}

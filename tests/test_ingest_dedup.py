@@ -143,3 +143,99 @@ def test_dry_run_persists_nothing(changelog, tmp_path):
     lake = str(tmp_path / "lake")
     replay(_cfg(changelog, lake, dry_run=True))
     assert not os.path.exists(os.path.join(lake, "content_index"))
+
+
+# ---------------------------------------------------------------------------
+# Property: the distributed dedup core == a sequential first-writer-wins
+# oracle, for ANY op/content interleaving and ANY epoch split. Ray-free:
+# stamp_content + dedup_group are plain Arrow/numpy functions; the Ray path
+# shares this exact code (dedup_stage wires them into the exchange).
+# ---------------------------------------------------------------------------
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from rayrep.ingest_dedup import CBUCKET, dedup_group, stamp_content
+
+_POOL = ["x", "y", "z"]  # tiny content pool -> heavy collision pressure
+
+dedup_event_st = st.tuples(
+    st.sampled_from(["I", "U", "D"]),
+    st.integers(0, 3),                      # key index (part_id analog)
+    st.integers(-1, len(_POOL) - 1),        # -1 -> null content
+)
+
+
+def _dedup_oracle(events):
+    """Sequential replay: an I with non-null content survives iff its
+    content was never claimed by an earlier surviving I; U/D/null always
+    survive. Returns the set of surviving seqs."""
+    claimed, keep = set(), set()
+    for seq, (op, _ki, ci) in enumerate(events):
+        if op == "I" and ci >= 0:
+            if _POOL[ci] in claimed:
+                continue
+            claimed.add(_POOL[ci])
+        keep.add(seq)
+    return keep
+
+
+def _events_table(chunk, base_seq):
+    n = len(chunk)
+    return pa.table({
+        "seq": pa.array([base_seq + i for i in range(n)], pa.int64()),
+        "op": pa.array([e[0] for e in chunk]),
+        "part_id": pa.array([e[1] for e in chunk], pa.int32()),
+        "text": pa.array(
+            [None if e[2] < 0 else _POOL[e[2]] for e in chunk], pa.string()
+        ),
+    })
+
+
+def _run_epoch(tbl, lake, epoch, num_buckets=3):
+    """Drive stamp -> bucket-group -> dedup_group exactly as dedup_stage
+    does, without a Ray session."""
+    stamped = stamp_content(tbl, "text", num_buckets)
+    out = []
+    buckets = stamped[CBUCKET].to_numpy(zero_copy_only=False)
+    for b in np.unique(buckets):
+        grp = stamped.filter(pa.array(buckets == b))
+        out.append(dedup_group(grp, lake, epoch, persist=True))
+    return pa.concat_tables(out) if out else tbl.slice(0, 0)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(dedup_event_st, min_size=1, max_size=40),
+    st.lists(st.integers(0, 39), max_size=3),  # epoch split points
+)
+def test_dedup_core_matches_sequential_oracle(tmp_path_factory, events, cuts):
+    lake = str(tmp_path_factory.mktemp("lake"))
+    bounds = sorted({c for c in cuts if c < len(events)})
+    spans = list(zip([0] + bounds, bounds + [len(events)]))
+    survived = set()
+    for epoch, (lo, hi) in enumerate(spans):
+        if lo == hi:
+            continue
+        out = _run_epoch(_events_table(events[lo:hi], lo), lake, epoch)
+        survived.update(out["seq"].to_pylist())
+    assert survived == _dedup_oracle(events)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(dedup_event_st, min_size=2, max_size=30),
+       st.integers(1, 29))
+def test_dedup_epoch_retry_is_self_healing(tmp_path_factory, events, cut):
+    """Re-running an epoch's dedup (crash/retry: claims from the first
+    attempt already persisted under the SAME epoch name) yields the
+    identical survivor set — exclude_epoch + strictly-smaller-seq rule."""
+    cut = min(cut, len(events) - 1)
+    lake = str(tmp_path_factory.mktemp("lake"))
+    _run_epoch(_events_table(events[:cut], 0), lake, 0)
+    first = sorted(_run_epoch(_events_table(events[cut:], cut), lake, 1)
+                   ["seq"].to_pylist())
+    retry = sorted(_run_epoch(_events_table(events[cut:], cut), lake, 1)
+                   ["seq"].to_pylist())
+    assert retry == first
+    oracle = _dedup_oracle(events)
+    assert set(first) == {s for s in oracle if s >= cut}

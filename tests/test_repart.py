@@ -1,0 +1,135 @@
+"""Lake repartitioning (rayrep/repart.py): rescale between replays.
+
+Contracts under test: the folded image is invariant under repartition
+(any P -> any P'), a continued replay into the rescaled lake converges
+identically to a fresh full replay at P', pins move with the lake
+(salted routing, changed-cells, dedup-ingest + re-bucketed claim index),
+and the destination refuses to double-commit."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from rayrep.config import EngineConfig
+from rayrep.gen import GenSpec, write_changelog
+from rayrep.ingest_dedup import cumulative_deduped
+from rayrep.pipeline import final_table_pandas, replay
+from rayrep.repart import repartition_lake
+
+from .test_ingest_dedup import _epoch
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return (df.sort_values(["conv_id", "turn_idx"])
+              .reset_index(drop=True)[sorted(df.columns)])
+
+
+@pytest.fixture(scope="module")
+def changelog(tmp_path_factory):
+    cl = str(tmp_path_factory.mktemp("cl"))
+    write_changelog(cl, GenSpec(n_events=1200, n_conversations=60,
+                                n_epochs=4, zipf_a=1.1))
+    return cl
+
+
+def test_repartition_preserves_final_table(changelog, tmp_path):
+    src = str(tmp_path / "src")
+    replay(EngineConfig(changelog_dir=changelog, lake_dir=src,
+                        num_partitions=5, delta_output=False))
+    want = _sorted(final_table_pandas(src))
+    for new_p in (3, 8, 1):
+        dst = str(tmp_path / f"dst{new_p}")
+        res = repartition_lake(src, dst, new_p)
+        assert res["partitions"] == new_p
+        got = _sorted(final_table_pandas(dst))
+        pd.testing.assert_frame_equal(got, want)
+        assert res["rows"] == len(want)
+
+
+def test_continued_replay_matches_fresh(changelog, tmp_path):
+    src = str(tmp_path / "src")
+    cfg5 = EngineConfig(changelog_dir=changelog, lake_dir=src,
+                        num_partitions=5, delta_output=False)
+    replay(cfg5, end_epoch=1)                      # commit epochs 0,1 at P=5
+    dst = str(tmp_path / "dst")
+    repartition_lake(src, dst, 3)
+    res = replay(EngineConfig(changelog_dir=changelog, lake_dir=dst,
+                              num_partitions=3, delta_output=False))
+    assert [e["epoch"] for e in res["epochs"]] == [2, 3]   # watermark held
+    fresh = str(tmp_path / "fresh")
+    replay(EngineConfig(changelog_dir=changelog, lake_dir=fresh,
+                        num_partitions=3, delta_output=False))
+    pd.testing.assert_frame_equal(_sorted(final_table_pandas(dst)),
+                                  _sorted(final_table_pandas(fresh)))
+
+
+def test_pin_checks_and_refusals(changelog, tmp_path):
+    src = str(tmp_path / "src")
+    replay(EngineConfig(changelog_dir=changelog, lake_dir=src,
+                        num_partitions=4, delta_output=False))
+    dst = str(tmp_path / "dst")
+    repartition_lake(src, dst, 6)
+    # resuming dst with the OLD count hits the LakeMeta pin
+    with pytest.raises(ValueError, match="num_partitions"):
+        replay(EngineConfig(changelog_dir=changelog, lake_dir=dst,
+                            num_partitions=4, delta_output=False))
+    # a committed lake is never an overwrite target
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        repartition_lake(src, dst, 6)
+    # a non-lake source is rejected up front
+    with pytest.raises(ValueError, match="LakeMeta"):
+        repartition_lake(str(tmp_path / "nope"), str(tmp_path / "d2"), 2)
+
+
+def test_salted_lake_repartitions_with_salted_routing(changelog, tmp_path):
+    src = str(tmp_path / "src")
+    replay(EngineConfig(changelog_dir=changelog, lake_dir=src,
+                        num_partitions=4, delta_output=False,
+                        salt_turn_keys=True))
+    want = _sorted(final_table_pandas(src))
+    dst = str(tmp_path / "dst")
+    repartition_lake(src, dst, 7)
+    pd.testing.assert_frame_equal(_sorted(final_table_pandas(dst)), want)
+    # continued salted replay still passes the pin and converges
+    res = replay(EngineConfig(changelog_dir=changelog, lake_dir=dst,
+                              num_partitions=7, delta_output=False,
+                              salt_turn_keys=True))
+    assert res["epochs"] == []  # all epochs were committed already
+
+
+def test_changed_cells_lake_repartitions(changelog, tmp_path):
+    src = str(tmp_path / "src")
+    replay(EngineConfig(changelog_dir=changelog, lake_dir=src,
+                        num_partitions=4, delta_output=False,
+                        changed_cells_updates=True))
+    want = _sorted(final_table_pandas(src))
+    dst = str(tmp_path / "dst")
+    repartition_lake(src, dst, 3)
+    pd.testing.assert_frame_equal(_sorted(final_table_pandas(dst)), want)
+
+
+def test_dedup_index_rebuckets_and_still_bites(tmp_path):
+    cl = str(tmp_path / "cl")
+    _epoch(os.path.join(cl, "epoch-00000.parquet"), [
+        (0, "I", "A", 0, "dup"), (1, "I", "B", 0, "dup"),
+        (2, "I", "C", 0, "solo"),
+    ])
+    src = str(tmp_path / "src")
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=src, num_partitions=4,
+                       dedup_ingest=True, delta_output=False)
+    replay(cfg)
+    dst = str(tmp_path / "dst")
+    repartition_lake(src, dst, 3)
+    assert cumulative_deduped(dst) == cumulative_deduped(src) == 1
+    # a later epoch re-posting claimed content dedups against the
+    # RE-BUCKETED index (ckey % 3 routing)
+    _epoch(os.path.join(cl, "epoch-00001.parquet"),
+           [(10, "I", "Z", 0, "dup"), (11, "I", "Y", 0, "solo"),
+            (12, "I", "X", 0, "new")])
+    res = replay(EngineConfig(changelog_dir=cl, lake_dir=dst,
+                              num_partitions=3, dedup_ingest=True,
+                              delta_output=False))
+    assert res["epochs"][-1]["deduped"] == 2  # Z and Y both dropped
+    df = final_table_pandas(dst)
+    assert sorted(df["conv_id"]) == ["A", "C", "X"]
