@@ -101,6 +101,11 @@ def main(argv=None) -> int:
     pu.add_argument("--before-ts-us", type=int, default=None,
                     help="drop rows (incl. tombstones) with ts below this "
                          "epoch-microsecond cutoff (HBase TTL analog)")
+    for mp in (c, pu):
+        mp.add_argument("--distributed", action="store_true",
+                        help="one Ray task per partition (large lakes)")
+        mp.add_argument("--num-cpus", type=int,
+                        default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
     ci = sub.add_parser("compact-index",
                         help="fold the dedup-ingest content index's delta "
@@ -109,11 +114,22 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
+    def _maybe_ray():
+        # filesystem maintenance is Ray-free unless fanned out per
+        # partition with --distributed
+        if getattr(args, "distributed", False):
+            import ray
+
+            if not ray.is_initialized():
+                ray.init(address="local", num_cpus=args.num_cpus,
+                         include_dashboard=False, logging_level="ERROR")
+
     if args.cmd == "compact":
-        # pure filesystem maintenance — no Ray session needed
         from rayrep.compact import compact_lake, gc_lake
 
-        res = {"compact": compact_lake(args.lake_dir),
+        _maybe_ray()
+        res = {"compact": compact_lake(args.lake_dir,
+                                       distributed=args.distributed),
                "gc": gc_lake(args.lake_dir, keep_epochs=args.keep_epochs)}
         print(json.dumps(res))
         return 0
@@ -127,7 +143,9 @@ def main(argv=None) -> int:
     if args.cmd == "purge":
         from rayrep.retention import purge_lake
 
-        print(json.dumps(purge_lake(args.lake_dir, args.before_ts_us)))
+        _maybe_ray()
+        print(json.dumps(purge_lake(args.lake_dir, args.before_ts_us,
+                                    distributed=args.distributed)))
         return 0
 
     if args.cmd == "compact-index":

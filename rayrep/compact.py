@@ -29,26 +29,31 @@ def _partition_ids(lake_dir: str) -> list[int]:
     )
 
 
-def compact_lake(lake_dir: str) -> dict:
+def compact_lake(lake_dir: str, distributed: bool = False) -> dict:
     """Major compaction: fold every partition's chain into one full state
     file (`state-eEEEEE-full.parquet`, epoch = the committed one) and point
-    the manifest at it. Driver-side loop over partitions; each fold is one
-    bounded read+write (run it from a Ray task per partition for very
-    large lakes). Returns {"compacted": n, "skipped": n}."""
-    from rayrep.apply import fold_state_chain, fold_state_chain_cells
+    the manifest at it. Each partition's fold+rewrite+manifest-save is
+    independent and manifest-atomic, so ``distributed=True`` fans it out
+    as one Ray task per partition (the 10^3-partition shape);
+    ``False`` keeps the Ray-free driver loop for small lakes / the CLI's
+    sessionless path. Returns {"compacted": n, "skipped": n}."""
+    from rayrep.maintenance import run_per_partition
     from rayrep.manifests import LakeMeta
     from rayrep.registry import SchemaRegistry
-    from rayrep.schema import SchemaVersion
 
-    target = SchemaVersion.from_json(SchemaRegistry(persist_dir=lake_dir).current_json())
+    target_json = SchemaRegistry(persist_dir=lake_dir).current_json()
     lm = LakeMeta.load(lake_dir)
-    fold_fn = fold_state_chain_cells if (lm and lm.changed_cells) else fold_state_chain
-    compacted = skipped = 0
-    for part_id in _partition_ids(lake_dir):
+    cells = bool(lm and lm.changed_cells)
+
+    def one(part_id: int) -> dict:
+        from rayrep.apply import fold_state_chain, fold_state_chain_cells
+        from rayrep.schema import SchemaVersion
+
+        target = SchemaVersion.from_json(target_json)
+        fold_fn = fold_state_chain_cells if cells else fold_state_chain
         m = PartitionManifest.load(lake_dir, part_id)
         if len(m.state_chain) <= 1:
-            skipped += 1
-            continue
+            return {"compacted": 0, "skipped": 1}
         folded = fold_fn(lake_dir, m.state_chain, target)
         out = os.path.join(
             lake_dir, f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet"
@@ -57,8 +62,11 @@ def compact_lake(lake_dir: str) -> dict:
         os.replace(out + ".tmp", out)
         m.state_chain = [os.path.relpath(out, lake_dir)]
         m.save(lake_dir)  # atomic: readers see either old chain or new file
-        compacted += 1
-    return {"compacted": compacted, "skipped": skipped}
+        return {"compacted": 1, "skipped": 0}
+
+    res = run_per_partition(one, _partition_ids(lake_dir), distributed)
+    return {"compacted": sum(r["compacted"] for r in res),
+            "skipped": sum(r["skipped"] for r in res)}
 
 
 def gc_lake(lake_dir: str, keep_epochs: int = 0) -> dict:

@@ -77,35 +77,39 @@ def _erase_filter(t: pa.Table, erased: frozenset[str]) -> pa.Table:
     )
 
 
-def purge_lake(lake_dir: str, before_ts_us: int | None = None) -> dict:
+def purge_lake(lake_dir: str, before_ts_us: int | None = None,
+               distributed: bool = False) -> dict:
     """Physical retention pass: fold every partition's chain and rewrite
     it WITHOUT erased keys and without rows older than ``before_ts_us``
     (live and tombstone alike — the seq watermark keeps old events from
-    ever re-applying, so expired tombstones shadow nothing). Driver-side
-    loop over partitions like ``compact_lake`` (a Ray task per partition
-    at very large lakes); each rewrite is manifest-atomic, so a crash
+    ever re-applying, so expired tombstones shadow nothing). Each
+    partition's rewrite is manifest-atomic and independent, so a crash
     mid-purge leaves every partition either purged or intact — re-run to
-    finish. Returns dropped-row accounting."""
-    from rayrep.apply import (
-        _live_count,
-        fold_state_chain,
-        fold_state_chain_cells,
-        write_parquet_atomic,
-    )
+    finish; ``distributed=True`` fans out one Ray task per partition
+    (the ``compact_lake`` shape). Returns dropped-row accounting."""
     from rayrep.compact import _partition_ids
+    from rayrep.maintenance import run_per_partition
     from rayrep.registry import SchemaRegistry
-    from rayrep.schema import SchemaVersion
 
-    target = SchemaVersion.from_json(
-        SchemaRegistry(persist_dir=lake_dir).current_json())
+    target_json = SchemaRegistry(persist_dir=lake_dir).current_json()
     lm = LakeMeta.load(lake_dir)
-    fold_fn = fold_state_chain_cells if (lm and lm.changed_cells) else fold_state_chain
+    cells = bool(lm and lm.changed_cells)
     erased = load_erased(lake_dir)
-    dropped_erased = dropped_expired = 0
-    for part_id in _partition_ids(lake_dir):
+
+    def one(part_id: int) -> dict:
+        from rayrep.apply import (
+            _live_count,
+            fold_state_chain,
+            fold_state_chain_cells,
+            write_parquet_atomic,
+        )
+        from rayrep.schema import SchemaVersion
+
+        target = SchemaVersion.from_json(target_json)
+        fold_fn = fold_state_chain_cells if cells else fold_state_chain
         m = PartitionManifest.load(lake_dir, part_id)
         if not m.state_chain:
-            continue
+            return {"dropped_erased": 0, "dropped_expired": 0}
         state = fold_fn(lake_dir, m.state_chain, target)
         n0 = state.num_rows
         state = _erase_filter(state, erased)
@@ -114,10 +118,8 @@ def purge_lake(lake_dir: str, before_ts_us: int | None = None) -> dict:
             ts = state.column("ts").cast(pa.int64())
             state = state.filter(pc.greater_equal(ts, before_ts_us))
         n2 = state.num_rows
-        dropped_erased += n0 - n1
-        dropped_expired += n1 - n2
         if n2 == n0 and len(m.state_chain) == 1:
-            continue  # nothing to drop, chain already compact
+            return {"dropped_erased": 0, "dropped_expired": 0}
         out = os.path.join(
             lake_dir, f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet"
         )
@@ -136,6 +138,9 @@ def purge_lake(lake_dir: str, before_ts_us: int | None = None) -> dict:
                     os.remove(os.path.join(lake_dir, f))
                 except FileNotFoundError:
                     pass
-    return {"dropped_erased": dropped_erased,
-            "dropped_expired": dropped_expired,
+        return {"dropped_erased": n0 - n1, "dropped_expired": n1 - n2}
+
+    res = run_per_partition(one, _partition_ids(lake_dir), distributed)
+    return {"dropped_erased": sum(r["dropped_erased"] for r in res),
+            "dropped_expired": sum(r["dropped_expired"] for r in res),
             "erased_keys": len(erased)}

@@ -116,3 +116,29 @@ def test_purge_changed_cells_lake(tmp_path):
     res = purge_lake(lk)
     assert res["dropped_erased"] >= 1  # cells mode: >=1 chain row for B
     assert _texts(lk) == {"A": "a1"}
+
+
+def test_distributed_purge_and_compact_match_serial(tmp_path):
+    """distributed=True (one Ray task per partition) must be result-
+    identical to the driver loop — tasks are independent because every
+    rewrite is manifest-atomic."""
+    from rayrep.compact import compact_lake
+
+    cl = str(tmp_path / "cl")
+    rows = [(i, "I", f"K{i % 7}", i % 3, f"t{i}") for i in range(20)]
+    _epoch(os.path.join(cl, "epoch-00000.parquet"), rows[:10])
+    _epoch(os.path.join(cl, "epoch-00001.parquet"), rows[10:])
+    serial, dist = str(tmp_path / "s"), str(tmp_path / "d")
+    for lk in (serial, dist):
+        replay(EngineConfig(changelog_dir=cl, lake_dir=lk,
+                            num_partitions=3, delta_output=False,
+                            state_snapshot_interval=99))
+        erase_keys(lk, ["K1"])
+    rs = purge_lake(serial, before_ts_us=1_000_003, distributed=False)
+    rd_ = purge_lake(dist, before_ts_us=1_000_003, distributed=True)
+    assert rs == rd_
+    assert _texts(serial) == _texts(dist)
+    cs = compact_lake(serial, distributed=False)
+    cd = compact_lake(dist, distributed=True)
+    assert cs == cd
+    assert _texts(serial) == _texts(dist)
