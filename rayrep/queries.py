@@ -1667,6 +1667,7 @@ def _replay_events_through_engine(
     ddl_action: str = "add_column", metrics: bool = False,
     tail_mode: bool = False, repartition_to: int | None = None,
     erase_mod: int | None = None, purge_mid_ts: bool = False,
+    replica_incremental: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1707,7 +1708,8 @@ def _replay_events_through_engine(
     ]))
     cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
                        initial_schema_json=sv.to_json(),
-                       delta_output=delta_rollup or replica,
+                       delta_output=delta_rollup or replica
+                       or replica_incremental,
                        changed_cells_updates=changed_cells,
                        per_cell_conflicts=changed_cells,
                        chaos_fraction=chaos,
@@ -1792,6 +1794,20 @@ def _replay_events_through_engine(
         return _rollup_delta_dir(os.path.join(lake, "delta"))
     if replica:
         return _replica_from_deltas(os.path.join(lake, "delta"))
+    if replica_incremental:
+        # maintained consumer (sinks.update_replica): TWO refreshes — the
+        # first capped at epoch 1, the second applying only the rest past
+        # the replica's own watermark. Tombstone persistence across the
+        # refresh boundary is exactly what the oracle hash checks.
+        from rayrep.sinks import read_replica, update_replica
+
+        rdir = os.path.join(d, "replica")
+        update_replica(os.path.join(lake, "delta"), rdir, up_to_epoch=1)
+        update_replica(os.path.join(lake, "delta"), rdir)
+        out = read_replica(rdir).to_pandas()
+        out["user_id"] = out["conv_id"].astype("int64")
+        return out[["event_id", "ts", "user_id", "event_type", "value",
+                    "props"]]
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
     keep = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -2023,6 +2039,18 @@ def cdc_repartition(sf_dir: str) -> pd.DataFrame:
     row across the rescale breaks the hash."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          repartition_to=11)
+
+
+def cdc_replica_incremental(sf_dir: str) -> pd.DataFrame:
+    """Maintained downstream replica (sinks.update_replica), SQL-oracled:
+    the delta stream applies in TWO watermarked refreshes (epochs ≤1,
+    then the rest) instead of one full rebuild — refresh I/O ∝ new
+    deltas. Internal tombstones persist across the refresh boundary
+    (self-contained fold, exact under re-applied suffixes); a replica
+    that lost a delete or double-applied a refresh breaks the hash.
+    Result must equal the uninterrupted deletes LWW oracle."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         replica_incremental=True)
 
 
 def cdc_erasure(sf_dir: str) -> pd.DataFrame:
@@ -2852,6 +2880,7 @@ def queries() -> dict:
         "cdc_repartition": cdc_repartition,
         "cdc_erasure": cdc_erasure,
         "cdc_retention": cdc_retention,
+        "cdc_replica_incremental": cdc_replica_incremental,
     }
 
 
@@ -2863,6 +2892,7 @@ def oracle_sql() -> dict:
     d["cdc_replay_resume"] = d["cdc_replay_events"]        # kill/resume split
     d["cdc_tail_mode"] = d["cdc_replay_deletes"]           # progressive publish
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
+    d["cdc_replica_incremental"] = d["cdc_replay_deletes"]  # watermarked refreshes
     d["cdc_erasure"] = """
         WITH e AS (
             SELECT *,

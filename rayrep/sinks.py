@@ -116,3 +116,133 @@ def write_delta_by_day(delta_dir: str, out_dir: str) -> dict:
 
 def concat_small(ds: rd.Dataset) -> pa.Table:
     return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+
+
+# ---------------------------------------------------------------------------
+# Incremental replica maintenance (the long-running Kafka-consumer shape):
+# instead of re-folding the WHOLE delta stream per refresh
+# (``replica_from_deltas``), a maintained replica applies only epochs
+# past its own watermark — refresh I/O ∝ new deltas, not stream length.
+# ---------------------------------------------------------------------------
+
+def _replica_manifest_path(replica_dir: str) -> str:
+    return os.path.join(replica_dir, "_replica", "manifest.json")
+
+
+def _load_replica_manifest(replica_dir: str) -> dict:
+    p = _replica_manifest_path(replica_dir)
+    if not os.path.exists(p):
+        return {"last_epoch": -1, "num_partitions": 0}
+    import json
+
+    with open(p) as f:
+        return json.load(f)
+
+
+def update_replica(delta_dir: str, replica_dir: str,
+                   num_partitions: int = 16,
+                   up_to_epoch: int | None = None) -> dict:
+    """Apply every delta epoch past the replica's watermark (optionally
+    capped at ``up_to_epoch``) to a maintained latest-image replica.
+
+    State layout mirrors the engine lake: one parquet per replica
+    partition (``part-NNNNN/state.parquet``), rows keep their ``op`` so
+    TOMBSTONES PERSIST. Strictly, the producer's loser-exclusion (the
+    applier emits only rows that WON against lake state) already keeps
+    stale rows out of the stream; persisting the tombstone makes the
+    replica's fold self-contained — correct even if a future producer
+    emits losers, and exact under idempotent re-application of any
+    epoch suffix. ``read_replica`` filters them out. Convergence
+    matches the full rebuild (``replica_from_deltas``) exactly.
+
+    Exactly-once without coordination, the engine's own discipline:
+    per-partition rewrites are atomic and the watermark manifest
+    publishes LAST, so a crashed refresh re-applies the same epochs —
+    idempotent, because folding duplicate delta rows through the
+    (ts, seq) argmax picks the same winners. One Ray task per touched
+    partition; untouched partitions' files are not read or written."""
+    import glob as _glob
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from rayrep.apply import lww_last_rows, write_parquet_atomic
+    from rayrep.hashing import partition_ids
+    from rayrep.manifests import atomic_write_json
+
+    man = _load_replica_manifest(replica_dir)
+    if man["num_partitions"] not in (0, num_partitions):
+        raise ValueError(
+            f"replica {replica_dir} is pinned to num_partitions="
+            f"{man['num_partitions']}; got {num_partitions}")
+    last = man["last_epoch"]
+    new_files: list[str] = []
+    hi = last
+    for f in _glob.glob(os.path.join(delta_dir, "p*", "e*.parquet")):
+        e = int(_re.search(r"e(\d+)\.parquet$", f).group(1))
+        if e > last and (up_to_epoch is None or e <= up_to_epoch):
+            new_files.append(f)
+            hi = max(hi, e)
+    if not new_files:
+        return {"applied_files": 0, "last_epoch": last}
+
+    ds = rd.read_parquet(new_files)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if "part_id" in t.column_names:
+            t = t.drop_columns(["part_id"])
+        return t.append_column(
+            "part_id",
+            pa.array(partition_ids(t.column("conv_id"), num_partitions)))
+
+    def fold_into(group: pa.Table) -> pa.Table:
+        pid = int(group.column("part_id")[0].as_py())
+        pdir = os.path.join(replica_dir, f"part-{pid:05d}")
+        spath = os.path.join(pdir, "state.parquet")
+        g = group.drop_columns(["part_id"])
+        if os.path.exists(spath):
+            old = pq.read_table(spath)
+            g = pa.concat_tables([old, g], promote_options="permissive")
+        g = g.rename_columns(
+            [c if c != "seq" else "__seq" for c in g.column_names])
+        win = lww_last_rows(g).rename_columns(
+            [c if c != "__seq" else "seq" for c in g.column_names])
+        os.makedirs(pdir, exist_ok=True)
+        write_parquet_atomic(win, spath)
+        import pyarrow.compute as _pc
+
+        live = int(_pc.sum(_pc.not_equal(win.column("op"), "D")).as_py() or 0)
+        return pa.table({"part_id": pa.array([pid], pa.int32()),
+                         "rows": pa.array([win.num_rows], pa.int64()),
+                         "live": pa.array([live], pa.int64())})
+
+    summary = (ds.map_batches(tag, batch_format="pyarrow")
+               .groupby("part_id")
+               .map_groups(fold_into, batch_format="pyarrow")
+               .take_all())  # P one-row summaries
+    atomic_write_json(_replica_manifest_path(replica_dir),
+                      {"last_epoch": hi, "num_partitions": num_partitions})
+    return {"applied_files": len(new_files),
+            "last_epoch": hi,
+            "live_rows": int(sum(r["live"] for r in summary))}
+
+
+def read_replica(replica_dir: str) -> rd.Dataset:
+    """The maintained replica as a streaming Dataset (live rows only —
+    internal tombstones filtered)."""
+    import pyarrow.compute as _pc
+
+    files = sorted(
+        os.path.join(replica_dir, d, "state.parquet")
+        for d in os.listdir(replica_dir)
+        if d.startswith("part-")
+        and os.path.exists(os.path.join(replica_dir, d, "state.parquet"))
+    )
+    if not files:
+        return rd.from_arrow(pa.table({"conv_id": pa.array([], pa.string())}))
+
+    def drop_tombstones(t: pa.Table) -> pa.Table:
+        return t.filter(_pc.not_equal(t.column("op"), "D"))
+
+    return rd.read_parquet(files).map_batches(
+        drop_tombstones, batch_format="pyarrow")

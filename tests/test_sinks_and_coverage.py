@@ -251,3 +251,55 @@ def test_yaml_config_roundtrip(tmp_path):
     p.write_text(json.dumps({"num_partitions": 7, "chaos_fraction": 0.5}))
     cfg = EngineConfig.from_yaml(str(p))
     assert cfg.num_partitions == 7 and cfg.chaos_fraction == 0.5
+
+
+def test_incremental_replica_matches_full_rebuild(tmp_path):
+    """sinks.update_replica (watermarked refreshes) must converge to
+    replica_from_deltas (full rebuild) exactly; re-applying a suffix
+    after a simulated manifest crash is idempotent; the partition-count
+    pin refuses a drifting consumer."""
+    import json
+
+    import pytest as _pytest
+
+    from rayrep.config import EngineConfig
+    from rayrep.gen import GenSpec, write_changelog
+    from rayrep.pipeline import replay
+    from rayrep.sinks import (
+        _replica_manifest_path,
+        read_replica,
+        replica_from_deltas,
+        update_replica,
+    )
+
+    cl, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    write_changelog(cl, GenSpec(n_events=1500, n_conversations=50,
+                                n_epochs=4, zipf_a=1.1))
+    replay(EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=5))
+    delta = os.path.join(lake, "delta")
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    full = norm(replica_from_deltas(delta, num_partitions=6).to_pandas()
+                .drop(columns=["part_id"]))  # internal routing column
+    rdir = str(tmp_path / "replica")
+    r1 = update_replica(delta, rdir, num_partitions=6, up_to_epoch=1)
+    assert r1["last_epoch"] == 1
+    r2 = update_replica(delta, rdir, num_partitions=6)
+    assert r2["last_epoch"] == 3
+    inc = norm(read_replica(rdir).to_pandas()[full.columns])
+    pd.testing.assert_frame_equal(inc, full)
+    # nothing new -> no-op
+    assert update_replica(delta, rdir, num_partitions=6)["applied_files"] == 0
+    # crash simulation: roll the watermark back; re-applying epochs 2,3
+    # over already-updated state must be idempotent
+    with open(_replica_manifest_path(rdir), "w") as f:
+        json.dump({"last_epoch": 1, "num_partitions": 6}, f)
+    update_replica(delta, rdir, num_partitions=6)
+    pd.testing.assert_frame_equal(
+        norm(read_replica(rdir).to_pandas()[full.columns]), full)
+    # consumer partition-count drift is refused
+    with _pytest.raises(ValueError, match="num_partitions"):
+        update_replica(delta, rdir, num_partitions=9)
