@@ -87,6 +87,19 @@ def main(argv=None) -> int:
     rp.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
+    ck = sub.add_parser("check",
+                        help="lake fsck: audit manifest/chain/routing "
+                             "invariants without mutating anything")
+    ck.add_argument("lake_dir")
+    ck.add_argument("--deep", action="store_true",
+                    help="fold every chain and verify row-level "
+                         "invariants (live_rows, routing, key "
+                         "uniqueness, watermark)")
+    ck.add_argument("--distributed", action="store_true",
+                    help="one Ray task per partition (with --deep)")
+    ck.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     er = sub.add_parser("erase",
                         help="targeted erasure (GDPR): reads hide the "
                              "keys at once; `purge` makes it physical")
@@ -133,6 +146,15 @@ def main(argv=None) -> int:
                "gc": gc_lake(args.lake_dir, keep_epochs=args.keep_epochs)}
         print(json.dumps(res))
         return 0
+
+    if args.cmd == "check":
+        from rayrep.check import check_lake
+
+        _maybe_ray()
+        res = check_lake(args.lake_dir, deep=args.deep,
+                         distributed=args.distributed)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 3
 
     if args.cmd == "erase":
         from rayrep.retention import erase_keys
