@@ -429,11 +429,21 @@ def main_bytes() -> dict:
             return (sum(r["rows"] for r in parts),
                     sum(r["nbytes"] for r in parts))
 
+        from rayrep.ingest_dedup import stamp_content
+
         out = {}
-        for name in ("augmented", "combined", "packed"):
+        for name in ("augmented", "combined", "packed", "dedup_stamped"):
             total_rows = total_bytes = 0
             for _, path in discover_epochs(cl):
                 ds = _augment(rd.read_parquet(path), target_json, 32)
+                if name == "dedup_stamped":
+                    # the EXTRA exchange dedup-on-ingest adds: full
+                    # augmented rows + ckey(u64) + cbucket(i32) routed by
+                    # content bucket BEFORE the conv exchange
+                    ds = ds.map_batches(
+                        stamp_content,
+                        fn_kwargs={"content_col": "text", "num_buckets": 32},
+                        batch_format="pyarrow", zero_copy_batch=True)
                 if name in ("combined", "packed"):
                     ds = ds.map_batches(combine_batch, fn_kwargs={"by_day": True},
                                         batch_format="pyarrow", zero_copy_batch=True)

@@ -133,3 +133,29 @@ def test_dedup_index_rebuckets_and_still_bites(tmp_path):
     assert res["epochs"][-1]["deduped"] == 2  # Z and Y both dropped
     df = final_table_pandas(dst)
     assert sorted(df["conv_id"]) == ["A", "C", "X"]
+
+
+def test_repartition_crash_resume(changelog, tmp_path):
+    """A repartition that crashed after SOME shards wrote but before the
+    manifests/LakeMeta published must be re-runnable into the same dst
+    and converge identically — deterministic shard names + tmp/rename +
+    manifest-last publication."""
+    from rayrep.repart import _repart_one
+    from rayrep.manifests import LakeMeta
+    from rayrep.registry import SchemaRegistry
+
+    src = str(tmp_path / "src")
+    replay(EngineConfig(changelog_dir=changelog, lake_dir=src,
+                        num_partitions=5, delta_output=False))
+    want = _sorted(final_table_pandas(src))
+    dst = str(tmp_path / "dst")
+    # simulate the crash: two source partitions' shards land, nothing
+    # publishes (no manifests, no LakeMeta)
+    lm = LakeMeta.load(src)
+    tj = SchemaRegistry(persist_dir=src).current_json()
+    for p in (0, 1):
+        _repart_one(src, dst, p, 3, tj, lm)
+    assert LakeMeta.load(dst) is None          # not a committed lake yet
+    res = repartition_lake(src, dst, 3)        # full re-run over leftovers
+    assert res["partitions"] == 3
+    pd.testing.assert_frame_equal(_sorted(final_table_pandas(dst)), want)
