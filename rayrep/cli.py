@@ -41,6 +41,11 @@ def main(argv=None) -> int:
                    help="drop INSERTs whose content was already ingested "
                         "(first-writer-wins per content; pinned in LakeMeta)")
     r.add_argument("--dedup-content-col", default="text")
+    r.add_argument("--pack", choices=["auto", "on", "off"], default="auto",
+                   help="packed exchange: compress the shuffle into per-"
+                        "destination LZ4 IPC blobs (auto = on when the "
+                        "cluster has >1 node; force 'on' for bus-bound "
+                        "single boxes, 32.6 vs 72.4 B/event)")
     r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
     w = sub.add_parser("tail", help="continuous tail: apply epochs as they are published")
@@ -218,6 +223,7 @@ def main(argv=None) -> int:
                 salt_turn_keys=args.salt_turns,
                 dedup_ingest=args.dedup_ingest,
                 dedup_content_col=args.dedup_content_col,
+                pack_exchange={"auto": "auto", "on": True, "off": False}[args.pack],
             )
             res = replay(cfg, end_epoch=args.end_epoch)
             print(json.dumps(res))

@@ -83,7 +83,17 @@ class EngineConfig:
     # bottleneck) memory bus compressed. The applier unpacks transparently.
     # Exact same rows delivered per partition — the blob boundary is
     # invisible to LWW/counters. Only applies to exchange="groupby".
-    pack_exchange: bool = False
+    # "auto" (default): pack exactly when the exchange crosses node
+    # boundaries (ray.nodes() reports >1 alive node) — the regime whose
+    # bytes traverse a real NIC is where compressing the exchange pays
+    # unconditionally, while on one box plain groupby avoids the pack/
+    # unpack ALU cost. Single-box exception, measured 2026-08-18: when
+    # the box's memory bus saturates at high parallelism (busprobe data
+    # aggregate FALLING 8->32 procs) packing wins there too (1.30M vs
+    # ~0.38-0.45M ev/s at 32 cpus) — force pack_exchange=True for that
+    # regime; "auto" stays conservative because the bus state is not
+    # cheaply observable at config time.
+    pack_exchange: bool | str = "auto"
     pack_codec: str = "lz4"          # lz4 (fast) | zstd (smaller)
     # Carry the source transaction id through the shuffle into state/delta
     # outputs. Off by default: txn lineage is recoverable from the

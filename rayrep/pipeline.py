@@ -202,6 +202,31 @@ def _augment_task_fn(batch: pa.Table, kwargs: dict) -> pa.Table:
 _AUG_CACHE: dict = {}
 
 
+def resolve_pack_exchange(cfg) -> bool:
+    """Resolve ``cfg.pack_exchange`` (bool | "auto") to a concrete bool,
+    once per replay.  "auto" packs exactly when the exchange crosses node
+    boundaries: on a multi-node cluster every shuffled byte traverses a
+    NIC, so the LZ4 Arrow-IPC packing (32.6 vs 72.4 B/event measured by
+    ``bench.py --bytes``) is an unconditional win; on one box the plain
+    sort shuffle avoids the pack/unpack ALU cost and auto stays off.
+    Resolved ONCE so a node joining/leaving mid-replay cannot flip the
+    exchange shape between epochs (both shapes are correct — the blob
+    boundary is invisible to LWW/counters — but flip-flopping would make
+    perf traces unreadable)."""
+    if cfg.exchange != "groupby":
+        return False
+    if isinstance(cfg.pack_exchange, str):
+        if cfg.pack_exchange != "auto":
+            raise ValueError(
+                f"pack_exchange must be a bool or 'auto', got {cfg.pack_exchange!r}")
+        import ray
+
+        if not ray.is_initialized():
+            return False
+        return sum(1 for n in ray.nodes() if n.get("Alive")) > 1
+    return bool(cfg.pack_exchange)
+
+
 def _scoped_block_size(fn):
     """Apply ``cfg.target_block_mb`` to the Ray DataContext for the
     duration of the call and restore the prior value after — the driver
@@ -234,6 +259,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
     by the resume test to simulate a mid-replay kill."""
     if cfg.exchange not in ("groupby", "staged"):
         raise ValueError(f"exchange must be 'groupby' or 'staged', got {cfg.exchange!r}")
+    pack = resolve_pack_exchange(cfg)
     epochs = discover_epochs(cfg.changelog_dir)
     if not epochs:
         raise FileNotFoundError(f"no epoch-*.parquet under {cfg.changelog_dir}")
@@ -390,7 +416,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
             for row in ds.limit(5).take_all():
                 print(json.dumps(row, default=str))
             continue
-        packed = cfg.pack_exchange and cfg.exchange == "groupby"
+        packed = pack
         if packed:
             from rayrep.exchange import pack_batch
 

@@ -370,6 +370,28 @@ def test_staged_exchange_matches_oracle(tmp_path):
     )
 
 
+def test_pack_exchange_auto_resolution():
+    """pack_exchange="auto" (the default) packs exactly when the exchange
+    crosses node boundaries. In this single-node session it must resolve
+    to False (plain groupby — no pack/unpack ALU cost on one box); bools
+    pass through; non-groupby exchanges never pack; a typo'd string is a
+    config error, not a silent plain-exchange run."""
+    from rayrep.pipeline import resolve_pack_exchange
+
+    cfg = EngineConfig(changelog_dir="x", lake_dir="y")
+    assert cfg.pack_exchange == "auto"
+    assert resolve_pack_exchange(cfg) is False  # ray.nodes() == 1 here
+    for want in (True, False):
+        cfg = EngineConfig(changelog_dir="x", lake_dir="y", pack_exchange=want)
+        assert resolve_pack_exchange(cfg) is want
+    cfg = EngineConfig(changelog_dir="x", lake_dir="y",
+                       exchange="staged", pack_exchange=True)
+    assert resolve_pack_exchange(cfg) is False
+    cfg = EngineConfig(changelog_dir="x", lake_dir="y", pack_exchange="always")
+    with pytest.raises(ValueError, match="pack_exchange"):
+        resolve_pack_exchange(cfg)
+
+
 def test_packed_exchange_matches_oracle(tmp_path):
     """pack_exchange=True (per-partition compressed IPC blobs through the
     sort shuffle, rayrep/exchange.pack_batch) must be invisible: same
