@@ -126,6 +126,8 @@ def run_replay(cl: str, n_events: int) -> dict:
                 # which the busprobe shows is plentiful at 32 procs, for
                 # exchange bytes on the saturated memory bus / network)
                 pack_exchange=bool(int(os.environ.get("BENCH_PACK", "0"))),
+                # lz4 | zstd | none (pack blobs, skip compression)
+                pack_codec=os.environ.get("BENCH_PACK_CODEC", "lz4"),
             )
         )
         dt = time.perf_counter() - t0
@@ -306,6 +308,7 @@ def main_scaling() -> dict:
         "steal_pct": {str(lo): r_lo.get("steal_pct"),
                       str(hi): r_hi.get("steal_pct")},
         "pack_exchange": bool(int(os.environ.get("BENCH_PACK", "0"))),
+        "pack_codec": os.environ.get("BENCH_PACK_CODEC", "lz4"),
     }
     _append_bench_md(result)
     return result
@@ -386,7 +389,7 @@ def _append_bench_md(result: dict) -> None:
             f"- num_cpus={hi}: {result[f'sec_{hi}']}s = {result[f'events_per_sec_{hi}']:,} ev/s "
             f"({result['per_cpu_throughput'][str(hi)]:,} ev/s/cpu)\n"
             f"- scaling efficiency (thr_hi/thr_lo)/({hi}/{lo}) = {result['scaling_efficiency']}\n"
-            f"- exchange mode: {'packed (BENCH_PACK=1)' if result.get('pack_exchange') else 'plain groupby'}\n"
+            f"- exchange mode: {'packed (BENCH_PACK=1, codec=' + result.get('pack_codec', 'lz4') + ')' if result.get('pack_exchange') else 'plain groupby'}\n"
             f"- hypervisor steal during best level runs: "
             f"{result.get('steal_pct', {})}\n"
             f"- caveat: both levels share ONE machine's memory/IO bandwidth; "

@@ -94,7 +94,7 @@ class EngineConfig:
     # regime; "auto" stays conservative because the bus state is not
     # cheaply observable at config time.
     pack_exchange: bool | str = "auto"
-    pack_codec: str = "lz4"          # lz4 (fast) | zstd (smaller)
+    pack_codec: str = "lz4"          # lz4 (fast) | zstd (smaller) | none (blob-pack only)
     # Carry the source transaction id through the shuffle into state/delta
     # outputs. Off by default: txn lineage is recoverable from the
     # changelog itself (seq is dense and the manifests record per-epoch seq

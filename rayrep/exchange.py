@@ -79,7 +79,12 @@ def pack_batch(batch: pa.Table, codec: str = "lz4") -> pa.Table:
         sorted_tbl = batch.take(pa.array(order))
     bounds = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
     bounds = np.r_[bounds, len(sp)]
-    opts = pa.ipc.IpcWriteOptions(compression=codec)
+    # codec "none": pack without compressing — the sort still moves ~P
+    # blobs per batch instead of every row (the dominant single-box win);
+    # skipping LZ4 trades exchange bytes back for ALU, the right call when
+    # cores, not the bus, are the scarce resource.
+    opts = pa.ipc.IpcWriteOptions(
+        compression=None if codec in (None, "none") else codec)
     out_pid, out_n, blobs = [], [], []
     for i in range(len(bounds) - 1):
         lo, hi = int(bounds[i]), int(bounds[i + 1])

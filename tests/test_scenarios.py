@@ -406,6 +406,11 @@ def test_packed_exchange_matches_oracle(tmp_path):
         assert_frames_equal(final_table_pandas(lake), oracle_df)
         assert res["totals"]["applied"] == octr["applied"]
         assert res["totals"]["conflict"] == octr["conflict"]
+    # codec="none": blob-pack without compression (pure sort-row win)
+    lake = str(tmp_path / "lake-nocodec")
+    _, res = run(d, lake, pack_exchange=True, pack_codec="none")
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    assert res["totals"]["applied"] == octr["applied"]
     # resume: epoch 0 committed packed, rest replayed packed
     lake = str(tmp_path / "lake-resume")
     cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=4,
