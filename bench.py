@@ -105,6 +105,21 @@ def warmup() -> None:
     ).aggregate(Min("v"), Count()).materialize()
 
 
+def bench_pack() -> bool:
+    """BENCH_PACK: 1/0 force; unset/"auto" = packed iff NUM_CPUS >= 16.
+    The crossover is measured, three same-window A/Bs on 2026-08-18
+    (BENCH/BASELINE.md): at 32 cpus packed-lz4 1.30M ev/s vs plain
+    355-450k (this box's aggregate memory bandwidth FALLS from 8 to 32
+    procs even at zero steal, so exchange bytes bind); at 8 cpus plain/
+    uncompressed wins (bus unsaturated, LZ4 ALU is pure cost). The
+    headline benches the engine's recommended config for the measured
+    regime, and the result JSON self-describes which exchange ran."""
+    env = os.environ.get("BENCH_PACK", "auto")
+    if env in ("auto", ""):
+        return NUM_CPUS >= 16
+    return bool(int(env))
+
+
 def run_replay(cl: str, n_events: int) -> dict:
     """Best of $BENCH_REPEATS (default 2) replays — the sandbox VM has
     ±20% run-to-run noise; min is the standard noise-robust statistic."""
@@ -122,10 +137,7 @@ def run_replay(cl: str, n_events: int) -> dict:
                 lake_dir=lake,
                 num_partitions=32,
                 epochs_per_round=int(os.environ.get("BENCH_EPR", "4")),
-                # BENCH_PACK=1: compressed-IPC-blob exchange (trades ALU,
-                # which the busprobe shows is plentiful at 32 procs, for
-                # exchange bytes on the saturated memory bus / network)
-                pack_exchange=bool(int(os.environ.get("BENCH_PACK", "0"))),
+                pack_exchange=bench_pack(),
                 # lz4 | zstd | none (pack blobs, skip compression)
                 pack_codec=os.environ.get("BENCH_PACK_CODEC", "lz4"),
             )
@@ -233,6 +245,8 @@ def main_bench(headline_only: bool) -> dict:
         "num_cpus": NUM_CPUS,
         "replay_events": n_events,
         "replay_events_per_sec": round(replay_stats["events_per_sec"]),
+        "pack_exchange": bench_pack(),
+        "pack_codec": os.environ.get("BENCH_PACK_CODEC", "lz4"),
     }
     if queries_v2:
         # v2 suite tracked separately; NOT in `value` (round comparability)
@@ -255,9 +269,20 @@ def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
     return round(100.0 * (after[0] - before[0]) / dt, 1) if dt > 0 else 0.0
 
 
+def _ladder_pack() -> str:
+    """Resolve BENCH_PACK ONCE for a ladder: both levels must run the
+    SAME exchange shape or the ratio compares two different jobs. "auto"
+    resolves by the HIGH level (the regime being scaled toward)."""
+    env = os.environ.get("BENCH_PACK", "auto")
+    if env in ("auto", ""):
+        return "1" if int(os.environ.get("BENCH_HI", "32")) >= 16 else "0"
+    return env
+
+
 def main_scaling() -> dict:
     lo = int(os.environ.get("BENCH_LO", "8"))
     hi = int(os.environ.get("BENCH_HI", "32"))
+    pack = _ladder_pack()
     # generate the cache up front so neither timed process pays for it
     ensure_changelog(changelog_events())
 
@@ -266,7 +291,8 @@ def main_scaling() -> dict:
         # one-off worker-spawn/page-cache cost (~5-8 s on this VM) does not
         # deflate both levels of the ratio — the 10^10-event design point
         # amortizes fixed startup to nothing
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="2")
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="2",
+                   BENCH_PACK=pack)
         s0 = _cpu_sample()
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -307,7 +333,7 @@ def main_scaling() -> dict:
         },
         "steal_pct": {str(lo): r_lo.get("steal_pct"),
                       str(hi): r_hi.get("steal_pct")},
-        "pack_exchange": bool(int(os.environ.get("BENCH_PACK", "0"))),
+        "pack_exchange": bool(int(pack)),
         "pack_codec": os.environ.get("BENCH_PACK_CODEC", "lz4"),
     }
     _append_bench_md(result)
@@ -323,11 +349,13 @@ def main_weak_scaling() -> dict:
     Efficiency = t_lo / t_hi (ideal 1.0: 4× data on 4× cpus, same wall)."""
     lo = int(os.environ.get("BENCH_LO", "8"))
     hi = int(os.environ.get("BENCH_HI", "32"))
+    pack = _ladder_pack()
     base = changelog_events() // (hi // lo)
 
     def run(ncpu: int, n_events: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="2",
-                   BENCH_EVENTS_PER_SF_ROW="0", BENCH_EVENTS_ABS=str(n_events))
+                   BENCH_EVENTS_PER_SF_ROW="0", BENCH_EVENTS_ABS=str(n_events),
+                   BENCH_PACK=pack)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--headline-only"],
             env=env, capture_output=True, text=True, check=True,
@@ -356,6 +384,7 @@ def main_weak_scaling() -> dict:
         f"events_per_sec_{hi}": results[hi]["replay_events_per_sec"],
         "cpus": [lo, hi],
         "weak_scaling_efficiency": round(t_lo / t_hi, 3),
+        "pack_exchange": bool(int(pack)),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -368,6 +397,7 @@ def main_weak_scaling() -> dict:
             f"- num_cpus={hi}: {t_hi}s = {results[hi]['replay_events_per_sec']:,} ev/s\n"
             f"- weak scaling efficiency t_{lo}/t_{hi} = {result['weak_scaling_efficiency']}"
             f" (ideal 1.0: {hi // lo}x data on {hi // lo}x cpus, same wall)\n"
+            f"- exchange mode: {'packed' if result['pack_exchange'] else 'plain groupby'}\n"
             f"- caveat: the {hi}-cpu level pushes {hi // lo}x the shuffle volume through ONE box's "
             f"memory system — conservative vs a real {hi // lo}x-node cluster\n"
         )
