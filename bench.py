@@ -14,6 +14,11 @@ print ONE JSON line::
 ``--scaling``: run the SAME cached changelog in two fresh processes at
 ``$BENCH_LO``/``$BENCH_HI`` CPUs (default 8/32), report both throughputs +
 scaling efficiency, append the result to BENCH/BASELINE.md.
+``--probe``: the window-health gate (BENCH/BASELINE.md protocol): one
+timed headline replay at NUM_CPUS plus single-process busprobe kernels
+and measured hypervisor steal, one JSON line, appends nothing. Run
+ladders only when ``healthy`` is true (replay ≥ 1M ev/s at 32 cpus;
+clean-window record 1.49M, degraded windows read 100-600k).
 
 The changelog input is cached under /tmp/rayrep_bench (same bytes for
 every run/process — the scaling comparison is apples-to-apples) and a
@@ -338,6 +343,44 @@ def main_scaling() -> dict:
     }
     _append_bench_md(result)
     return result
+
+
+def main_probe() -> dict:
+    """Window-health gate. One timed headline replay (fresh subprocess,
+    current NUM_CPUS, default exchange) + tools/busprobe.py single-process
+    kernels + hypervisor steal over the replay. `healthy` operationalizes
+    the BENCH/BASELINE.md protocol: record a ladder only from a window
+    whose 32-cpu replay clears ~1M ev/s; otherwise the ladder measures the
+    neighbors, not the engine."""
+    ensure_changelog(changelog_events())
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import busprobe
+
+    s0 = _cpu_sample()
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--headline-only"],
+        env=dict(os.environ, BENCH_REPEATS="1"),
+        capture_output=True, text=True, check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    r = json.loads(out.strip().splitlines()[-1])
+    steal = _steal_pct(s0, _cpu_sample())
+    alu_1 = busprobe.alu_kernel()
+    data_1 = busprobe.data_kernel()
+    evps = r["replay_events_per_sec"]
+    return {
+        "metric": "window-health probe",
+        "num_cpus": NUM_CPUS,
+        "replay_events_per_sec": evps,
+        "pack_exchange": r.get("pack_exchange"),
+        "steal_pct": steal,
+        # clean-window 1-proc references (2026-08-18): alu ~6.1M it/s,
+        # data ~1.09M rows/s — a big shortfall here means a noisy
+        # neighbor holds the bus/cache even when steal reads 0
+        "busprobe_1proc": {"alu": round(alu_1), "data": round(data_1)},
+        "healthy": bool(evps >= 1_000_000 * (NUM_CPUS / 32) * 0.9
+                        and steal < 5.0),
+    }
 
 
 def main_weak_scaling() -> dict:
@@ -671,7 +714,9 @@ def main_staged() -> dict:
 
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    if "--scaling" in sys.argv:
+    if "--probe" in sys.argv:
+        print(json.dumps(main_probe()))
+    elif "--scaling" in sys.argv:
         print(json.dumps(main_scaling()))
     elif "--weak-scaling" in sys.argv:
         print(json.dumps(main_weak_scaling()))
