@@ -268,33 +268,6 @@ def _km_sqdist(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return out
 
 
-def _km_partial(batch: pa.Table, cent_ref, emb_col: str) -> pa.Table:
-    """Map-side Lloyd partials: assign each row to its nearest centroid
-    (ties → lowest cluster id) and emit (cluster, dim, sum, count) rows —
-    k×d per batch, never the data."""
-    cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
-    k, d = cent.shape
-    if batch.num_rows == 0:
-        return pa.table({"cluster": pa.array([], pa.int64()),
-                         "dim": pa.array([], pa.int64()),
-                         "s": pa.array([], pa.int64()),
-                         "n": pa.array([], pa.int64())})
-    x = _quantize_embeddings(batch.column(emb_col))
-    assign = _km_sqdist(x, cent).argmin(axis=1)
-    order = np.argsort(assign, kind="stable")
-    a_s = assign[order]
-    bounds = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
-    sums = np.add.reduceat(x[order], bounds, axis=0)          # (L, d)
-    counts = np.diff(np.r_[bounds, len(a_s)])
-    L = len(bounds)
-    return pa.table({
-        "cluster": pa.array(np.repeat(a_s[bounds].astype(np.int64), d)),
-        "dim": pa.array(np.tile(np.arange(d, dtype=np.int64), L)),
-        "s": pa.array(sums.ravel()),
-        "n": pa.array(np.repeat(counts.astype(np.int64), d)),
-    })
-
-
 def _km_final(batch: pa.Table, cent_ref, emb_col: str) -> pa.Table:
     """Final assignment partials: per-cluster member count + scaled inertia
     (Σ d²//2^20 — exact integer, overflow-safe to ~10^13 rows)."""
@@ -317,30 +290,105 @@ def _km_final(batch: pa.Table, cent_ref, emb_col: str) -> pa.Table:
     })
 
 
+@ray.remote
+def _km_init_task(tbl: pa.Table, k: int, id_col: str, emb_col: str) -> pa.Table:
+    """Init-candidate filter over one pinned block: rows with id < k."""
+    import pyarrow.compute as pc
+
+    return tbl.select([id_col, emb_col]).filter(pc.less(tbl.column(id_col), k))
+
+
+@ray.remote
+def _km_assign_task(tbl: pa.Table, cent_ref, emb_col: str):
+    """One Lloyd partial over one pinned block: assign rows to their
+    nearest centroid (exact int64 sqdist, ties → lowest cluster) and emit
+    DENSE (k, d) coordinate sums + (k,) counts — int64 addition is
+    associative, so any fold order reproduces the grouped-Sum result
+    bitwise."""
+    cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    k, d = cent.shape
+    sums = np.zeros((k, d), dtype=np.int64)
+    counts = np.zeros(k, dtype=np.int64)
+    if tbl.num_rows:
+        x = _quantize_embeddings(tbl.column(emb_col))
+        assign = _km_sqdist(x, cent).argmin(axis=1)
+        order = np.argsort(assign, kind="stable")
+        a_s = assign[order]
+        bounds = np.flatnonzero(np.r_[True, a_s[1:] != a_s[:-1]])
+        sums[a_s[bounds]] = np.add.reduceat(x[order], bounds, axis=0)
+        counts[a_s[bounds]] = np.diff(np.r_[bounds, len(a_s)])
+    return sums, counts
+
+
+@ray.remote
+def _km_combine_task(*parts):
+    """Tree-fold a group of (sums, counts) partials into one."""
+    sums = np.zeros_like(parts[0][0])
+    counts = np.zeros_like(parts[0][1])
+    for s, c in parts:
+        sums += s
+        counts += c
+    return sums, counts
+
+
+def _km_fold(futs: list, fanin: int = 64):
+    """Two-level reduce: groups of ``fanin`` partials combine in remote
+    tasks, the driver folds only ⌈B/fanin⌉ tiny (k×d) arrays — bounded
+    driver work at any block count."""
+    if len(futs) > fanin:
+        futs = [_km_combine_task.remote(*futs[i:i + fanin])
+                for i in range(0, len(futs), fanin)]
+    sums = None
+    counts = None
+    for s, c in ray.get(futs):
+        if sums is None:
+            sums, counts = s.copy(), c.copy()
+        else:
+            sums += s
+            counts += c
+    return sums, counts
+
+
+def kmeans_prepare(
+    ds: rd.Dataset, id_col: str = "vec_id", emb_col: str = "embedding",
+) -> list:
+    """Materialize the two k-means columns ONCE and return pinned Arrow
+    block refs: every subsequent Lloyd iteration / summary pass is a
+    lightweight task wave over these refs instead of a fresh Dataset
+    execution (parquet re-read + operator spin-up per pass — measured
+    ~4-5 s of fixed overhead per execution on this box). The object store
+    spills if the pruned columns exceed memory; for corpora where even
+    two columns don't fit a cluster's store, train on a sample instead
+    (``train_ivf_from_dataset``)."""
+    cols = set(ds.schema().names)
+    if {id_col, emb_col} != cols:
+        ds = ds.select_columns([id_col, emb_col])
+    return ds.materialize().to_arrow_refs()
+
+
 def kmeans_fit(
     ds: rd.Dataset, k: int = 8, iters: int = 3,
     id_col: str = "vec_id", emb_col: str = "embedding",
+    prepared: list | None = None,
 ) -> np.ndarray:
     """Distributed Lloyd's k-means over an embedding column, EXACT by
     construction: fixed-point 2^20 quantization, integer squared distances,
     and floor-division centroid updates — every iterate is bit-identical
-    across batch splits, partitionings, and engines (the DuckDB oracle
-    replays all ``iters`` iterations and matches bitwise).
+    across batch splits, partitionings, fold orders and engines (the
+    DuckDB oracle replays all ``iters`` iterations and matches bitwise).
 
-    Scale shape per iteration: one streaming pass — ``map_batches`` emits
-    k×d-row partials, a tiny grouped Sum merges them, the driver folds k×d
-    numbers; centroids broadcast via ``ray.put``. The data never shuffles
-    and never lands on the driver. Deterministic init: the k lowest-id
-    vectors (SQL-expressible; swap for k-means‖ sampling at real scale).
-    Empty clusters keep their previous centroid."""
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
-
-    def pick_init(t: pa.Table) -> pa.Table:
-        return t.filter(pc.less(t.column(id_col), k))
-
-    init = (ds.map_batches(pick_init, batch_format="pyarrow")
-            .to_pandas().sort_values(id_col))
+    Scale shape: the pruned (id, embedding) columns materialize ONCE
+    (``kmeans_prepare``); each iteration is one task wave over the pinned
+    block refs emitting dense (k, d) int64 partials, tree-folded with a
+    bounded driver tail — no parquet re-read, no shuffle, no per-pass
+    Dataset-execution overhead, and the embeddings never land on the
+    driver. Centroids broadcast via ``ray.put``. Deterministic init: the
+    k lowest-id vectors (SQL-expressible; swap for k-means‖ sampling at
+    real scale). Empty clusters keep their previous centroid."""
+    refs = kmeans_prepare(ds, id_col, emb_col) if prepared is None else prepared
+    init = pa.concat_tables(
+        ray.get([_km_init_task.remote(r, k, id_col, emb_col) for r in refs])
+    ).to_pandas().sort_values(id_col)
     if len(init) < k:
         raise ValueError(f"need ids 0..{k-1} present for deterministic init")
     cent = np.floor(
@@ -348,36 +396,51 @@ def kmeans_fit(
     ).astype(np.int64)
     for _ in range(iters):
         ref = ray.put(cent)
-        agg = (
-            ds.map_batches(_km_partial, fn_kwargs={"cent_ref": ref, "emb_col": emb_col},
-                           batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["cluster", "dim"])
-            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
-            .to_pandas()
-        )
+        sums, counts = _km_fold(
+            [_km_assign_task.remote(r, ref, emb_col) for r in refs])
         nxt = cent.copy()
-        cl = agg["cluster"].to_numpy()
-        dim = agg["dim"].to_numpy()
-        nxt[cl, dim] = agg["s"].to_numpy() // agg["n"].to_numpy()
+        upd = counts > 0
+        nxt[upd] = sums[upd] // counts[upd, None]
         cent = nxt
     return cent
 
 
+@ray.remote
+def _km_summary_task(tbl: pa.Table, cent_ref, emb_col: str):
+    """Final-assignment partial over one pinned block: dense per-cluster
+    (count, scaled inertia) — exact int64, any fold order."""
+    cent = ray.get(cent_ref) if isinstance(cent_ref, ray.ObjectRef) else cent_ref
+    if tbl.num_rows == 0:
+        z = np.zeros(cent.shape[0], dtype=np.int64)
+        return z, z.copy()
+    t = _km_final(tbl, cent, emb_col)
+    return (t.column("n").to_numpy().copy(),
+            t.column("inertia").to_numpy().copy())
+
+
 def kmeans_cluster_summary(
     ds: rd.Dataset, cent: np.ndarray, emb_col: str = "embedding",
-) -> "pa.Table":
-    """One assignment pass at fixed centroids → (cluster, n, inertia)."""
-    from ray.data.aggregate import Sum
-
+    id_col: str = "vec_id", prepared: list | None = None,
+) -> pd.DataFrame:
+    """One assignment pass at fixed centroids → (cluster, n, inertia).
+    Runs as a task wave over the pinned ``kmeans_prepare`` blocks (pass
+    ``prepared`` to reuse the training materialization)."""
+    refs = kmeans_prepare(ds, id_col, emb_col) if prepared is None else prepared
     ref = ray.put(cent)
-    out = (
-        ds.map_batches(_km_final, fn_kwargs={"cent_ref": ref, "emb_col": emb_col},
-                       batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("cluster")
-        .aggregate(Sum("n", alias_name="n"), Sum("inertia", alias_name="inertia"))
-        .to_pandas()
-    )
-    return out.sort_values("cluster").reset_index(drop=True)
+    counts = None
+    inertia = None
+    for n, i in ray.get([_km_summary_task.remote(r, ref, emb_col)
+                         for r in refs]):
+        if counts is None:
+            counts, inertia = n.astype(np.int64), i.astype(np.int64)
+        else:
+            counts += n
+            inertia += i
+    return pd.DataFrame({
+        "cluster": np.arange(cent.shape[0], dtype=np.int64),
+        "n": counts,
+        "inertia": inertia,
+    })
 
 
 def _semdedup_group(
@@ -425,8 +488,12 @@ def semantic_dedup(
     100 TB shape: the within-cluster pass is O(|cluster|²·d) — SemDeDup's
     own cost model — so ``k`` must grow ∝ corpus size to bound cluster
     width (k≈N/⟨cluster⟩); the shuffle carries (id, cluster, embedding)
-    once, and nothing lands on the driver."""
-    cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col)
+    once, and nothing lands on the driver. The (id, embedding) columns
+    materialize once (``kmeans_prepare``) and feed both the Lloyd waves
+    and the assignment pass — no second corpus read."""
+    prepared = kmeans_prepare(ds, id_col, emb_col)
+    cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, emb_col=emb_col,
+                      prepared=prepared)
     ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -437,7 +504,8 @@ def semantic_dedup(
             "cluster", pa.array(a))
 
     return (
-        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        rd.from_arrow_refs(prepared)
+        .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cluster")
         .map_groups(_semdedup_group, batch_format="pyarrow",
                     fn_kwargs={"theta": theta, "id_col": id_col,
@@ -478,12 +546,15 @@ def ivf_exact_pruned_topk(
     deterministic and SQL-replayable, so the pruned (approximate!) result
     itself hash-matches DuckDB instead of needing a rows-only check.
 
-    Scale shape: train = iters streaming passes (k×d partials, data never
-    shuffles); search = one pruned pass — each batch assigns, keeps only
-    probe-cell rows, and emits its local top-k (k rows/batch cross the
-    cluster), merged by one bounded driver fold."""
+    Scale shape: train = iters task waves over the once-materialized
+    (id, embedding) blocks (k×d partials, data never shuffles); search =
+    one pruned pass over the same pinned blocks — each batch assigns,
+    keeps only probe-cell rows, and emits its local top-k (k rows/batch
+    cross the cluster), merged by one bounded driver fold."""
+    prepared = kmeans_prepare(ds, id_col, emb_col)
     cent = kmeans_fit(ds, k=k_clusters, iters=iters,
-                      id_col=id_col, emb_col=emb_col)
+                      id_col=id_col, emb_col=emb_col, prepared=prepared)
+    ds = rd.from_arrow_refs(prepared)
 
     def pick_query(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -535,9 +606,12 @@ def ivf_exact_build(
     plus the centroids.  Because the quantizer is deterministic, the
     materialized membership is identical to what ``ivf_exact_pruned_topk``
     recomputes per query — so a pruned READ over this layout returns the
-    same hash-verifiable result without rescanning the corpus."""
+    same hash-verifiable result without rescanning the corpus. The
+    (id, embedding) columns materialize once and feed both the Lloyd
+    waves and the assignment+write pass."""
+    prepared = kmeans_prepare(ds, id_col, emb_col)
     cent = kmeans_fit(ds, k=k_clusters, iters=iters,
-                      id_col=id_col, emb_col=emb_col)
+                      id_col=id_col, emb_col=emb_col, prepared=prepared)
     cent_ref = ray.put(cent)
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -547,7 +621,8 @@ def ivf_exact_build(
         return batch.select([id_col, emb_col]).append_column(
             "cell", pa.array(a))
 
-    (ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    (rd.from_arrow_refs(prepared)
+     .map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
      .write_parquet(index_dir, partition_cols=["cell"]))
     np.save(os.path.join(index_dir, IVFIndex._CENTROIDS_FILE), cent)
     return cent

@@ -2786,15 +2786,19 @@ def kmeans_clusters(sf_dir: str) -> pd.DataFrame:
     iterations), EXACT: fixed-point 2^20 quantization + integer distances +
     floor-div centroid updates make every iterate bit-identical across
     batch splits and engines — the DuckDB oracle replays all three
-    iterations and the final (cluster, n, inertia) matches bitwise. Per
-    iteration: one streaming pass emitting k×d partial-sum rows, one tiny
-    grouped Sum; embeddings never shuffle, never land on the driver."""
-    from rayrep.ops.similarity import kmeans_cluster_summary, kmeans_fit
+    iterations and the final (cluster, n, inertia) matches bitwise. The
+    (vec_id, embedding) columns materialize ONCE; each Lloyd iteration and
+    the final summary are lightweight task waves over the pinned blocks
+    emitting dense k×d int64 partials — embeddings never shuffle, never
+    land on the driver, and the corpus is read exactly once."""
+    from rayrep.ops.similarity import (kmeans_cluster_summary, kmeans_fit,
+                                       kmeans_prepare)
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
-    cent = kmeans_fit(ds, k=8, iters=3)
-    return kmeans_cluster_summary(ds, cent)
+    prepared = kmeans_prepare(ds)
+    cent = kmeans_fit(ds, k=8, iters=3, prepared=prepared)
+    return kmeans_cluster_summary(ds, cent, prepared=prepared)
 
 
 # ------------------------------------------------------------------ registry
