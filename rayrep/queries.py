@@ -1057,6 +1057,38 @@ def sessionize_users(sf_dir: str) -> pd.DataFrame:
     return out[["user_id", "n_sessions", "n_events"]]
 
 
+def tumbling_window_values(sf_dir: str) -> pd.DataFrame:
+    """Event-time tumbling windows (1 h) with WATERMARK LATE-DATA DROPS
+    (10 min allowed lateness) — the streaming finalize-at-watermark rule,
+    hash-pinned end to end: the watermark is a distributed prefix max
+    over arrival order (the pack_sequences prefix pattern), and
+    deterministic disorder (event_time = ts − (event_id % 97)·30 s) is
+    synthesized because the fixture stream — like a real binlog — is
+    arrival-ordered (disorder up to 97·250 s ≈ 6.7 h; ~15%% of sf0.01
+    events arrive past the watermark+lateness cutoff and drop). The SQL
+    oracle replays the same backdating, prefix
+    max, and drop rule, so a single wrongly-dropped or wrongly-kept
+    event breaks the value hash."""
+    from rayrep.ops.windows import tumbling_window_agg
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "ts", "value"])
+    return tumbling_window_agg(
+        ds, width_us=3_600_000_000, lateness_us=600_000_000,
+        backdate_mod=97, backdate_step_us=250_000_000,
+    ).to_pandas()
+
+
+def hopping_window_values(sf_dir: str) -> pd.DataFrame:
+    """Hopping (sliding) event-time windows: 1 h width, 30 min hop — each
+    event fans out to width/hop overlapping windows vectorized inside
+    map_batches (np.repeat over 3 skinny int64 columns), then ONE grouped
+    Sum. Exact fixed-point value sums."""
+    from rayrep.ops.windows import hopping_window_agg
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"])
+    return hopping_window_agg(ds).to_pandas()
+
+
 def clicks_before_purchase(sf_dir: str) -> pd.DataFrame:
     """Bounded range join (non-equi): for every purchase, the number of
     same-user clicks in the preceding hour (BETWEEN-inclusive). One hash
@@ -2837,6 +2869,8 @@ def queries() -> dict:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_pruned": ann_ivf_pruned,
         "sessionize_users": sessionize_users,
+        "tumbling_window_values": tumbling_window_values,
+        "hopping_window_values": hopping_window_values,
         "asof_click_value": asof_click_value,
         "clicks_before_purchase": clicks_before_purchase,
         "rolling_value_avg": rolling_value_avg,
@@ -3297,6 +3331,45 @@ def _oracle_sql_base() -> dict:
                 FROM events
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ) GROUP BY user_id
+        """,
+        "tumbling_window_values": """
+            WITH e AS (
+                SELECT user_id,
+                       epoch_us(ts) - (event_id % 97) * 250000000 AS et,
+                       CAST(floor(value * 10000) AS BIGINT) AS v_fp,
+                       max(epoch_us(ts) - (event_id % 97) * 250000000)
+                           OVER (ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS wm
+                FROM events
+            )
+            SELECT user_id,
+                   (et // 3600000000) * 3600000000 AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(v_fp) AS BIGINT) AS value_fp
+            FROM e
+            WHERE wm IS NULL
+               OR wm <= (et // 3600000000) * 3600000000
+                        + 3600000000 + 600000000
+            GROUP BY 1, 2
+        """,
+        "hopping_window_values": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS et,
+                       CAST(floor(value * 10000) AS BIGINT) AS v_fp
+                FROM events
+            ), f AS (
+                SELECT user_id,
+                       (et // 1800000000) * 1800000000
+                           - k.k * 1800000000 AS window_start,
+                       v_fp
+                FROM e CROSS JOIN (SELECT unnest(range(2)) AS k) AS k
+                WHERE (et // 1800000000) * 1800000000
+                          - k.k * 1800000000 >= 0
+            )
+            SELECT user_id, window_start, count(*) AS n_events,
+                   CAST(sum(v_fp) AS BIGINT) AS value_fp
+            FROM f GROUP BY 1, 2
         """,
         "asof_click_value": """
             WITH p AS (

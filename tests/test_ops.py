@@ -738,3 +738,101 @@ def test_dup_span_scale_levers():
     # both members of the pair see the same sampled grams → equal counts
     s = sampled.set_index("doc_id")["dup_spans"]
     assert s[3] == s[17] > 0
+
+
+def test_tumbling_window_drops_cross_part_watermark():
+    """Hand-computed late-drop case whose watermark crosses a part
+    boundary (chunk=2 -> ids {0,1} and {2,3} in different parts): id2 is
+    backdated behind a watermark the PREVIOUS part set, so it must drop
+    via the broadcast incoming prefix max, not local state."""
+    from rayrep.ops.windows import tumbling_window_agg
+
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+    et = np.array([100, 5000, 150, 5100], dtype=np.int64)  # event-time us
+    t = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "ts": pa.array((base + et).astype("datetime64[us]")),
+        "user_id": pa.array(np.array([7, 7, 7, 7], dtype=np.int64)),
+        "value": pa.array([1.5, 2.5, 100.0, 4.0]),
+    })
+    out = tumbling_window_agg(
+        rd.from_arrow(t).repartition(2), width_us=1000, lateness_us=0,
+        chunk=2,
+    ).to_pandas().sort_values("window_start").reset_index(drop=True)
+    # id0 (ws=base+0) keeps; id1 (ws=base+5000) keeps; id2 (ws=base+0)
+    # arrives at wm=5000 > 0+1000+0 -> DROPPED; id3 (ws=base+5000) keeps.
+    ws0 = (base + 100) // 1000 * 1000
+    ws5 = (base + 5000) // 1000 * 1000
+    assert out["window_start"].tolist() == [ws0, ws5]
+    assert out["n_events"].tolist() == [1, 2]
+    assert out["value_fp"].tolist() == [15000, 25000 + 40000]
+
+
+def test_tumbling_window_no_lateness_equals_plain_groupby():
+    """With unlimited lateness nothing drops: result == a plain
+    (user, floor(ts/width)) groupby, regardless of partitioning."""
+    from rayrep.ops.windows import tumbling_window_agg
+
+    rng = np.random.default_rng(7)
+    n = 500
+    ts = (np.datetime64("2024-01-01", "us").astype(np.int64)
+          + rng.integers(0, 10**10, n))
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "user_id": pa.array(rng.integers(0, 9, n)),
+        "value": pa.array(rng.uniform(0, 50, n)),
+    })
+    width = 3_600_000_000
+    out = tumbling_window_agg(
+        rd.from_arrow(t).repartition(5), width_us=width,
+        lateness_us=np.iinfo(np.int64).max // 2, chunk=64,
+    ).to_pandas()
+    df = t.to_pandas()
+    df["window_start"] = (df.ts.astype("int64") // width) * width
+    df["v_fp"] = np.floor(df.value * 10_000).astype(np.int64)
+    exp = (df.groupby(["user_id", "window_start"], as_index=False)
+           .agg(n_events=("v_fp", "size"), value_fp=("v_fp", "sum")))
+    key = ["user_id", "window_start"]
+    got = out.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[key + ["n_events", "value_fp"]].astype("int64"),
+        exp[key + ["n_events", "value_fp"]].astype("int64"))
+
+
+def test_hopping_window_brute_force():
+    """Every (key, window) count/sum equals the O(n·m) reference fan-out."""
+    from rayrep.ops.windows import hopping_window_agg
+
+    rng = np.random.default_rng(11)
+    n = 300
+    ts = (np.datetime64("2024-01-01", "us").astype(np.int64)
+          + rng.integers(0, 10**10, n))
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 5, n)),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array(rng.uniform(0, 9, n)),
+    })
+    width, hop = 3_600_000_000, 1_200_000_000
+    out = (hopping_window_agg(rd.from_arrow(t).repartition(4),
+                              width_us=width, hop_us=hop)
+           .to_pandas().sort_values(["user_id", "window_start"])
+           .reset_index(drop=True))
+    rows = []
+    df = t.to_pandas()
+    for _, r in df.iterrows():
+        et = int(pd.Timestamp(r.ts).value // 1000)
+        for m in range(width // hop):
+            ws = (et // hop) * hop - m * hop
+            if ws >= 0:
+                rows.append((r.user_id, ws,
+                             int(np.floor(r.value * 10_000))))
+    exp = (pd.DataFrame(rows, columns=["user_id", "window_start", "v"])
+           .groupby(["user_id", "window_start"], as_index=False)
+           .agg(n_events=("v", "size"), value_fp=("v", "sum"))
+           .sort_values(["user_id", "window_start"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        out[["user_id", "window_start", "n_events", "value_fp"]]
+        .astype("int64"),
+        exp.astype("int64"))
