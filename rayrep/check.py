@@ -148,3 +148,96 @@ def check_lake(lake_dir: str, deep: bool = False,
 
     result.update({"ok": not errors, "errors": errors, "warnings": warnings})
     return result
+
+
+# ----------------------------------------------------------------- lake diff
+def diff_lakes(lake_a: str, lake_b: str,
+               distributed: bool = False) -> "pa.Table":
+    """Row-level diff of two converged lakes — the replication-audit
+    operator (reference analog: the validator service comparing MySQL
+    rows against the replicated HBase table, README.md:24-26).
+
+    Both lakes must share the same routing pins (partition count, salt
+    mode, changed-cells mode): then key k lives in the SAME partition id
+    in both, and the diff is P independent per-partition tasks — fold
+    both chains, align keys with one sorted merge, hash-compare payloads
+    — with NO shuffle and nothing corpus-sized on the driver (each task
+    returns only its differing keys, which a healthy audit expects to be
+    ~0). A primary-vs-DR-replica audit at 10^10 keys is therefore read
+    bandwidth, not exchange.
+
+    Returns an Arrow table (conv_id, turn_idx, status) where status ∈
+    {'only_a', 'only_b', 'differs'}; erased keys are hidden exactly as
+    ``final_table`` hides them (reads are erasure-filtered everywhere).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from rayrep.maintenance import run_per_partition
+    from rayrep.registry import SchemaRegistry
+
+    la, lb = LakeMeta.load(lake_a), LakeMeta.load(lake_b)
+    if la is None or lb is None:
+        raise ValueError("diff_lakes: both paths must be lakes with LakeMeta")
+    for attr in ("num_partitions", "salt_turn_keys", "changed_cells",
+                 "hash_version"):
+        va, vb = getattr(la, attr, None), getattr(lb, attr, None)
+        if va != vb:
+            raise ValueError(
+                f"diff_lakes: routing pin mismatch on {attr}: "
+                f"{va!r} != {vb!r} (diff requires aligned partitioning; "
+                f"repartition_lake one side first)")
+    target_a = SchemaRegistry(persist_dir=lake_a).current_json()
+    target_b = SchemaRegistry(persist_dir=lake_b).current_json()
+    if target_a != target_b:
+        raise ValueError("diff_lakes: schema mismatch between lakes "
+                         "(apply the missing DDL before auditing)")
+    cells = bool(la.changed_cells)
+
+    def one(pid: int) -> dict:
+        import pandas as pd
+
+        from rayrep.apply import fold_state_chain, fold_state_chain_cells
+        from rayrep.retention import _erase_filter, load_erased
+        from rayrep.schema import SchemaVersion
+
+        fold_fn = fold_state_chain_cells if cells else fold_state_chain
+
+        def live(lake: str) -> pd.DataFrame:
+            import pyarrow.compute as pc
+
+            m = PartitionManifest.load(lake, pid)
+            t = fold_fn(lake, m.state_chain,
+                        SchemaVersion.from_json(target_a))
+            t = _erase_filter(t, load_erased(lake))
+            t = t.filter(pc.invert(t["__deleted"]))
+            return t.drop_columns(["__seq", "__deleted"]).to_pandas()
+
+        a, b = live(lake_a), live(lake_b)
+        keys = ["conv_id", "turn_idx"]
+        payload = [c for c in a.columns if c not in keys]
+        # one row-hash per side (vectorized; both sides hashed in THIS
+        # process, so the hash is comparison-stable), then a sorted merge
+        ha = pd.util.hash_pandas_object(a[payload], index=False).to_numpy()
+        hb = pd.util.hash_pandas_object(b[payload], index=False).to_numpy()
+        am = a[keys].assign(__h=ha)
+        bm = b[keys].assign(__h=hb)
+        j = am.merge(bm, on=keys, how="outer", suffixes=("_a", "_b"),
+                     indicator=True)
+        status = np.where(
+            j["_merge"] == "left_only", "only_a",
+            np.where(j["_merge"] == "right_only", "only_b",
+                     np.where(j["__h_a"] != j["__h_b"], "differs", "same")))
+        j = j.loc[status != "same", keys].assign(
+            status=status[status != "same"])
+        return {"pid": pid,
+                "table": pa.Table.from_pandas(j, preserve_index=False)}
+
+    parts = run_per_partition(one, list(range(la.num_partitions)),
+                              distributed)
+    tabs = [p["table"] for p in parts if p["table"].num_rows]
+    if not tabs:
+        return pa.table({"conv_id": pa.array([], pa.string()),
+                         "turn_idx": pa.array([], pa.int32()),
+                         "status": pa.array([], pa.string())})
+    return pa.concat_tables(tabs)

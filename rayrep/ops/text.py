@@ -327,6 +327,41 @@ class CleanText:
         return out.filter(keep)
 
 
+class PIIRedact:
+    """PII scrubbing as one vectorized Arrow stage (the mandatory
+    pre-training privacy pass): count, then redact, email addresses and
+    NANP-style phone numbers.  Emails are redacted first and phones are
+    counted on the email-redacted string, so the two passes can never
+    overlap-claim the same characters; the SQL oracle chains its
+    regexp_replace in the same order.  Both Arrow and DuckDB compile RE2,
+    so regex semantics are identical, not merely approximately so.  At
+    100 TB this runs as a plain task-pool ``map_batches`` — stateless,
+    no shuffle, output ≈ input sized."""
+
+    EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+    PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{1,4}"
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch.column(self.text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        n_emails = pc.count_substring_regex(
+            text, pattern=self.EMAIL_RE).cast(pa.int64())
+        no_email = pc.replace_substring_regex(
+            text, pattern=self.EMAIL_RE, replacement="<EMAIL>")
+        n_phones = pc.count_substring_regex(
+            no_email, pattern=self.PHONE_RE).cast(pa.int64())
+        redacted = pc.replace_substring_regex(
+            no_email, pattern=self.PHONE_RE, replacement="<PHONE>")
+        out = batch.drop_columns([self.text_col])
+        out = out.append_column("redacted_text", redacted)
+        out = out.append_column("n_emails", n_emails)
+        return out.append_column("n_phones", n_phones)
+
+
 def whitespace_token_counts(text: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Whitespace token count on TRIMMED text, defined identically to the
     SQL oracle `length(regexp_split_to_array(trim(text), '\\s+'))`. DuckDB

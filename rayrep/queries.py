@@ -693,6 +693,36 @@ def clean_text_docs(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "clean_text", "clean_len"]]
 
 
+def pii_redact_docs(sf_dir: str) -> pd.DataFrame:
+    """PII redaction over a deterministically seeded corpus: every doc
+    gets a planted email + phone suffix (mirrored verbatim in the SQL
+    oracle — the synthetic corpus contains no organic PII, so without the
+    plant the redaction would be an unverifiable no-op), then one
+    stateless vectorized pass counts and masks both.  A wrong regex, a
+    missed occurrence, or a count/replace order swap breaks the hash."""
+    from rayrep.ops.text import PIIRedact
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        tail = pa.array((ids.to_numpy() % 10000).astype("U5"))
+        text = pc.binary_join_element_wise(
+            t.column("text"), pa.scalar(" contact user"),
+            pc.cast(ids, pa.string()),
+            pa.scalar("@mail.example.org or call 415-555-"), tail, "")
+        return pa.table({"doc_id": ids, "text": text})
+
+    out = (
+        ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(PIIRedact(), batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out[["doc_id", "redacted_text", "n_emails", "n_phones"]]
+
+
 def stratified_sample_docs(sf_dir: str) -> pd.DataFrame:
     """Stratified sampling for data-mixture balancing: a deterministic
     20-doc sample per language, ordered by a Knuth multiplicative hash of
@@ -1473,6 +1503,9 @@ def _emit_changelog_batch(
             # post-rename files carry the NEW column name
             sub = sub.rename_columns(
                 [c if c != "props" else "meta" for c in sub.column_names])
+        if with_ddl and ddl_action == "drop_column" and e >= 2:
+            # post-drop files physically lack the column
+            sub = sub.drop_columns(["props"])
         edir = os.path.join(cl_dir, f"epoch-{int(e):05d}")
         os.makedirs(edir, exist_ok=True)
         fp = os.path.join(edir, f"part-{uuid.uuid4().hex}.parquet")
@@ -1646,12 +1679,16 @@ def _changelog_fixture(sf_dir: str, *, with_deletes: bool, with_ddl: bool,
                             "type": "string"}
                 extra = {"note": pa.nulls(1, pa.string())}
                 payload_col = "props"
-            else:  # rename_column: props -> meta mid-stream
+            elif ddl_action == "rename_column":  # props -> meta mid-stream
                 ddl_json = {"action": "rename_column", "from": "props",
                             "to": "meta"}
                 extra = {}
                 payload_col = "meta"  # DDL row written under the NEW schema
-            ddl_row = pa.table({
+            else:  # drop_column: props removed mid-stream
+                ddl_json = {"action": "drop_column", "name": "props"}
+                extra = {}
+                payload_col = None  # DDL row written under the NEW schema
+            cells = {
                 "seq": pa.array([2 * thr - 1], pa.int64()),
                 "txn_id": pa.nulls(1, pa.int64()),
                 "op": pa.array(["DDL"]),
@@ -1661,12 +1698,14 @@ def _changelog_fixture(sf_dir: str, *, with_deletes: bool, with_ddl: bool,
                 "event_id": pa.nulls(1, pa.int64()),
                 "event_type": pa.nulls(1, pa.string()),
                 "value": pa.nulls(1, pa.float64()),
-                payload_col: pa.nulls(1, pa.string()),
                 "ts": pa.array([pd.Timestamp("2024-01-01")],
                                pa.timestamp("us")),
                 "ddl": pa.array([_json.dumps(ddl_json)]),
                 **extra,
-            })
+            }
+            if payload_col is not None:
+                cells[payload_col] = pa.nulls(1, pa.string())
+            ddl_row = pa.table(cells)
             pq.write_table(ddl_row,
                            os.path.join(stage, "epoch-00002",
                                         "part-ddl.parquet"))
@@ -1846,8 +1885,11 @@ def _replay_events_through_engine(
     if with_ddl:
         if ddl_action == "add_column":
             keep.append("note")
-        else:  # rename: pre-DDL rows' payload must have migrated to `meta`
+        elif ddl_action == "rename_column":
+            # rename: pre-DDL rows' payload must have migrated to `meta`
             keep[keep.index("props")] = "meta"
+        else:  # drop: the column is gone from the converged table
+            keep.remove("props")
     return out[keep]
 
 
@@ -1999,6 +2041,61 @@ def cdc_replay_rename(sf_dir: str) -> pd.DataFrame:
     return _replay_events_through_engine(sf_dir, with_deletes=False,
                                          with_ddl=True,
                                          ddl_action="rename_column")
+
+
+def cdc_lake_diff(sf_dir: str) -> pd.DataFrame:
+    """Replication audit (check.diff_lakes), SQL-oracled: replay the
+    tombstoned changelog into lake A, clone it to lake B, erase every
+    user_id % 10 == 3 key from B, then diff — P independent per-partition
+    fold+merge tasks, NO shuffle, only differing keys ever reach the
+    driver.  The diff must report exactly the erased-AND-live keys as
+    ``only_a`` (erased keys whose LWW winner was a delete were never live,
+    so a diff that consults raw chains instead of the folded image, or
+    misses the erasure filter on either side, breaks the hash).  Reference
+    analog: the MySQL-vs-HBase row validator (README.md:24-26)."""
+    import shutil
+    import tempfile
+
+    from rayrep.check import diff_lakes
+    from rayrep.config import EngineConfig
+    from rayrep.pipeline import replay
+    from rayrep.retention import erase_keys
+    from rayrep.schema import SchemaVersion
+
+    cl, _B = _changelog_fixture(sf_dir, with_deletes=True, with_ddl=False,
+                                mask_cells=False, ddl_action="add_column")
+    d = tempfile.mkdtemp(prefix="rayrep_diff_", dir=_scratch_root())
+    lake_a, lake_b = os.path.join(d, "a"), os.path.join(d, "b")
+    sv = SchemaVersion(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("event_id", pa.int64()), pa.field("event_type", pa.string()),
+        pa.field("value", pa.float64()), pa.field("props", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]))
+    replay(EngineConfig(changelog_dir=cl, lake_dir=lake_a,
+                        num_partitions=16, initial_schema_json=sv.to_json()))
+    shutil.copytree(lake_a, lake_b)
+    uids = np.unique(
+        pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["user_id"]).column("user_id").to_numpy())
+    erase_keys(lake_b, [str(u) for u in uids if u % 10 == 3])
+    diff = diff_lakes(lake_a, lake_b, distributed=True).to_pandas()
+    diff["user_id"] = diff["conv_id"].astype("int64")
+    return (diff[["user_id", "status"]]
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def cdc_replay_drop_column(sf_dir: str) -> pd.DataFrame:
+    """Mid-stream ``drop_column`` (props) through the real engine,
+    SQL-oracled: pre-drop epochs' files — and the already-committed state
+    rows — physically carry the column, so the applier's chain-conform
+    step must shed it at merge-on-read while post-drop files (which lack
+    it entirely) apply cleanly.  Completes the M9 DDL trio
+    (add/rename/drop, reference schema evolution) end-to-end; oracle =
+    the LWW SQL without ``props``."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         with_ddl=True,
+                                         ddl_action="drop_column")
 
 
 def cdc_replay_chaos(sf_dir: str) -> pd.DataFrame:
@@ -2856,6 +2953,7 @@ def queries() -> dict:
         "dedup_exact": dedup_exact,
         "pack_sequences": pack_sequences,
         "clean_text_docs": clean_text_docs,
+        "pii_redact_docs": pii_redact_docs,
         "stratified_sample_docs": stratified_sample_docs,
         "dedup_exact_rows": dedup_exact_rows,
         "token_stats": token_stats,
@@ -2905,6 +3003,8 @@ def queries() -> dict:
         "cdc_delta_rollup": cdc_delta_rollup,
         "cdc_replay_chaos": cdc_replay_chaos,
         "cdc_replay_rename": cdc_replay_rename,
+        "cdc_replay_drop_column": cdc_replay_drop_column,
+        "cdc_lake_diff": cdc_lake_diff,
         "cdc_replay_metrics": cdc_replay_metrics,
         "cdc_bootstrap_tail": cdc_bootstrap_tail,
         "cdc_tail_mode": cdc_tail_mode,
@@ -3158,6 +3258,26 @@ def _oracle_sql_base() -> dict:
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
+        "cdc_replay_drop_column": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_lake_diff": """
+            WITH e AS (
+                SELECT *,
+                       (event_id % 7 = 0 AND row_number() OVER
+                            (PARTITION BY user_id ORDER BY event_id) > 1) AS is_del
+                FROM events
+            ), r AS (
+                SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e
+            )
+            SELECT user_id, 'only_a' AS status
+            FROM r WHERE rn = 1 AND NOT is_del AND user_id % 10 = 3
+            ORDER BY user_id
+        """,
         "cdc_epoch_snapshot": """
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
@@ -3271,6 +3391,31 @@ def _oracle_sql_base() -> dict:
                 FROM documents)
             QUALIFY row_number() OVER (PARTITION BY lang
                                        ORDER BY h, doc_id) <= 20
+        """,
+        "pii_redact_docs": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || doc_id
+                            || '@mail.example.org or call 415-555-'
+                            || (doc_id % 10000) AS t
+                FROM documents
+            ), r AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(t,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'
+                       ))::BIGINT AS n_emails,
+                       regexp_replace(t,
+                           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g') AS t1
+                FROM p
+            )
+            SELECT doc_id,
+                   regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{1,4}',
+                                  '<PHONE>', 'g') AS redacted_text,
+                   n_emails,
+                   len(regexp_extract_all(t1,
+                       '[0-9]{3}-[0-9]{3}-[0-9]{1,4}'))::BIGINT AS n_phones
+            FROM r
         """,
         "clean_text_docs": r"""
             WITH d AS (

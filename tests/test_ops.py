@@ -836,3 +836,30 @@ def test_hopping_window_brute_force():
         out[["user_id", "window_start", "n_events", "value_fp"]]
         .astype("int64"),
         exp.astype("int64"))
+
+
+def test_pii_redact_counts_and_masks():
+    import pyarrow as pa
+
+    from rayrep.ops.text import PIIRedact
+
+    batch = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail a@b.co and c.d+x@e-f.org then call 415-555-0199 now",
+            "no pii here at all",
+            "double 212-555-1 and 212-555-12 plus bob@x.io",
+        ]),
+    })
+    out = PIIRedact()(batch)
+    assert out.column("n_emails").to_pylist() == [2, 0, 1]
+    assert out.column("n_phones").to_pylist() == [1, 0, 2]
+    red = out.column("redacted_text").to_pylist()
+    assert red[0] == "mail <EMAIL> and <EMAIL> then call <PHONE> now"
+    assert red[1] == "no pii here at all"
+    assert red[2] == "double <PHONE> and <PHONE> plus <EMAIL>"
+    # idempotent: a second pass finds nothing left to redact
+    again = PIIRedact(text_col="redacted_text")(
+        out.select(["doc_id", "redacted_text"]))
+    assert again.column("n_emails").to_pylist() == [0, 0, 0]
+    assert again.column("n_phones").to_pylist() == [0, 0, 0]
