@@ -205,6 +205,10 @@ SUITE_V2 = [
     "doc_fingerprint",
     "cdc_ingest_dedup",
     "cdc_repartition",
+    # session-6 additions
+    "cdc_lake_diff",
+    "pii_redact_docs",
+    "tumbling_window_values",
 ]
 
 
