@@ -2043,6 +2043,188 @@ def cdc_replay_rename(sf_dir: str) -> pd.DataFrame:
                                          ddl_action="rename_column")
 
 
+_MT_UNION_FIELDS = [
+    ("seq", pa.int64()), ("op", pa.string()), ("table", pa.string()),
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("event_id", pa.int64()), ("event_type", pa.string()),
+    ("value", pa.float64()), ("props", pa.string()),
+    ("n_chars", pa.int64()), ("lang", pa.string()), ("source", pa.string()),
+    ("ts", pa.timestamp("us")), ("ddl", pa.string()),
+]
+
+
+def _mt_write_epochs(tbl: pa.Table, epoch: np.ndarray, cl_dir: str) -> None:
+    import uuid as _u
+
+    for e in np.unique(epoch):
+        sub = tbl.filter(pa.array(epoch == e))
+        edir = os.path.join(cl_dir, f"epoch-{int(e):05d}")
+        os.makedirs(edir, exist_ok=True)
+        fp = os.path.join(edir, f"part-{_u.uuid4().hex}.parquet")
+        pq.write_table(sub, fp + ".tmp")
+        os.replace(fp + ".tmp", fp)
+
+
+def _mt_union_table(n: int, cols: dict) -> pa.Table:
+    """One union-schema changelog slice: every multi-table part file
+    carries the SAME field list (a parquet epoch dir must be schema-
+    homogeneous), with the other table's payload columns null."""
+    out = {}
+    for name, typ in _MT_UNION_FIELDS:
+        out[name] = cols.get(name, pa.nulls(n, typ))
+    return pa.table(out)
+
+
+def _emit_mt_conv_batch(batch: pa.Table, cl_dir: str, B: int) -> pa.Table:
+    eid = batch.column("event_id").to_numpy()
+    n = batch.num_rows
+    tbl = _mt_union_table(n, {
+        "seq": pa.array(eid * 2),
+        "op": pa.array(np.full(n, "U", dtype="U1")),
+        "table": pa.array(np.full(n, "conv", dtype="U4")),
+        "conv_id": batch.column("user_id").cast(pa.string()),
+        "turn_idx": pa.array(np.zeros(n, np.int32)),
+        "event_id": batch.column("event_id"),
+        "event_type": _arr_c(batch.column("event_type")),
+        "value": _arr_c(batch.column("value")),
+        "props": _arr_c(batch.column("props")),
+        "ts": batch.column("ts"),
+    })
+    _mt_write_epochs(tbl, np.minimum(3, eid * 4 // B), cl_dir)
+    return pa.table({"rows": pa.array([n], pa.int64())})
+
+
+def _emit_mt_docs_batch(batch: pa.Table, cl_dir: str, B: int, D: int) -> pa.Table:
+    """Docs-table slice: one INSERT per doc (epochs 0–2 by doc_id range)
+    plus, for every 3rd doc, a later UPDATE (epoch 3, seq above every
+    insert, newer ts) bumping n_chars by 7 — the update must override the
+    insert through the SAME shuffle that carries the conv table."""
+    did = batch.column("doc_id").to_numpy()
+    n = batch.num_rows
+    base_us = np.int64(1704067200_000_000)  # 2024-01-01 in µs
+    ts_ins = pa.array(base_us + did * 1_000_000).cast(pa.timestamp("us"))
+    ins = _mt_union_table(n, {
+        "seq": pa.array(did * 2 + 1),
+        "op": pa.array(np.full(n, "I", dtype="U1")),
+        "table": pa.array(np.full(n, "docs", dtype="U4")),
+        "conv_id": batch.column("doc_id").cast(pa.string()),
+        "turn_idx": pa.array(np.zeros(n, np.int32)),
+        "n_chars": _arr_c(batch.column("n_chars")),
+        "lang": _arr_c(batch.column("lang")),
+        "source": _arr_c(batch.column("source")),
+        "ts": ts_ins,
+    })
+    _mt_write_epochs(ins, np.minimum(2, did * 3 // D), cl_dir)
+    um = did % 3 == 0
+    u = batch.filter(pa.array(um))
+    du = did[um]
+    m = len(du)
+    if m:
+        upd = _mt_union_table(m, {
+            "seq": pa.array(2 * (B + D + du) + 1),
+            "op": pa.array(np.full(m, "U", dtype="U1")),
+            "table": pa.array(np.full(m, "docs", dtype="U4")),
+            "conv_id": u.column("doc_id").cast(pa.string()),
+            "turn_idx": pa.array(np.zeros(m, np.int32)),
+            "n_chars": pa.array(u.column("n_chars").to_numpy() + 7),
+            "lang": _arr_c(u.column("lang")),
+            "source": _arr_c(u.column("source")),
+            "ts": pa.array(base_us + du * 1_000_000 + 86_400_000_000
+                           ).cast(pa.timestamp("us")),
+        })
+        _mt_write_epochs(upd, np.full(m, 3, np.int64), cl_dir)
+    return pa.table({"rows": pa.array([n], pa.int64())})
+
+
+def _mt_fixture(sf_dir: str) -> str:
+    """Cached two-table interleaved changelog (conv = events-derived,
+    docs = documents-derived with late updates): disjoint seq spaces
+    (even/odd), per-table seq monotone across epochs, one union schema."""
+    key = ["mtfix-v1", *_table_key(sf_dir, "events"),
+           *_table_key(sf_dir, "documents")]
+
+    def build(stage: str) -> None:
+        B = int(_parquet_col_max(
+            os.path.join(sf_dir, "events.parquet"), "event_id")) + 1
+        D = int(_parquet_col_max(
+            os.path.join(sf_dir, "documents.parquet"), "doc_id")) + 1
+        (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=EVENT_COLS[:5] + ["props"])
+         .map_batches(_emit_mt_conv_batch,
+                      fn_kwargs={"cl_dir": stage, "B": B},
+                      batch_format="pyarrow").take_all())
+        (rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "n_chars", "lang", "source"])
+         .map_batches(_emit_mt_docs_batch,
+                      fn_kwargs={"cl_dir": stage, "B": B, "D": D},
+                      batch_format="pyarrow").take_all())
+
+    return _disk_cached_dir("mtfix", key, build)
+
+
+def _mt_replay(sf_dir: str) -> dict:
+    """Run the one-read one-shuffle multi-table replay (rayrep/multitable)
+    over the cached two-table fixture; returns the per-table lake dirs."""
+    import tempfile
+
+    from rayrep.multitable import replay_multi
+    from rayrep.schema import SchemaVersion
+
+    cl = _mt_fixture(sf_dir)
+    d = tempfile.mkdtemp(prefix="rayrep_mt_", dir=_scratch_root())
+    sv_conv = SchemaVersion(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("event_id", pa.int64()), pa.field("event_type", pa.string()),
+        pa.field("value", pa.float64()), pa.field("props", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]))
+    sv_docs = SchemaVersion(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("n_chars", pa.int64()), pa.field("lang", pa.string()),
+        pa.field("source", pa.string()), pa.field("ts", pa.timestamp("us")),
+    ]))
+    tables = {
+        "conv": {"lake_dir": os.path.join(d, "conv"),
+                 "schema_json": sv_conv.to_json()},
+        "docs": {"lake_dir": os.path.join(d, "docs"),
+                 "schema_json": sv_docs.to_json()},
+    }
+    replay_multi(cl, tables, num_partitions=16)
+    return tables
+
+
+def cdc_multi_table_conv(sf_dir: str) -> pd.DataFrame:
+    """Whole-schema replication, table 1 of 2, SQL-oracled: BOTH tables'
+    events ride one changelog read and ONE composite-id packed shuffle
+    (rayrep/multitable.py — the reference replicates every table of a
+    MySQL schema from the same binlog, README.md:14-16); the conv lake
+    must still converge to the standard events LWW oracle.  Cross-table
+    contamination, a composite-id routing slip, or a schema mix-up in
+    the shared exchange breaks the hash."""
+    from rayrep.pipeline import final_table
+
+    tables = _mt_replay(sf_dir)
+    out = final_table(tables["conv"]["lake_dir"]).to_pandas()
+    out["user_id"] = out["conv_id"].astype("int64")
+    return out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
+def cdc_multi_table_docs(sf_dir: str) -> pd.DataFrame:
+    """Whole-schema replication, table 2 of 2 (same single replay shape):
+    the docs lake — inserts in epochs 0–2, every-3rd-doc updates in epoch
+    3 — must show exactly the updated n_chars for doc_id % 3 == 0 and the
+    original otherwise; an update that lost LWW to its own insert, leaked
+    into the conv lake, or was dropped by the composite routing breaks
+    the hash."""
+    from rayrep.pipeline import final_table
+
+    tables = _mt_replay(sf_dir)
+    out = final_table(tables["docs"]["lake_dir"]).to_pandas()
+    out["doc_id"] = out["conv_id"].astype("int64")
+    return (out[["doc_id", "n_chars", "lang", "source"]]
+            .sort_values("doc_id").reset_index(drop=True))
+
+
 def cdc_lake_diff(sf_dir: str) -> pd.DataFrame:
     """Replication audit (check.diff_lakes), SQL-oracled: replay the
     tombstoned changelog into lake A, clone it to lake B, erase every
@@ -3005,6 +3187,8 @@ def queries() -> dict:
         "cdc_replay_rename": cdc_replay_rename,
         "cdc_replay_drop_column": cdc_replay_drop_column,
         "cdc_lake_diff": cdc_lake_diff,
+        "cdc_multi_table_conv": cdc_multi_table_conv,
+        "cdc_multi_table_docs": cdc_multi_table_docs,
         "cdc_replay_metrics": cdc_replay_metrics,
         "cdc_bootstrap_tail": cdc_bootstrap_tail,
         "cdc_tail_mode": cdc_tail_mode,
@@ -3262,6 +3446,19 @@ def _oracle_sql_base() -> dict:
             SELECT event_id, ts, user_id, event_type, value
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_multi_table_conv": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_multi_table_docs": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN n_chars + 7
+                        ELSE n_chars END AS n_chars,
+                   lang, source
+            FROM documents
+            ORDER BY doc_id
         """,
         "cdc_lake_diff": """
             WITH e AS (
