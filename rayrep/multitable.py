@@ -138,7 +138,11 @@ def _mt_applier_task_fn(group: pa.Table, kwargs: dict) -> pa.Table:
     akey = (lake_dir, epoch, schema_json)
     app = _MT_APPLIER_CACHE.get(akey)
     if app is None:
-        _MT_APPLIER_CACHE.clear()  # one epoch in flight; drop stale
+        if _MT_APPLIER_CACHE and next(
+                iter(_MT_APPLIER_CACHE))[1] != epoch:
+            # one epoch in flight at a time: drop stale epochs only —
+            # within an epoch every table keeps its own cached Applier
+            _MT_APPLIER_CACHE.clear()
         app = Applier(lake_dir=lake_dir, epoch=epoch,
                       target_schema_json=schema_json, delta_output=False)
         _MT_APPLIER_CACHE[akey] = app
