@@ -209,6 +209,7 @@ SUITE_V2 = [
     "cdc_lake_diff",
     "pii_redact_docs",
     "tumbling_window_values",
+    "cdc_multi_table_docs",
 ]
 
 

@@ -133,3 +133,72 @@ def test_unknown_table_rows_are_dropped(two_table_cl, tmp_path):
     res = replay_multi(two_table_cl, tables, num_partitions=4)
     e2 = [e for e in res["epochs"] if e["epoch"] == 2][0]
     assert e2["conv"]["input_rows"] == 0 and e2["docs"]["input_rows"] == 0
+
+
+def test_multi_equals_per_table_single_replay(tmp_path):
+    """Randomized equivalence: an interleaved two-table stream replayed
+    through the ONE-shuffle multi path must converge to exactly what the
+    ordinary single-table engine produces from each table's own slice —
+    deletes, ts ties and key collisions included."""
+    import numpy as np
+
+    from rayrep.config import EngineConfig
+    from rayrep.pipeline import replay
+
+    rng = np.random.default_rng(1234)
+    N = 3000
+    tab = np.where(rng.random(N) < 0.5, "a", "b")
+    conv = np.char.add("k", rng.integers(0, 40, N).astype("U3"))
+    turn = rng.integers(0, 3, N).astype(np.int32)
+    op = np.where(rng.random(N) < 0.1, "D", "U")
+    val = rng.integers(0, 1000, N)
+    txt = np.char.add("t", val.astype("U4"))
+    ts_us = rng.integers(0, 50, N) * 1_000_000  # coarse: many ties
+    seq = np.arange(1, N + 1, dtype=np.int64)
+    epoch = (seq - 1) * 4 // N
+
+    cl = str(tmp_path / "cl_multi")
+    cls = {"a": str(tmp_path / "cl_a"), "b": str(tmp_path / "cl_b")}
+    for e in range(4):
+        m = epoch == e
+        n = int(m.sum())
+        rows = {
+            "seq": pa.array(seq[m]), "op": pa.array(op[m]),
+            "table": pa.array(tab[m]), "conv_id": pa.array(conv[m]),
+            "turn_idx": pa.array(turn[m], pa.int32()),
+            "val": pa.array(np.where(op[m] == "D", None, val[m]),
+                            pa.int64(), mask=op[m] == "D"),
+            "txt": pa.array(np.where(op[m] == "D", None, txt[m]),
+                            pa.string(), mask=op[m] == "D"),
+            "ts": pa.array(ts_us[m]).cast(pa.timestamp("us")),
+        }
+        _write_epoch(cl, e, dict(rows), n)
+        for t in ("a", "b"):
+            tm = m & (tab == t)
+            tn = int(tm.sum())
+            trows = {k: pa.array(v.to_pylist(), v.type) for k, v in rows.items()}
+            sel = pa.array(tab[m] == t)
+            _write_epoch(cls[t], e,
+                         {k: v.filter(sel) for k, v in trows.items()}, tn)
+
+    fields = {"a": [pa.field("val", pa.int64())],
+              "b": [pa.field("txt", pa.string())]}
+    tables = {t: {"lake_dir": str(tmp_path / f"ml_{t}"),
+                  "schema_json": _sv(fields[t]).to_json()} for t in ("a", "b")}
+    replay_multi(cl, tables, num_partitions=8)
+
+    for t in ("a", "b"):
+        single_lake = str(tmp_path / f"sl_{t}")
+        replay(EngineConfig(changelog_dir=cls[t], lake_dir=single_lake,
+                            num_partitions=8, delta_output=False,
+                            initial_schema_json=_sv(fields[t]).to_json()))
+        got = final_table_pandas(tables[t]["lake_dir"])
+        want = final_table_pandas(single_lake)
+        pd_testing_assert(got, want)
+
+
+def pd_testing_assert(got, want):
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
