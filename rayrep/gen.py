@@ -148,48 +148,73 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
     # build the n_conversations distinct id strings once, then gather —
     # O(n_keys) string work instead of O(n_events)
     conv_id_pool = pa.array([f"c{i:08d}" for i in range(spec.n_conversations)])
-    conv_arr = conv_id_pool.take(pa.array(conv_of_key[conv]))
     turn_idx = turn_of_key[conv].astype(np.int32)
 
     op_str = np.array(["I", "U", "D"], dtype="U1")[all_op]
 
-    # payload: text encodes (conv, turn, seq) so the winning writer is
-    # observable — the per-turn text-equality invariant (BASELINE.json).
-    seq_str = pa.array(seq).cast(pa.string())
-    turn_str = pa.array(turn_idx).cast(pa.string())
-    text = pc.binary_join_element_wise(conv_arr, turn_str, seq_str, "-")
-    if spec.text_pad > 0:
-        filler = pa.scalar(" lorem-ipsum-filler-token" * max(1, spec.text_pad // 25))
-        text = pc.binary_join_element_wise(text, filler, " ")
+    # changed-cells mask draw stays HERE (before the chunk loop) so the
+    # rng call order — jitter, txn, mask — is byte-identical to every
+    # previously generated fixture/oracle stream
+    r_mask = rng.random(n) if spec.changed_cells_frac > 0 else None
+
+    # String columns are assembled in bounded chunks: one contiguous
+    # Arrow string array caps at 2^31 bytes (ArrowCapacityError at
+    # ~10^8 transcript rows — hit by the 200M endurance run), while a
+    # chunked column has no such limit and every kernel below is
+    # chunk-local anyway. Values are identical to the old single-shot
+    # path; only the physical chunking differs.
+    CHUNK = 16_000_000
     roles = np.array(["user", "assistant", "system", "tool"], dtype="U9")
-    role = roles[(conv + turn_idx.astype(np.int64) + seq) % 4]
-
-    # tool column: only meaningful for schema_ver=2 events
     tools = np.array(["", "search", "python", "browser"], dtype="U7")
-    tool_np = tools[seq % 4]
-    tool = pa.array(np.where(schema_ver >= 2, tool_np, ""), type=pa.string())
-    tool = pc.if_else(pa.array(schema_ver >= 2), tool, pa.nulls(n, pa.string()))
+    empty = [pa.nulls(0, pa.string())]  # typed zero-chunk fallback (n == 0)
+    conv_chunks, role_chunks, text_chunks, tool_chunks = (
+        list(empty), list(empty), list(empty), list(empty)) if n == 0 else (
+        [], [], [], [])
+    for lo in range(0, n, CHUNK):
+        hi = min(lo + CHUNK, n)
+        m = hi - lo
+        sl = slice(lo, hi)
+        conv_c = conv_id_pool.take(pa.array(conv_of_key[conv[sl]]))
+        # payload: text encodes (conv, turn, seq) so the winning writer is
+        # observable — the per-turn text-equality invariant (BASELINE.json).
+        seq_str = pa.array(seq[sl]).cast(pa.string())
+        turn_str = pa.array(turn_idx[sl]).cast(pa.string())
+        text = pc.binary_join_element_wise(conv_c, turn_str, seq_str, "-")
+        if spec.text_pad > 0:
+            filler = pa.scalar(
+                " lorem-ipsum-filler-token" * max(1, spec.text_pad // 25))
+            text = pc.binary_join_element_wise(text, filler, " ")
+        role = roles[(conv[sl] + turn_idx[sl].astype(np.int64) + seq[sl]) % 4]
 
-    # deletes carry no payload (reference: "For deleted rows all columns
-    # should be ignored", CHANGES.txt:184)
-    is_del = pa.array(all_op == 2)
-    null_s = pa.nulls(n, pa.string())
-    role_a = pc.if_else(is_del, null_s, pa.array(role))
-    text_a = pc.if_else(is_del, null_s, text)
-    tool_a = pc.if_else(is_del, null_s, tool)
+        # tool column: only meaningful for schema_ver=2 events
+        sv2 = schema_ver[sl] >= 2
+        tool = pa.array(np.where(sv2, tools[seq[sl] % 4], ""),
+                        type=pa.string())
+        tool = pc.if_else(pa.array(sv2), tool, pa.nulls(m, pa.string()))
 
-    if spec.changed_cells_frac > 0:
-        # changed-cells updates (CHANGES.txt:173): a masked U event carries
-        # only some payload columns; null = "unchanged". Half of the masked
-        # events update text only (role/tool null), half update role/tool
-        # only (text null).
-        r = rng.random(n)
-        masked = (all_op == 1) & (r < spec.changed_cells_frac)
-        text_only = pa.array(masked & (r < spec.changed_cells_frac / 2))
-        meta_only = pa.array(masked & (r >= spec.changed_cells_frac / 2))
-        role_a = pc.if_else(text_only, null_s, role_a)
-        tool_a = pc.if_else(text_only, null_s, tool_a)
-        text_a = pc.if_else(meta_only, null_s, text_a)
+        # deletes carry no payload (reference: "For deleted rows all
+        # columns should be ignored", CHANGES.txt:184)
+        is_del = pa.array(all_op[sl] == 2)
+        null_s = pa.nulls(m, pa.string())
+        role_a = pc.if_else(is_del, null_s, pa.array(role))
+        text_a = pc.if_else(is_del, null_s, text)
+        tool_a = pc.if_else(is_del, null_s, tool)
+
+        if r_mask is not None:
+            # changed-cells updates (CHANGES.txt:173): a masked U event
+            # carries only some payload columns; null = "unchanged". Half
+            # update text only (role/tool null), half role/tool only.
+            r = r_mask[sl]
+            masked = (all_op[sl] == 1) & (r < spec.changed_cells_frac)
+            text_only = pa.array(masked & (r < spec.changed_cells_frac / 2))
+            meta_only = pa.array(masked & (r >= spec.changed_cells_frac / 2))
+            role_a = pc.if_else(text_only, null_s, role_a)
+            tool_a = pc.if_else(text_only, null_s, tool_a)
+            text_a = pc.if_else(meta_only, null_s, text_a)
+        conv_chunks.append(conv_c)
+        role_chunks.append(role_a)
+        text_chunks.append(text_a)
+        tool_chunks.append(tool_a)
 
     data = pa.table(
         {
@@ -197,11 +222,11 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
             "txn_id": pa.array(txn_id),
             "op": pa.array(op_str),
             "schema_ver": pa.array(schema_ver),
-            "conv_id": conv_arr,
+            "conv_id": pa.chunked_array(conv_chunks),
             "turn_idx": pa.array(turn_idx),
-            "role": role_a,
-            "text": text_a,
-            "tool": tool_a,
+            "role": pa.chunked_array(role_chunks),
+            "text": pa.chunked_array(text_chunks),
+            "tool": pa.chunked_array(tool_chunks),
             "ts": pa.array(ts).cast(pa.timestamp("us")),
             "ddl": pa.nulls(n, pa.string()),
         }
@@ -223,8 +248,15 @@ def generate_changelog(spec: GenSpec) -> pa.Table:
         }
     )
 
-    full = pa.concat_tables([data, ddl_row]).cast(CHANGELOG_SCHEMA)
-    return full.take(pc.sort_indices(full["seq"]))
+    # `data` is already seq-ascending by construction (arange + bump), and
+    # the DDL row's seq slots exactly at row index ddl_seq — positional
+    # insertion via zero-copy slices replaces the old global take-sort,
+    # which materialized every string column contiguously (same 2^31-byte
+    # cap the chunked build above exists to avoid).
+    data = data.cast(CHANGELOG_SCHEMA)
+    ddl_row = ddl_row.cast(CHANGELOG_SCHEMA)
+    return pa.concat_tables(
+        [data.slice(0, ddl_seq), ddl_row, data.slice(ddl_seq)])
 
 
 def write_changelog(out_dir: str, spec: GenSpec,
