@@ -29,6 +29,7 @@ BENCH_ROOT = "/tmp/rayrep_bench"
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--events", type=int, default=5_000_000)
+    ap.add_argument("--tables", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--cpus", type=int,
@@ -67,21 +68,25 @@ def main() -> int:
     # pass, cached next to the base changelog
     import ray.data as rd
 
-    tagged_cl = base_cl + "-tagged"
+    T = args.tables
+    names = [f"t{i}" for i in range(T)]
+    pool = None  # bound below, captured by tag()
+    tagged_cl = base_cl + f"-tagged{T}"
     if not os.path.exists(os.path.join(tagged_cl, "_COMPLETE")):
         import glob as _g
         import uuid as _u
 
         import pyarrow.parquet as pq
 
+        pool = pa.array(names)
+
         def tag(t: pa.Table, edir: str) -> pa.Table:
             # DDL rows dropped: this A/B measures the data path; both
             # paths then replay the identical stream under schema v1
             t = t.filter(pc.not_equal(t["op"], "DDL"))
             h = stable_hash_strings(t.column("conv_id"))
-            tab = pa.array(["a", "b"])
             t = t.append_column(
-                "table", tab.take(pa.array((h % 2).astype("int64"))))
+                "table", pool.take(pa.array((h % T).astype("int64"))))
             os.makedirs(edir, exist_ok=True)
             fp = os.path.join(edir, f"part-{_u.uuid4().hex}.parquet")
             pq.write_table(t, fp + ".tmp")
@@ -102,21 +107,21 @@ def main() -> int:
 
     # warmup (worker spawn + page cache), untimed
     replay_multi(tagged_cl, {
-        "a": {"lake_dir": os.path.join(scratch, "warm_a"), "schema_json": sv},
-        "b": {"lake_dir": os.path.join(scratch, "warm_b"), "schema_json": sv},
+        n: {"lake_dir": os.path.join(scratch, f"warm_{n}"),
+            "schema_json": sv} for n in names
     }, num_partitions=args.partitions, end_epoch=0)
 
     t0 = time.perf_counter()
     multi = {
         n: {"lake_dir": os.path.join(scratch, f"multi_{n}"),
-            "schema_json": sv} for n in ("a", "b")
+            "schema_json": sv} for n in names
     }
     replay_multi(tagged_cl, multi, num_partitions=args.partitions)
     t_multi = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     singles = {}
-    for n in ("a", "b"):
+    for n in names:
         lake = os.path.join(scratch, f"single_{n}")
         singles[n] = lake
         replay(EngineConfig(
@@ -126,10 +131,10 @@ def main() -> int:
     t_single = time.perf_counter() - t0
 
     diffs = {n: diff_lakes(multi[n]["lake_dir"], singles[n],
-                           distributed=True).num_rows for n in ("a", "b")}
+                           distributed=True).num_rows for n in names}
     result = {
         "metric": "multi-table one-pass vs per-table filtered replays",
-        "events": args.events, "tables": 2, "num_cpus": args.cpus,
+        "events": args.events, "tables": T, "num_cpus": args.cpus,
         "partitions": args.partitions,
         "sec_multi_one_pass": round(t_multi, 3),
         "sec_two_filtered_replays": round(t_single, 3),
@@ -142,14 +147,15 @@ def main() -> int:
         with open("BENCH/BASELINE.md", "a") as f:
             f.write(
                 f"\n## Multi-table A/B {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
-                f"- {args.events:,} events, 2 tables, {args.cpus} cpus: "
+                f"- {args.events:,} events, {T} tables, {args.cpus} cpus: "
                 f"one-pass replay_multi {result['sec_multi_one_pass']}s vs "
                 f"two filtered replay() passes "
                 f"{result['sec_two_filtered_replays']}s "
                 f"(**{result['speedup']}x**); lakes bit-equal per "
                 f"diff_lakes: {result['lakes_equal']}\n"
                 f"- at T tables the filtered path reads the log T times; "
-                f"the one-pass path is read-once by construction\n")
+                f"the one-pass path is read-once by construction\n"
+                f"- table-filter regex: ^{{name}}$ per pass\n")
     ray.shutdown()
     return 0
 
