@@ -140,7 +140,10 @@ def run_replay(cl: str, n_events: int) -> dict:
             EngineConfig(
                 changelog_dir=cl,
                 lake_dir=lake,
-                num_partitions=32,
+                # P > cpus over-decomposes the apply wave so zipf-skew
+                # stragglers backfill instead of idling cores; ladder
+                # experiments set BENCH_PARTS at BOTH levels
+                num_partitions=int(os.environ.get("BENCH_PARTS", "32")),
                 epochs_per_round=int(os.environ.get("BENCH_EPR", "4")),
                 pack_exchange=bench_pack(),
                 # lz4 | zstd | none (pack blobs, skip compression)
@@ -301,7 +304,8 @@ def main_scaling() -> dict:
         # one-off worker-spawn/page-cache cost (~5-8 s on this VM) does not
         # deflate both levels of the ratio — the 10^10-event design point
         # amortizes fixed startup to nothing
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_REPEATS="2",
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_REPEATS=os.environ.get("BENCH_LADDER_REPEATS", "2"),
                    BENCH_PACK=pack)
         s0 = _cpu_sample()
         out = subprocess.run(
@@ -345,6 +349,7 @@ def main_scaling() -> dict:
                       str(hi): r_hi.get("steal_pct")},
         "pack_exchange": bool(int(pack)),
         "pack_codec": os.environ.get("BENCH_PACK_CODEC", "lz4"),
+        "num_partitions": int(os.environ.get("BENCH_PARTS", "32")),
     }
     _append_bench_md(result)
     return result
@@ -467,7 +472,8 @@ def _append_bench_md(result: dict) -> None:
             f"- num_cpus={hi}: {result[f'sec_{hi}']}s = {result[f'events_per_sec_{hi}']:,} ev/s "
             f"({result['per_cpu_throughput'][str(hi)]:,} ev/s/cpu)\n"
             f"- scaling efficiency (thr_hi/thr_lo)/({hi}/{lo}) = {result['scaling_efficiency']}\n"
-            f"- exchange mode: {'packed (BENCH_PACK=1, codec=' + result.get('pack_codec', 'lz4') + ')' if result.get('pack_exchange') else 'plain groupby'}\n"
+            f"- exchange mode: {'packed (BENCH_PACK=1, codec=' + result.get('pack_codec', 'lz4') + ')' if result.get('pack_exchange') else 'plain groupby'}"
+            f"; num_partitions={result.get('num_partitions', 32)}\n"
             f"- hypervisor steal during best level runs: "
             f"{result.get('steal_pct', {})}\n"
             f"- caveat: both levels share ONE machine's memory/IO bandwidth; "

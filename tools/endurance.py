@@ -49,7 +49,38 @@ def main() -> int:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--generate-only", action="store_true",
+                    help="internal: build the changelog cache and exit")
     args = ap.parse_args()
+
+    cl = os.path.join(
+        BENCH_ROOT, f"cl-endurance-{args.events}-e{args.epochs}")
+    if args.generate_only:
+        from rayrep.gen import GenSpec, write_changelog
+
+        shutil.rmtree(cl, ignore_errors=True)
+        write_changelog(cl, GenSpec(
+            seed=42, n_events=args.events,
+            n_conversations=max(2000, args.events // 50),
+            max_turns=50, n_epochs=args.epochs, zipf_a=1.1))
+        return 0
+    if not os.path.exists(os.path.join(cl, "_gen_manifest.json")):
+        # Generate in a CHILD process: the in-driver generator builds the
+        # whole changelog as one Arrow table, so its peak RSS is
+        # O(n_events) — doing it in-process would dominate ru_maxrss and
+        # make the recorded "driver RSS" measure the FIXTURE GENERATOR,
+        # not the replay (the round-4 200M record's 45 GiB was exactly
+        # this artifact; the replay itself stays ~1 GiB).
+        print(f"generating {args.events:,} events x {args.epochs} epochs "
+              f"in a subprocess (cached at {cl})...", flush=True)
+        t0 = time.perf_counter()
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--generate-only",
+             "--events", str(args.events), "--epochs", str(args.epochs)],
+            check=True)
+        print(f"generated in {time.perf_counter() - t0:.0f}s", flush=True)
 
     import ray
 
@@ -60,21 +91,7 @@ def main() -> int:
     DataContext.get_current().enable_progress_bars = False
 
     from rayrep.config import EngineConfig
-    from rayrep.gen import GenSpec, write_changelog
     from rayrep.pipeline import replay
-
-    cl = os.path.join(
-        BENCH_ROOT, f"cl-endurance-{args.events}-e{args.epochs}")
-    if not os.path.exists(os.path.join(cl, "_gen_manifest.json")):
-        print(f"generating {args.events:,} events x {args.epochs} epochs "
-              f"(cached at {cl})...", flush=True)
-        t0 = time.perf_counter()
-        shutil.rmtree(cl, ignore_errors=True)
-        write_changelog(cl, GenSpec(
-            seed=42, n_events=args.events,
-            n_conversations=max(2000, args.events // 50),
-            max_turns=50, n_epochs=args.epochs, zipf_a=1.1))
-        print(f"generated in {time.perf_counter() - t0:.0f}s", flush=True)
 
     lake = os.path.join(BENCH_ROOT, f"endurance-lake-{os.getpid()}")
     shutil.rmtree(lake, ignore_errors=True)
