@@ -239,6 +239,7 @@ def main_bench(headline_only: bool) -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    s0 = _cpu_sample()
     try:
         warmup()
         replay_stats = run_replay(cl, n_events)
@@ -246,6 +247,7 @@ def main_bench(headline_only: bool) -> dict:
         queries_v2 = {} if headline_only else run_queries_v2()
     finally:
         ray.shutdown()
+    steal = _steal_pct(s0, _cpu_sample())
 
     queries = {"cdc_replay": round(replay_stats["sec"], 3), **queries}
     total = round(sum(queries.values()), 3)
@@ -260,6 +262,11 @@ def main_bench(headline_only: bool) -> dict:
         "replay_events_per_sec": round(replay_stats["events_per_sec"]),
         "pack_exchange": bench_pack(),
         "pack_codec": os.environ.get("BENCH_PACK_CODEC", "lz4"),
+        # window self-annotation: hypervisor steal% over the whole run.
+        # Clean-window reference (BENCH/BASELINE.md 08-19 04:08): core
+        # suite 22.9 s / replay 2.02M ev/s at ~0% steal — compare THERE
+        # when this field shows a degraded window (>5%).
+        "host_steal_pct": steal,
     }
     if queries_v2:
         # v2 suite tracked separately; NOT in `value` (round comparability)

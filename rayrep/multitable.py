@@ -45,7 +45,6 @@ import time
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.dataset as pads
 import ray.data as rd
 
 from rayrep.apply import Applier
@@ -66,12 +65,15 @@ _MT_APPLIER_CACHE: dict = {}
 
 
 def _ddl_events_by_table(path: str) -> dict[str, list[tuple[int, str]]]:
-    """Driver-side filtered scan of one epoch for DDL rows, routed by the
-    ``table`` column (rare rows; row-group stats prune the read)."""
-    dset = pads.dataset(path)
-    tbl = dset.to_table(columns=["seq", "ddl", "table"],
-                        filter=pc.field("op") == "DDL")
+    """Driver-side scan of one epoch for DDL rows, routed by the ``table``
+    column — metadata-pruned via ``pipeline.ddl_rows_table`` (footer-only
+    when the epoch's ``ddl`` null_count stats prove no DDL rows exist)."""
+    from rayrep.pipeline import ddl_rows_table
+
+    tbl = ddl_rows_table(path, ["seq", "ddl", "table"])
     out: dict[str, list[tuple[int, str]]] = {}
+    if tbl is None:
+        return out
     for s, d, t in zip(tbl["seq"].to_pylist(), tbl["ddl"].to_pylist(),
                        tbl["table"].to_pylist()):
         out.setdefault(t, []).append((s, d))
