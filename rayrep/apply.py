@@ -320,18 +320,100 @@ def fold_cells(comb: pa.Table, payload_cols: list[str]) -> pa.Table:
     return tbl
 
 
+def prune_cells(comb: pa.Table, payload_cols: list[str]) -> pa.Table:
+    """Version-preserving compaction for per-cell chains: keep, per key,
+    the minimal set of ORIGINAL rows ``fold_cells`` could ever need —
+    each payload column's current winning row, the key's last-delete row,
+    and the key's last (ts, __seq) row. Rows keep their own versions, so
+    ``fold_cells(prune(prefix) ∪ suffix) ≡ fold_cells(prefix ∪ suffix)``
+    for ANY suffix (per-cell argmax and delete-masking are associative
+    over row subsets that contain every potential winner — property-
+    tested). The round-3 full collapse instead stamped every surviving
+    cell with the ROW's last version, so a later write landing between a
+    cell's true version and the row version wrongly lost, and a delete's
+    own version vanished entirely (HBase keeps per-cell timestamps
+    through compaction; CHANGES.txt:173,184 semantics). Chain stays
+    bounded: ≤ n_payload_cols + 2 rows per key, and pre-delete / beaten
+    versions are garbage-collected exactly as before."""
+    n = comb.num_rows
+    if n == 0:
+        return comb
+    kid = _key_ids(comb)
+    ts = comb.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    seqv = comb.column("__seq").to_numpy()
+    order = np.lexsort((seqv, ts, kid))
+    s = comb.take(pa.array(order))
+    ks = kid[order]
+    first = np.ones(n, dtype=bool)
+    first[1:] = ks[1:] != ks[:-1]
+    seg_id = (np.cumsum(first) - 1).astype(np.int64)
+    starts = np.flatnonzero(first)
+    ends = np.append(starts[1:], n) - 1
+    deleted = s.column("__deleted").to_numpy(zero_copy_only=False)
+    lastdel = _segmented_last_pos(seg_id, deleted)[ends]
+    seg_len = np.diff(np.append(starts, n))
+    cur = np.arange(n, dtype=np.int64) > np.repeat(lastdel, seg_len)
+    keep = np.zeros(n, dtype=bool)
+    keep[ends] = True                      # tombstone / last-version row
+    keep[lastdel[lastdel >= 0]] = True     # delete masks future older writes
+    for name in payload_cols:
+        if name in ("conv_id", "turn_idx", "ts"):
+            continue
+        col = s.column(name)
+        valid = cur & ~pc.is_null(col).to_numpy(zero_copy_only=False)
+        take_at = _segmented_last_pos(seg_id, valid)[ends]
+        keep[take_at[take_at >= 0]] = True
+    return s.filter(pa.array(keep))
+
+
+def _live_count_cells(state: pa.Table) -> int:
+    """Live-key count for a (possibly pruned, multi-row-per-key) per-cell
+    state table: a key is live iff its max-(ts, __seq) row is not a
+    delete — ``_live_count`` would overcount pruned rows."""
+    if state.num_rows == 0:
+        return 0
+    kid = _key_ids(state)
+    ts = state.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    mask = group_argmax_mask(kid, ts, state.column("__seq").to_numpy())
+    dead = state.column("__deleted").to_numpy(zero_copy_only=False)[mask]
+    return int(len(dead) - dead.sum())
+
+
+def _chain_tables(lake_dir: str, chain: list[str],
+                  target: SchemaVersion) -> pa.Table | None:
+    """Load a per-cell chain with each file conformed to the target
+    schema FIRST (renames don't strand old cells). Whole-chain load is
+    bounded: prune-compaction caps the chain at ≤ compact_interval files
+    of ≤ n_payload_cols + 2 rows per key each."""
+    tabs = [
+        conform_state(pq.read_table(os.path.join(lake_dir, f)), target) for f in chain
+    ]
+    if not tabs:
+        return None
+    return pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+
+
 def fold_state_chain_cells(
     lake_dir: str, chain: list[str], target: SchemaVersion
 ) -> pa.Table:
     """Changed-cells merge-on-read: conform each chain file to the target
     schema first (renames don't strand old cells), then cell-fold."""
-    tabs = [
-        conform_state(pq.read_table(os.path.join(lake_dir, f)), target) for f in chain
-    ]
-    if not tabs:
+    comb = _chain_tables(lake_dir, chain, target)
+    if comb is None:
         return state_schema(target).empty_table()
-    comb = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
     return fold_cells(comb, [f.name for f in target.schema])
+
+
+def prune_state_chain_cells(
+    lake_dir: str, chain: list[str], target: SchemaVersion
+) -> pa.Table:
+    """Compaction/rewrite fold for per-cell chains: the version-preserving
+    minimal row set (``prune_cells``) instead of the lossy one-row image —
+    the file a compactor/repartitioner/purger may write back as state."""
+    comb = _chain_tables(lake_dir, chain, target)
+    if comb is None:
+        return state_schema(target).empty_table()
+    return prune_cells(comb, [f.name for f in target.schema])
 
 
 def state_dir(lake_dir: str, part_id: int) -> str:
@@ -693,9 +775,11 @@ class Applier:
             # epochs would otherwise strand the pre-rename rows' payload in
             # a dead column and silently null it
             if self.changed_cells:
-                # cells must fold across the WHOLE chain + new delta in one
-                # pass ("last non-null after last delete" is not composable
-                # with a row-LWW prefix fold)
+                # cells compaction is the version-PRESERVING prune, not a
+                # one-row collapse: each cell's winning row keeps its own
+                # (ts, __seq), so post-compaction late events still resolve
+                # against true per-cell versions (HBase parity; see
+                # prune_cells)
                 tabs = [
                     conform_state(
                         pq.read_table(os.path.join(self.lake_dir, f)), self.target
@@ -703,13 +787,14 @@ class Applier:
                     for f in chain
                 ]
                 comb = pa.concat_tables(tabs + [self._conform_state(new_state)])
-                out = fold_cells(comb, self.payload_cols)
+                out = prune_cells(comb, self.payload_cols)
+                live_rows = _live_count_cells(out)  # exact recount
             else:
                 folded = fold_state_chain(self.lake_dir, chain, self.target)
                 comb = pa.concat_tables([folded, self._conform_state(new_state)])
                 out = comb.filter(pa.array(last_per_key_mask(comb)))
+                live_rows = _live_count(out)  # exact recount at compaction
             new_chain = []
-            live_rows = _live_count(out)  # exact recount at compaction
         else:
             out, new_chain = new_state, list(chain)
 

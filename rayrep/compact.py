@@ -46,11 +46,15 @@ def compact_lake(lake_dir: str, distributed: bool = False) -> dict:
     cells = bool(lm and lm.changed_cells)
 
     def one(part_id: int) -> dict:
-        from rayrep.apply import fold_state_chain, fold_state_chain_cells
+        from rayrep.apply import fold_state_chain, prune_state_chain_cells
         from rayrep.schema import SchemaVersion
 
         target = SchemaVersion.from_json(target_json)
-        fold_fn = fold_state_chain_cells if cells else fold_state_chain
+        # per-cell chains compact to the version-preserving PRUNED row set
+        # (each cell's winner keeps its own ts/seq), never the one-row
+        # image — a post-compaction late event must still resolve against
+        # true cell versions (rayrep.apply.prune_cells)
+        fold_fn = prune_state_chain_cells if cells else fold_state_chain
         m = PartitionManifest.load(lake_dir, part_id)
         if len(m.state_chain) <= 1:
             return {"compacted": 0, "skipped": 1}

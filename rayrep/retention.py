@@ -99,14 +99,18 @@ def purge_lake(lake_dir: str, before_ts_us: int | None = None,
     def one(part_id: int) -> dict:
         from rayrep.apply import (
             _live_count,
+            _live_count_cells,
             fold_state_chain,
-            fold_state_chain_cells,
+            prune_state_chain_cells,
             write_parquet_atomic,
         )
         from rayrep.schema import SchemaVersion
 
         target = SchemaVersion.from_json(target_json)
-        fold_fn = fold_state_chain_cells if cells else fold_state_chain
+        # per-cell lakes purge over the version-preserving pruned row set
+        # (the ts cutoff then drops old cell VERSIONS — retention's job —
+        # while surviving cells keep their true versions for late events)
+        fold_fn = prune_state_chain_cells if cells else fold_state_chain
         m = PartitionManifest.load(lake_dir, part_id)
         if not m.state_chain:
             return {"dropped_erased": 0, "dropped_expired": 0}

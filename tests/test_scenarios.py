@@ -272,6 +272,55 @@ def test_per_cell_multi_epoch_and_prior_state(tmp_path):
         run(d, lake, changed_cells_updates=True)
 
 
+def test_per_cell_versions_survive_compaction(tmp_path):
+    """Compaction must preserve PER-CELL versions. A write landing BETWEEN
+    a cell's true last version and the key's newest row version must still
+    win after the chain has been compacted: round-3 compaction collapsed
+    each key to one row stamped with the row's LAST (ts, seq), so such a
+    write wrongly lost — the prune-compaction fix keeps each cell's
+    winning row (with its own version) in the compacted file instead."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    # epoch 0: full insert — text and role both at version 100
+    e0 = [ev(0, "I", "a", 0, "t100", ts=100, role="r100")]
+    # epoch 1: newer text only (role untouched; its version stays 100)
+    e1 = [{**ev(1, "U", "a", 0, "t200", ts=200), "role": None}]
+    # epoch 2: role at ts=150 — newer than role's version (100), older
+    # than the key's newest row version (200) → must win per-cell
+    e2 = [{**ev(2, "U", "a", 0, None, ts=150), "role": "r150"}]
+    write_epochs(d, e0, e1, e2)
+    # snapshot_interval=1 forces a cells compaction after EVERY epoch, so
+    # the e2 event resolves against an already-compacted chain
+    _, res = run(d, lake, changed_cells_updates=True, per_cell_conflicts=True,
+                 state_snapshot_interval=1)
+    got = final_table_pandas(lake).set_index("conv_id")
+    assert got.loc["a", "text"] == "t200"
+    assert got.loc["a", "role"] == "r150"
+    # same stream WITHOUT compaction must agree (compaction is invisible)
+    lake2 = str(tmp_path / "lake2")
+    run(d, lake2, changed_cells_updates=True, per_cell_conflicts=True,
+        state_snapshot_interval=99)
+    assert_frames_equal(final_table_pandas(lake), final_table_pandas(lake2))
+
+
+def test_per_cell_delete_masking_survives_compaction(tmp_path):
+    """The compacted file must also retain the last-DELETE row with its
+    own version: a post-compaction write OLDER than the delete must stay
+    masked, and one NEWER must resurrect the key."""
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    e0 = [ev(0, "I", "a", 0, "a0", ts=100), ev(1, "I", "b", 0, "b0", ts=100)]
+    e1 = [ev(2, "D", "a", 0, ts=300), ev(3, "D", "b", 0, ts=300)]
+    # post-compaction: a's write is older than the delete → masked;
+    # b's write is newer → resurrects
+    e2 = [ev(4, "U", "a", 0, "a250", ts=250),
+          ev(5, "U", "b", 0, "b400", ts=400)]
+    write_epochs(d, e0, e1, e2)
+    _, _ = run(d, lake, changed_cells_updates=True, per_cell_conflicts=True,
+               state_snapshot_interval=1)
+    got = final_table_pandas(lake).set_index("conv_id")
+    assert "a" not in got.index
+    assert got.loc["b", "text"] == "b400"
+
+
 def test_durable_sync_mode_matches_oracle(tmp_path):
     """durable_sync=True (fsync before manifest commit, power-loss
     durability) must be behavior-identical; only the sync cost differs."""
