@@ -52,9 +52,15 @@ def check_lake(lake_dir: str, deep: bool = False,
             continue
         m = PartitionManifest.load(lake_dir, pid)
         manifests[pid] = m
-        if m.epoch != em.last_epoch:
+        if m.epoch > em.last_epoch:
+            # a partition AHEAD of the barrier is a crash window a resume
+            # has not yet repaired (partition committed, barrier didn't).
+            # BEHIND is legal: the applier only runs on partitions an
+            # epoch actually touched, so a partition with no rows in the
+            # last epochs legitimately lags the barrier (its seq watermark
+            # needs no advance for exactly-once).
             errors.append(
-                f"p{pid:05d}: epoch {m.epoch} != committed barrier "
+                f"p{pid:05d}: epoch {m.epoch} ahead of committed barrier "
                 f"{em.last_epoch} (torn commit)")
         for f in m.state_chain:
             if not os.path.exists(os.path.join(lake_dir, f)):

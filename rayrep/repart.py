@@ -70,8 +70,9 @@ def _repart_one(
     Returns per-destination stats for the driver's manifest merge."""
     from rayrep.apply import (
         _live_count,
+        _live_count_cells,
         fold_state_chain,
-        fold_state_chain_cells,
+        prune_state_chain_cells,
         write_parquet_atomic,
     )
     from rayrep.hashing import partition_ids, partition_ids_salted
@@ -79,7 +80,12 @@ def _repart_one(
 
     m = PartitionManifest.load(src_lake, src_part)
     target = SchemaVersion.from_json(target_json)
-    fold = fold_state_chain_cells if lm.changed_cells else fold_state_chain
+    # repartition REWRITES state, so per-cell lakes must keep the
+    # version-preserving pruned row set (each cell winner with its own
+    # ts/__seq), never the one-row fold — a post-repartition late event
+    # still resolves against true per-cell versions (rayrep.apply.
+    # prune_cells; same contract as compact_lake/purge_lake)
+    fold = prune_state_chain_cells if lm.changed_cells else fold_state_chain
     state = fold(src_lake, m.state_chain, target)
     out: dict[int, dict] = {}
     if state.num_rows:
@@ -100,7 +106,10 @@ def _repart_one(
             mx_v = pc.max(mx).as_py() if shard.num_rows else None
             out[int(pid)] = {
                 "rows": shard.num_rows,
-                "live_rows": _live_count(shard),
+                # pruned per-cell shards hold several rows per key: count
+                # live KEYS via the per-cell argmax, not per-row masks
+                "live_rows": (_live_count_cells(shard) if lm.changed_cells
+                              else _live_count(shard)),
                 "max_ts_us": int(mx_v) if mx_v is not None else 0,
             }
     return {"src_part": src_part, "last_seq": m.last_seq, "epoch": m.epoch,

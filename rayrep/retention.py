@@ -130,7 +130,9 @@ def purge_lake(lake_dir: str, before_ts_us: int | None = None,
         write_parquet_atomic(state, out)
         old_chain = list(m.state_chain)
         m.state_chain = [os.path.relpath(out, lake_dir)]
-        m.live_rows = _live_count(state)
+        # pruned per-cell state keeps several rows per key: count live
+        # KEYS via the per-cell argmax, not per-row masks
+        m.live_rows = _live_count_cells(state) if cells else _live_count(state)
         m.save(lake_dir)  # atomic: readers see old chain or purged file
         # Erasure must be PHYSICAL: unlike `compact` (which leaves
         # superseded files for `gc`), purge removes them itself — a

@@ -54,8 +54,15 @@ def test_missing_chain_file_is_error(lake):
 
 
 def test_torn_epoch_barrier_is_error(lake):
+    """AHEAD of the barrier = unrepaired crash window (error); BEHIND is
+    legal — the applier only commits partitions an epoch touched, so a
+    partition with no rows in the last epochs lags the barrier."""
     m = PartitionManifest.load(lake, 0)
     m.epoch -= 1
+    m.save(lake)
+    res = check_lake(lake)
+    assert not any("torn commit" in e for e in res["errors"])
+    m.epoch += 2  # one past the barrier
     m.save(lake)
     res = check_lake(lake)
     assert any("torn commit" in e for e in res["errors"])

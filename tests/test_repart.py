@@ -159,3 +159,59 @@ def test_repartition_crash_resume(changelog, tmp_path):
     res = repartition_lake(src, dst, 3)        # full re-run over leftovers
     assert res["partitions"] == 3
     pd.testing.assert_frame_equal(_sorted(final_table_pandas(dst)), want)
+
+
+def test_repartition_preserves_per_cell_versions(tmp_path):
+    """Repartition REWRITES per-cell state, so it must keep each cell's
+    winning row with its ORIGINAL (ts, seq) — a post-repartition write
+    landing between a cell's true version and the key's newest row
+    version must still win, and a pre-repartition delete must still mask
+    an older post-repartition write (same prune_cells contract as
+    compaction; the lossy one-row fold broke both)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayrep.gen import T0_US
+    from rayrep.schema import CHANGELOG_SCHEMA
+
+    def ev(seq, op, conv, text, ts, role):
+        return {"seq": seq, "txn_id": 0, "op": op, "schema_ver": 1,
+                "conv_id": conv, "turn_idx": 0,
+                "role": None if op == "D" else role,
+                "text": None if op == "D" else text, "tool": None,
+                "ts": T0_US + ts, "ddl": None}
+
+    cl = str(tmp_path / "cl")
+    os.makedirs(cl)
+    # epoch 0: full insert (text+role @100); newer text only (@200);
+    # plus key "b" inserted then deleted @300
+    e0 = [ev(0, "I", "a", "t100", 100, "r100"),
+          {**ev(1, "U", "a", "t200", 200, None), "role": None},
+          ev(2, "I", "b", "b0", 100, "u"),
+          ev(3, "D", "b", None, 300, None)]
+    # epoch 1 (post-repartition): role @150 — between role's true version
+    # (100) and the key's newest row version (200) → must win per-cell;
+    # b's write @250 is older than the delete @300 → stays masked
+    e1 = [{**ev(4, "U", "a", None, 150, "r150"), "text": None},
+          ev(5, "U", "b", "b250", 250, "u")]
+    for e, rows in enumerate([e0, e1]):
+        pq.write_table(pa.Table.from_pylist(rows, schema=CHANGELOG_SCHEMA),
+                       os.path.join(cl, f"epoch-{e:05d}.parquet"))
+    src = str(tmp_path / "src")
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=src, num_partitions=4,
+                       changed_cells_updates=True, per_cell_conflicts=True,
+                       delta_output=False)
+    replay(cfg, end_epoch=0)
+    dst = str(tmp_path / "dst")
+    repartition_lake(src, dst, 2)
+    import dataclasses
+    replay(dataclasses.replace(cfg, lake_dir=dst, num_partitions=2))
+    got = final_table_pandas(dst).set_index("conv_id")
+    assert got.loc["a", "text"] == "t200"
+    assert got.loc["a", "role"] == "r150"
+    assert "b" not in got.index
+    # and the whole table equals an uninterrupted single-lake replay
+    fresh = str(tmp_path / "fresh")
+    replay(dataclasses.replace(cfg, lake_dir=fresh))
+    pd.testing.assert_frame_equal(_sorted(final_table_pandas(dst)),
+                                  _sorted(final_table_pandas(fresh)))

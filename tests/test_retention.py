@@ -116,6 +116,10 @@ def test_purge_changed_cells_lake(tmp_path):
     res = purge_lake(lk)
     assert res["dropped_erased"] >= 1  # cells mode: >=1 chain row for B
     assert _texts(lk) == {"A": "a1"}
+    # the rewritten per-cell state is the PRUNED multi-row-per-key set;
+    # manifests must carry the per-KEY live count (fsck recount agrees)
+    from rayrep.check import check_lake
+    assert check_lake(lk, deep=True)["errors"] == []
 
 
 def test_distributed_purge_and_compact_match_serial(tmp_path):
