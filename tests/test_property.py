@@ -378,3 +378,82 @@ def test_fold_state_chain_collapse_schedule_invariant(tmp_path_factory,
     oneshot = fold_state_chain(lake, chain, sv, collapse_rows=10**9)
     stepped = fold_state_chain(lake, chain, sv, collapse_rows=1)
     assert oneshot.equals(stepped)
+
+
+# ---------------------------------------------------- prune_cells algebra
+# the compaction contract prune_cells' docstring states:
+#   fold_cells(prune_cells(prefix) ∪ suffix) ≡ fold_cells(prefix ∪ suffix)
+# for ANY suffix — i.e. pruning a chain prefix is invisible to the
+# per-cell fold no matter what arrives later (late older-ts writes,
+# deletes, resurrections). Also idempotence and nested prunes (a chain
+# compacted several times).
+
+cc_state_row_st = st.tuples(
+    st.integers(0, len(KEYS) - 1),   # key
+    st.integers(0, 5),               # coarse ts (many ties)
+    st.booleans(),                   # deleted
+    st.integers(0, 2),               # text mask: 0=value 1=null
+    st.integers(0, 2),               # role mask
+)
+
+
+def build_cc_state(rows, seq0=0) -> pa.Table:
+    data = []
+    for i, (ki, ts, dead, tmask, rmask) in enumerate(rows):
+        conv, turn = KEYS[ki]
+        seq = seq0 + i
+        data.append({
+            "conv_id": conv, "turn_idx": turn,
+            "role": None if (dead or rmask == 1) else f"r{seq}",
+            "text": None if (dead or tmask == 1) else f"t{seq}",
+            "ts": T0_US + ts * 1_000_000,
+            "__seq": seq, "__deleted": bool(dead),
+        })
+    return pa.Table.from_pylist(data, schema=pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()), pa.field("text", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("__seq", pa.int64()), pa.field("__deleted", pa.bool_()),
+    ]))
+
+
+_CC_PAYLOAD = ["conv_id", "turn_idx", "role", "text", "ts"]
+
+
+def _fold_df(tbl: pa.Table) -> pd.DataFrame:
+    from rayrep.apply import fold_cells
+
+    df = fold_cells(tbl, _CC_PAYLOAD).to_pandas()
+    return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(cc_state_row_st, min_size=1, max_size=24),
+       st.integers(0, 24), st.integers(0, 24))
+def test_prune_cells_invisible_to_fold_for_any_suffix(rows, cut1, cut2):
+    from rayrep.apply import _live_count_cells, prune_cells
+
+    tbl = build_cc_state(rows)
+    n = tbl.num_rows
+    a, b = sorted((min(cut1, n), min(cut2, n)))
+    p1, p2, p3 = tbl.slice(0, a), tbl.slice(a, b - a), tbl.slice(b)
+    whole = _fold_df(tbl)
+    # single prune at any point
+    pruned = prune_cells(pa.concat_tables([p1, p2]), _CC_PAYLOAD)
+    pd.testing.assert_frame_equal(
+        _fold_df(pa.concat_tables([pruned, p3])), whole)
+    # nested prune (chain compacted twice)
+    nested = prune_cells(
+        pa.concat_tables([prune_cells(p1, _CC_PAYLOAD), p2]), _CC_PAYLOAD)
+    pd.testing.assert_frame_equal(
+        _fold_df(pa.concat_tables([nested, p3])), whole)
+    # idempotence + bounded size: ≤ n_payload_cols + 2 rows per key
+    again = prune_cells(pruned, _CC_PAYLOAD)
+    assert again.num_rows == pruned.num_rows
+    n_keys = len({(k, t) for k, t in zip(
+        pruned.column("conv_id").to_pylist(),
+        pruned.column("turn_idx").to_pylist())})
+    assert pruned.num_rows <= n_keys * (len(_CC_PAYLOAD) - 3 + 2)
+    # live-key count over the pruned set equals the fold's live rows
+    assert _live_count_cells(pruned) == int(
+        (~_fold_df(pruned)["__deleted"]).sum())
