@@ -379,18 +379,25 @@ def _live_count_cells(state: pa.Table) -> int:
     return int(len(dead) - dead.sum())
 
 
-def _chain_tables(lake_dir: str, chain: list[str],
-                  target: SchemaVersion) -> pa.Table | None:
+def _chain_tables(lake_dir: str, chain: list[str], target: SchemaVersion,
+                  collapse_rows: int = FOLD_COLLAPSE_ROWS) -> pa.Table | None:
     """Load a per-cell chain with each file conformed to the target
-    schema FIRST (renames don't strand old cells). Whole-chain load is
-    bounded: prune-compaction caps the chain at ≤ compact_interval files
-    of ≤ n_payload_cols + 2 rows per key each."""
-    tabs = [
-        conform_state(pq.read_table(os.path.join(lake_dir, f)), target) for f in chain
-    ]
-    if not tabs:
-        return None
-    return pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+    schema FIRST (renames don't strand old cells). INCREMENTAL like the
+    row fold: whenever the accumulator crosses ``collapse_rows`` it is
+    reduced to the version-preserving minimal row set — ``prune_cells``
+    is exactly the prefix-collapse the per-cell fold is invariant under
+    (``fold(prune(prefix) ∪ suffix) ≡ fold(prefix ∪ suffix)`` for any
+    suffix, property-tested), so any collapse schedule yields the same
+    result while peak memory stays ≤ (n_payload+2)·live-keys + one file,
+    not the whole chain."""
+    payload = [f.name for f in target.schema]
+    acc = None
+    for f in chain:
+        t = conform_state(pq.read_table(os.path.join(lake_dir, f)), target)
+        acc = t if acc is None else pa.concat_tables([acc, t])
+        if acc.num_rows > collapse_rows:
+            acc = prune_cells(acc, payload).combine_chunks()
+    return acc
 
 
 def fold_state_chain_cells(
@@ -780,13 +787,8 @@ class Applier:
                 # (ts, __seq), so post-compaction late events still resolve
                 # against true per-cell versions (HBase parity; see
                 # prune_cells)
-                tabs = [
-                    conform_state(
-                        pq.read_table(os.path.join(self.lake_dir, f)), self.target
-                    )
-                    for f in chain
-                ]
-                comb = pa.concat_tables(tabs + [self._conform_state(new_state)])
+                acc = _chain_tables(self.lake_dir, chain, self.target)
+                comb = pa.concat_tables([acc, self._conform_state(new_state)])
                 out = prune_cells(comb, self.payload_cols)
                 live_rows = _live_count_cells(out)  # exact recount
             else:

@@ -457,3 +457,39 @@ def test_prune_cells_invisible_to_fold_for_any_suffix(rows, cut1, cut2):
     # live-key count over the pruned set equals the fold's live rows
     assert _live_count_cells(pruned) == int(
         (~_fold_df(pruned)["__deleted"]).sum())
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.lists(cc_state_row_st, min_size=1, max_size=8),
+                min_size=1, max_size=6))
+def test_cells_chain_collapse_schedule_invariant(tmp_path_factory,
+                                                 file_rows):
+    """The per-cell chain loader's incremental prune-collapse must be
+    invisible: collapse after EVERY file (collapse_rows=1) == one-shot
+    whole-chain load, through both the read fold and the rewrite prune,
+    for ANY chain of per-cell state files."""
+    from rayrep.apply import _chain_tables, fold_cells, prune_cells
+
+    sv = SchemaVersion(2, CANONICAL_SCHEMA_V2)
+    lake = str(tmp_path_factory.mktemp("lakec"))
+    chain, seq = [], 0
+    for fi, rows in enumerate(file_rows):
+        t = build_cc_state(rows, seq0=seq)
+        seq += t.num_rows
+        # state files carry the full canonical payload; add `tool` as null
+        t = t.add_column(4, pa.field("tool", pa.string()),
+                         pa.nulls(t.num_rows, pa.string()))
+        fp = f"state-{fi:05d}.parquet"
+        pq.write_table(t, os.path.join(lake, fp))
+        chain.append(fp)
+    payload = [f.name for f in sv.schema]
+    one = _chain_tables(lake, chain, sv, collapse_rows=10**9)
+    stepped = _chain_tables(lake, chain, sv, collapse_rows=1)
+
+    def norm(tbl):
+        df = fold_cells(tbl, payload).to_pandas()
+        return df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(one), norm(stepped))
+    pd.testing.assert_frame_equal(norm(prune_cells(one, payload)),
+                                  norm(prune_cells(stepped, payload)))
