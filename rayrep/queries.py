@@ -1738,7 +1738,7 @@ def _replay_events_through_engine(
     ddl_action: str = "add_column", metrics: bool = False,
     tail_mode: bool = False, repartition_to: int | None = None,
     erase_mod: int | None = None, purge_mid_ts: bool = False,
-    replica_incremental: bool = False,
+    replica_incremental: bool = False, snapshot_interval: int | None = None,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1788,6 +1788,9 @@ def _replay_events_through_engine(
                        # DIR); pin the round granularity so a future
                        # default change can't silently shift the contract
                        epochs_per_round=1)
+    if snapshot_interval is not None:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, state_snapshot_interval=snapshot_interval)
     if resume_split:
         # kill/resume mid-replay: the first run commits only the first two
         # epoch barriers; the second must re-run ONLY the uncommitted tail
@@ -2410,6 +2413,29 @@ def cdc_replay_changed_cells(sf_dir: str) -> pd.DataFrame:
     to end against SQL."""
     return _replay_events_through_engine(sf_dir, with_deletes=False,
                                          changed_cells=True)
+
+
+def cdc_replay_cells_compacted(sf_dir: str) -> pd.DataFrame:
+    """Changed-cells replay with compaction forced after EVERY epoch
+    (``state_snapshot_interval=1``): each epoch's apply resolves against a
+    chain already rewritten by the version-preserving ``prune_cells``
+    (each cell winner keeps its own ts/seq — HBase per-cell timestamps
+    survive compaction). Same SQL oracle as ``cdc_replay_changed_cells``:
+    compaction must be invisible to the converged table, hash-verified at
+    driver scale."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         changed_cells=True,
+                                         snapshot_interval=1)
+
+
+def cdc_replay_cells_deletes_compacted(sf_dir: str) -> pd.DataFrame:
+    """Per-cell + deletes + per-epoch compaction: the pruned chain must
+    also carry each key's last-DELETE row with its own version, so a
+    later event older than the delete stays masked across a compaction
+    boundary. Oracle = the deletes LWW SQL over cell-masked inputs."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         changed_cells=True,
+                                         snapshot_interval=1)
 
 
 def _transcripts_dump_path() -> str:
@@ -3197,6 +3223,8 @@ def queries() -> dict:
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_replay_evolution": cdc_replay_evolution,
         "cdc_replay_changed_cells": cdc_replay_changed_cells,
+        "cdc_replay_cells_compacted": cdc_replay_cells_compacted,
+        "cdc_replay_cells_deletes_compacted": cdc_replay_cells_deletes_compacted,
         "cdc_replay_transcripts": cdc_replay_transcripts,
         "cdc_ingest_dedup": cdc_ingest_dedup,
         "cdc_repartition": cdc_repartition,
@@ -3532,6 +3560,74 @@ def _oracle_sql_base() -> dict:
                                           ORDER BY ts DESC, event_id DESC) AS rn
                 FROM e
                 WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM w WHERE rn = 1
+        """,
+        # compaction is invisible: same oracle as changed_cells
+        "cdc_replay_cells_compacted": """
+            WITH e AS (
+                SELECT user_id, event_id, ts, event_type,
+                       CASE WHEN event_id % 3 != 0 THEN value END AS value,
+                       CASE WHEN event_id % 5 != 0 THEN props END AS props
+                FROM events
+            ), w AS (
+                SELECT user_id,
+                       last_value(event_id) OVER win AS event_id,
+                       last_value(ts) OVER win AS ts,
+                       last_value(event_type IGNORE NULLS) OVER win AS event_type,
+                       last_value(value IGNORE NULLS) OVER win AS value,
+                       last_value(props IGNORE NULLS) OVER win AS props,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING)
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM w WHERE rn = 1
+        """,
+        # per-cell + deletes: a delete masks every OLDER cell version and
+        # tombstones the key iff it is the key's last version; columns are
+        # the last non-null strictly after the last delete
+        "cdc_replay_cells_deletes_compacted": """
+            WITH d AS (
+                SELECT user_id, event_id, ts, event_type, value, props,
+                       (event_id % 7 = 0 AND row_number() OVER
+                            (PARTITION BY user_id ORDER BY event_id) > 1) AS is_del
+                FROM events
+            ), e AS (
+                SELECT user_id, event_id, ts, is_del,
+                       CASE WHEN NOT is_del THEN event_type END AS event_type,
+                       CASE WHEN NOT is_del AND event_id % 3 != 0
+                            THEN value END AS value,
+                       CASE WHEN NOT is_del AND event_id % 5 != 0
+                            THEN props END AS props
+                FROM d
+            ), v AS (
+                SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS pos
+                FROM e
+            ), dd AS (
+                SELECT user_id,
+                       max(CASE WHEN is_del THEN pos ELSE 0 END) AS del_pos,
+                       max(pos) AS last_pos
+                FROM v GROUP BY user_id
+            ), w AS (
+                SELECT v.user_id,
+                       last_value(v.event_id) OVER win AS event_id,
+                       last_value(v.ts) OVER win AS ts,
+                       last_value(v.event_type IGNORE NULLS) OVER win AS event_type,
+                       last_value(v.value IGNORE NULLS) OVER win AS value,
+                       last_value(v.props IGNORE NULLS) OVER win AS props,
+                       row_number() OVER (PARTITION BY v.user_id
+                                          ORDER BY v.pos DESC) AS rn
+                FROM v JOIN dd ON v.user_id = dd.user_id
+                WHERE v.pos > dd.del_pos AND dd.del_pos != dd.last_pos
+                WINDOW win AS (PARTITION BY v.user_id ORDER BY v.pos
                                ROWS BETWEEN UNBOUNDED PRECEDING
                                         AND UNBOUNDED FOLLOWING)
             )
