@@ -49,12 +49,20 @@ def main() -> int:
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--cells", action="store_true",
+                    help="changed-cells mode: 50%% of U events carry only "
+                         "changed columns; per-cell LWW + version-"
+                         "preserving prune compaction every 4 rounds — "
+                         "flat rounds prove the pruned chain stays "
+                         "bounded as the lake converges")
     ap.add_argument("--generate-only", action="store_true",
                     help="internal: build the changelog cache and exit")
     args = ap.parse_args()
 
     cl = os.path.join(
-        BENCH_ROOT, f"cl-endurance-{args.events}-e{args.epochs}")
+        BENCH_ROOT,
+        f"cl-endurance-{args.events}-e{args.epochs}"
+        + ("-cells" if args.cells else ""))
     if args.generate_only:
         from rayrep.gen import GenSpec, write_changelog
 
@@ -62,7 +70,8 @@ def main() -> int:
         write_changelog(cl, GenSpec(
             seed=42, n_events=args.events,
             n_conversations=max(2000, args.events // 50),
-            max_turns=50, n_epochs=args.epochs, zipf_a=1.1))
+            max_turns=50, n_epochs=args.epochs, zipf_a=1.1,
+            changed_cells_frac=0.5 if args.cells else 0.0))
         return 0
     if not os.path.exists(os.path.join(cl, "_gen_manifest.json")):
         # Generate in a CHILD process: the in-driver generator builds the
@@ -78,7 +87,8 @@ def main() -> int:
 
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--generate-only",
-             "--events", str(args.events), "--epochs", str(args.epochs)],
+             "--events", str(args.events), "--epochs", str(args.epochs)]
+            + (["--cells"] if args.cells else []),
             check=True)
         print(f"generated in {time.perf_counter() - t0:.0f}s", flush=True)
 
@@ -97,7 +107,8 @@ def main() -> int:
     shutil.rmtree(lake, ignore_errors=True)
     cfg = EngineConfig(
         changelog_dir=cl, lake_dir=lake, num_partitions=args.partitions,
-        epochs_per_round=args.epochs_per_round)
+        epochs_per_round=args.epochs_per_round,
+        changed_cells_updates=args.cells, per_cell_conflicts=args.cells)
 
     rounds = []
     done = 0
@@ -132,7 +143,8 @@ def main() -> int:
     lake_gb /= 2**30
 
     out = {
-        "metric": "endurance replay",
+        "metric": "endurance replay (changed-cells)" if args.cells
+                  else "endurance replay",
         "events": args.events, "epochs": args.epochs,
         "num_cpus": args.cpus, "partitions": args.partitions,
         "total_sec": round(total, 1),
@@ -147,7 +159,9 @@ def main() -> int:
                 os.path.abspath(__file__))), "BENCH", "BASELINE.md"),
                 "a") as f:
             f.write(
-                f"\n## Endurance run {time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
+                f"\n## Endurance run"
+                f"{' (changed-cells)' if args.cells else ''} "
+                f"{time.strftime('%Y-%m-%d %H:%M:%S')}\n\n"
                 f"- {args.events:,} events, {args.epochs} epochs, "
                 f"{args.partitions} partitions, {args.cpus} cpus\n"
                 f"- total {out['total_sec']}s = "
