@@ -1739,6 +1739,7 @@ def _replay_events_through_engine(
     tail_mode: bool = False, repartition_to: int | None = None,
     erase_mod: int | None = None, purge_mid_ts: bool = False,
     replica_incremental: bool = False, snapshot_interval: int | None = None,
+    view: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1780,7 +1781,7 @@ def _replay_events_through_engine(
     cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
                        initial_schema_json=sv.to_json(),
                        delta_output=delta_rollup or replica
-                       or replica_incremental,
+                       or replica_incremental or view,
                        changed_cells_updates=changed_cells,
                        per_cell_conflicts=changed_cells,
                        chaos_fraction=chaos,
@@ -1868,6 +1869,21 @@ def _replay_events_through_engine(
         return _rollup_delta_dir(os.path.join(lake, "delta"))
     if replica:
         return _replica_from_deltas(os.path.join(lake, "delta"))
+    if view:
+        # maintained aggregate view (rayrep/views.py): TWO refreshes so the
+        # incremental boundary — retractions of epoch-0/1 winners by later
+        # epochs' updates and deletes — is inside the oracle-hashed path.
+        from rayrep.views import read_view, update_view
+
+        vdir = os.path.join(d, "view")
+        update_view(os.path.join(lake, "delta"), vdir,
+                    group_col="event_type", value_col="value",
+                    up_to_epoch=1)
+        update_view(os.path.join(lake, "delta"), vdir,
+                    group_col="event_type", value_col="value")
+        out = read_view(vdir, group_col="event_type").to_pandas()
+        return (out.sort_values("event_type").reset_index(drop=True)
+                [["event_type", "n_rows", "sum_fp"]])
     if replica_incremental:
         # maintained consumer (sinks.update_replica): TWO refreshes — the
         # first capped at epoch 1, the second applying only the rest past
@@ -2365,6 +2381,20 @@ def cdc_replica_incremental(sf_dir: str) -> pd.DataFrame:
     Result must equal the uninterrupted deletes LWW oracle."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          replica_incremental=True)
+
+
+def cdc_incremental_view(sf_dir: str) -> pd.DataFrame:
+    """Incrementally maintained aggregate view (rayrep/views.py),
+    SQL-oracled: `GROUP BY event_type: COUNT(*), SUM(fixed-point value)`
+    kept current from the delta stream alone across TWO watermarked
+    refreshes — updates RETRACT the old group's contribution (a key whose
+    event_type changes moves between groups), deletes retract, and
+    tombstone resurrection re-adds. Must equal a full GROUP BY over the
+    deletes-LWW final state; a lost retraction, double-applied refresh,
+    or float-ordering drift breaks the hash (sums are int64 fixed
+    point)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         view=True)
 
 
 def cdc_erasure(sf_dir: str) -> pd.DataFrame:
@@ -3231,6 +3261,7 @@ def queries() -> dict:
         "cdc_erasure": cdc_erasure,
         "cdc_retention": cdc_retention,
         "cdc_replica_incremental": cdc_replica_incremental,
+        "cdc_incremental_view": cdc_incremental_view,
     }
 
 
@@ -3243,6 +3274,29 @@ def oracle_sql() -> dict:
     d["cdc_tail_mode"] = d["cdc_replay_deletes"]           # progressive publish
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_replica_incremental"] = d["cdc_replay_deletes"]  # watermarked refreshes
+    # Maintained aggregate view: GROUP BY over the same deletes-LWW final
+    # state the replica queries pin, with int64 fixed-point sums (FLOOR
+    # matches numpy floor; DuckDB SUM skipping NULL == the engine's 0
+    # contribution for a null value on a live row).
+    d["cdc_incremental_view"] = """
+        WITH e AS (
+            SELECT *,
+                   (event_id % 7 = 0 AND row_number() OVER
+                        (PARTITION BY user_id ORDER BY event_id) > 1) AS is_del
+            FROM events
+        ), r AS (
+            SELECT *, row_number() OVER
+                (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e
+        )
+        SELECT event_type,
+               COUNT(*) AS n_rows,
+               CAST(COALESCE(SUM(CAST(FLOOR(value * 10000) AS BIGINT)), 0)
+                    AS BIGINT) AS sum_fp
+        FROM r WHERE rn = 1 AND NOT is_del
+        GROUP BY event_type
+        ORDER BY event_type
+    """
     d["cdc_erasure"] = """
         WITH e AS (
             SELECT *,
