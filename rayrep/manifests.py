@@ -121,6 +121,13 @@ class LakeMeta:
     # claim index), so the flag is pinned like the routing params.
     # Defaulted False on load: legacy lakes predate the feature.
     dedup_ingest: bool = False
+    # Lake-level counter history carried across layout rewrites.
+    # ``repartition_lake`` resets per-partition counters to zero (they are
+    # not attributable across the new layout) and moves the cumulative
+    # totals here, so ``aggregate_partition_counters`` = baseline + the
+    # post-rescale partition counters and the lake's lifetime metrics
+    # survive any number of rescales (T5 metrics continuity).
+    counters_baseline: dict[str, int] = field(default_factory=zero_counters)
 
     @staticmethod
     def path(lake_dir: str) -> str:

@@ -552,9 +552,13 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
 
 
 def aggregate_partition_counters(lake_dir: str) -> dict:
-    """Global cumulative counters = sum over per-partition manifests (A1:
-    partial per-task counters merged to totals, CHANGES.txt:171-172)."""
-    totals = zero_counters()
+    """Global cumulative counters = LakeMeta baseline + sum over
+    per-partition manifests (A1: partial per-task counters merged to
+    totals, CHANGES.txt:171-172). The baseline is non-zero only after a
+    ``repartition_lake`` (which zeroes the per-partition counters); it
+    keeps lifetime totals monotone across layout rewrites."""
+    lm = LakeMeta.load(lake_dir)
+    totals = dict(lm.counters_baseline) if lm is not None else zero_counters()
     for mp in glob.glob(os.path.join(lake_dir, "_manifests", "p*.json")):
         with open(mp) as f:
             m = json.load(f)

@@ -38,8 +38,11 @@ Deliberate contract: the destination's history starts at the
 repartition point (chains fold to one image — epoch-level time travel
 into the past uses the SOURCE lake or ``timetravel.as_of`` over the
 changelog, which is exact at any T). Cumulative per-partition counters
-reset to zero (they are not attributable across the new layout);
-lake-level totals survive in the copied ``EpochManifest``.
+reset to zero (they are not attributable across the new layout); the
+lake-level totals move into ``LakeMeta.counters_baseline`` (and the
+copied ``EpochManifest``), so ``aggregate_partition_counters`` — and
+therefore every subsequent replay's committed totals — stays exact and
+monotone across any number of rescales.
 """
 
 from __future__ import annotations
@@ -254,6 +257,9 @@ def repartition_lake(
         per_cell=lm.per_cell,
         salt_turn_keys=lm.salt_turn_keys,
         dedup_ingest=lm.dedup_ingest,
+        # em.totals already folds any prior baseline, so chained rescales
+        # stay exact: lifetime counters never reset or double-count
+        counters_baseline=dict(em.totals),
     ).save(dst_lake)  # publish LAST: a crash before this leaves no lake
     total_live = sum(d["live"] for d in per_dst.values())
     return {"partitions": num_partitions, "rows": total_live,

@@ -64,6 +64,30 @@ def test_continued_replay_matches_fresh(changelog, tmp_path):
                                   _sorted(final_table_pandas(fresh)))
 
 
+def test_counters_survive_repartition(changelog, tmp_path):
+    """Lifetime counters are monotone across a rescale: repartition zeroes
+    the per-partition counters but moves the totals into
+    LakeMeta.counters_baseline, so a continued replay's committed totals
+    equal a fresh full replay's (T5 metrics continuity)."""
+    src = str(tmp_path / "src")
+    cfg5 = EngineConfig(changelog_dir=changelog, lake_dir=src,
+                        num_partitions=5, delta_output=False)
+    replay(cfg5, end_epoch=1)
+    dst = str(tmp_path / "dst")
+    repartition_lake(src, dst, 3)
+    cont = replay(EngineConfig(changelog_dir=changelog, lake_dir=dst,
+                               num_partitions=3, delta_output=False))
+    fresh = replay(EngineConfig(changelog_dir=changelog,
+                                lake_dir=str(tmp_path / "fresh"),
+                                num_partitions=3, delta_output=False))
+    assert cont["totals"] == fresh["totals"]
+    # chained rescale: baseline folds forward exactly
+    dst2 = str(tmp_path / "dst2")
+    repartition_lake(dst, dst2, 2)
+    from rayrep.pipeline import aggregate_partition_counters
+    assert aggregate_partition_counters(dst2) == fresh["totals"]
+
+
 def test_pin_checks_and_refusals(changelog, tmp_path):
     src = str(tmp_path / "src")
     replay(EngineConfig(changelog_dir=changelog, lake_dir=src,
