@@ -208,20 +208,40 @@ def state_schema(target: SchemaVersion) -> pa.Schema:
     )
 
 
-def conform_state(state: pa.Table, target: SchemaVersion) -> pa.Table:
+def conform_state(
+    state: pa.Table,
+    target: SchemaVersion,
+    history: dict[int, SchemaVersion] | None = None,
+) -> pa.Table:
     """Evolve a prior-epoch state table to the current canonical schema
-    (schema evolution between epochs: add columns as nulls, renames)."""
-    from rayrep.schema import evolve_table
+    (schema evolution between epochs: add columns as nulls, renames).
+    When the file is version-stamped and ``history`` covers the range,
+    the mapping replays the exact DDL steps (``evolve_table_from``) —
+    required once a column name is dropped and later re-added, where
+    name-based conformance would resurrect the dropped data."""
+    from rayrep.schema import evolve_table, evolve_table_from, stamped_version
 
     if state.num_rows == 0 and not state.column_names:
         return state_schema(target).empty_table()
+    ver = stamped_version(state)
     meta = {c: state.column(c) for c in STATE_META if c in state.column_names}
     payload = state.drop_columns([c for c in STATE_META if c in state.column_names])
-    payload = evolve_table(payload, target)
+    if ver is not None and ver < target.version and history:
+        payload = evolve_table_from(payload, ver, target, history)
+    else:
+        payload = evolve_table(payload, target)
     out = payload
     for c in STATE_META:
         out = out.append_column(c, meta[c])
     return out
+
+
+def load_schema_history(lake_dir: str) -> dict[int, "SchemaVersion"]:
+    """The lake's persisted schema history (S8), for version-aware chain
+    conformance. Tiny JSON reads — cheap relative to any chain fold."""
+    from rayrep.registry import SchemaRegistry
+
+    return dict(SchemaRegistry(persist_dir=lake_dir).versions)
 
 
 # Collapse threshold for the incremental chain fold: once the running
@@ -246,9 +266,16 @@ def fold_state_chain(lake_dir: str, chain: list[str], target: SchemaVersion,
     so any collapse schedule yields the identical result (property-
     tested) while bounding peak memory to live-keys + one file instead of
     the whole chain (r3 advice: the chain used to concatenate whole)."""
+    from rayrep.schema import stamped_version
+
     acc = None
+    history = None
     for f in chain:
-        t = conform_state(pq.read_table(os.path.join(lake_dir, f)), target)
+        raw = pq.read_table(os.path.join(lake_dir, f))
+        v = stamped_version(raw)
+        if v is not None and v < target.version and history is None:
+            history = load_schema_history(lake_dir)
+        t = conform_state(raw, target, history)
         acc = t if acc is None else pa.concat_tables([acc, t])
         if acc.num_rows > collapse_rows:
             acc = acc.filter(pa.array(last_per_key_mask(acc))).combine_chunks()
@@ -390,10 +417,17 @@ def _chain_tables(lake_dir: str, chain: list[str], target: SchemaVersion,
     suffix, property-tested), so any collapse schedule yields the same
     result while peak memory stays ≤ (n_payload+2)·live-keys + one file,
     not the whole chain."""
+    from rayrep.schema import stamped_version
+
     payload = [f.name for f in target.schema]
     acc = None
+    history = None
     for f in chain:
-        t = conform_state(pq.read_table(os.path.join(lake_dir, f)), target)
+        raw = pq.read_table(os.path.join(lake_dir, f))
+        v = stamped_version(raw)
+        if v is not None and v < target.version and history is None:
+            history = load_schema_history(lake_dir)
+        t = conform_state(raw, target, history)
         acc = t if acc is None else pa.concat_tables([acc, t])
         if acc.num_rows > collapse_rows:
             acc = prune_cells(acc, payload).combine_chunks()
@@ -802,10 +836,14 @@ class Applier:
 
         max_ts = manifest.max_ts_us
         if out is not None:
+            from rayrep.schema import stamp_version
+
             spath = state_path(self.lake_dir, part_id, self.epoch)
             os.makedirs(os.path.dirname(spath), exist_ok=True)
             tmp = spath + ".tmp"
-            pq.write_table(out, tmp)
+            # record the schema version this file is written under: chain
+            # conformance across later DDLs is version-exact, not by-name
+            pq.write_table(stamp_version(out, self.target.version), tmp)
             if self.durable_sync:  # data durable BEFORE the manifest references it
                 _fsync_path(tmp)
             self._maybe_chaos(rng)  # crash point A: state written but not visible

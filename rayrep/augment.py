@@ -26,6 +26,7 @@ per actor (``__init__``), not once per batch.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayrep.hashing import partition_ids
 from rayrep.schema import META_COLUMNS, SchemaVersion, evolve_table
@@ -43,8 +44,20 @@ class Augmenter:
         carry_txn: bool = False,
         salt_turn_keys: bool = False,
         validate_events: bool = False,
+        history_json: str = "",
     ):
         self.target = SchemaVersion.from_json(target_schema_json)
+        # Version history for stepwise (version-exact) payload evolution:
+        # a batch whose file schema predates the target (multi-epoch round
+        # crossing a DDL) must replay the exact steps — the cumulative
+        # rename map alone misroutes a reused column name.
+        self.history: dict[int, SchemaVersion] = {}
+        if history_json:
+            import json as _json
+
+            for d in _json.loads(history_json):
+                sv = SchemaVersion.from_json(_json.dumps(d))
+                self.history[sv.version] = sv
         self.num_partitions = num_partitions
         self.salt_turn_keys = salt_turn_keys
         # fail-fast malformed-event gate: a data event with a null routing
@@ -60,8 +73,6 @@ class Augmenter:
         self.carry_txn = carry_txn
         self.table_re = None
         if self.table_filter_regex:
-            import pyarrow.compute as pc
-
             try:
                 # probe the pattern against Arrow's RE2 dialect once; fall
                 # back to Python re for syntax RE2 lacks (lookaround,
@@ -73,8 +84,6 @@ class Augmenter:
                 self.table_re = re.compile(self.table_filter_regex)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         # M1: route DDL rows out of the data path (handled by the registry).
         if "op" in batch.column_names:
             mask = pc.not_equal(batch["op"], "DDL")
@@ -114,7 +123,21 @@ class Augmenter:
             [c for c in META_COLUMNS if c in batch.column_names]
         )
         # M2/M3: evolve payload to the target canonical schema (vectorized).
-        payload = evolve_table(payload, self.target)
+        # Contract: a changelog file's PHYSICAL schema is the one active at
+        # its newest event, so max(schema_ver) identifies the batch's source
+        # version (Ray Data batches never span files). When it predates the
+        # target (multi-epoch round crossing a DDL), replay the exact steps.
+        src_ver = None
+        if self.history and "schema_ver" in batch.column_names:
+            src_ver = pc.max(batch.column("schema_ver")).as_py()
+        if src_ver is not None and src_ver < self.target.version:
+            from rayrep.schema import evolve_table_from
+
+            payload = evolve_table_from(
+                payload, int(src_ver), self.target, self.history
+            )
+        else:
+            payload = evolve_table(payload, self.target)
         # M6: partition stamp (salt analog) — drives the one hash shuffle.
         if self.salt_turn_keys:
             from rayrep.hashing import partition_ids_salted

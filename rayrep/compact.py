@@ -62,7 +62,9 @@ def compact_lake(lake_dir: str, distributed: bool = False) -> dict:
         out = os.path.join(
             lake_dir, f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet"
         )
-        pq.write_table(folded, out + ".tmp")
+        from rayrep.schema import stamp_version
+
+        pq.write_table(stamp_version(folded, target.version), out + ".tmp")
         os.replace(out + ".tmp", out)
         m.state_chain = [os.path.relpath(out, lake_dir)]
         m.save(lake_dir)  # atomic: readers see either old chain or new file

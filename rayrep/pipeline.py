@@ -165,6 +165,7 @@ def _augment(
     carry_txn: bool = False,
     salt_turn_keys: bool = False,
     validate_events: bool = False,
+    history_json: str = "",
 ):
     """Attach the augmenter stage. With ``concurrency=None`` it runs as
     stateless tasks (elastic, no idle CPU reservation — an idle actor pool
@@ -178,6 +179,7 @@ def _augment(
         carry_txn=carry_txn,
         salt_turn_keys=salt_turn_keys,
         validate_events=validate_events,
+        history_json=history_json,
     )
     if concurrency is None:
         return ds.map_batches(
@@ -382,6 +384,12 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         for _, path in rnd:
             registry.apply_ddl_events(extract_ddl_events(path))
         target_json = registry.current_json()
+        # broadcast the version history only when this round actually
+        # spans several schema versions (stepwise evolution is needed
+        # exactly then); the common single-version round ships nothing
+        history_json = (
+            registry.history_json() if len(rnd) > 1 else ""
+        )
 
         parts = []
         for _, path in rnd:
@@ -397,6 +405,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                     carry_txn=cfg.txn_lineage,
                     salt_turn_keys=cfg.salt_turn_keys,
                     validate_events=cfg.validate_events,
+                    history_json=history_json,
                 )
             )
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
@@ -711,7 +720,10 @@ def replay_batch(
     parts = []
     for _, path in epochs:
         ds = rd.read_parquet(path)
-        ds = _augment(ds, target_json, num_partitions, "", batch_size, concurrency)
+        # one-shot over the whole log: batches span every schema version,
+        # so stepwise evolution always gets the full history
+        ds = _augment(ds, target_json, num_partitions, "", batch_size,
+                      concurrency, history_json=registry.history_json())
         parts.append(ds)
     ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
 

@@ -110,6 +110,18 @@ class SchemaRegistry:
     def current_json(self) -> str:
         return self.current().to_json()
 
+    def history_json(self) -> str:
+        """The full version history as one JSON string (broadcast to the
+        augmenter with the target version): version-exact conformance of
+        event batches whose file schema predates the round's target —
+        required when ``epochs_per_round`` spans a DDL and a dropped or
+        renamed-away column name has been reused since."""
+        import json
+
+        return json.dumps(
+            [json.loads(sv.to_json()) for _, sv in sorted(self.versions.items())]
+        )
+
 
 # Singleton actor wrapper (T2). num_cpus=0: it is a metadata service, not a
 # compute stage — it must never reserve a slot the applier pool needs.

@@ -102,8 +102,11 @@ def _repart_one(
             shard = state.filter(pa.array(pids == pid))
             pdir = os.path.join(dst_lake, f"part-{pid:05d}")
             os.makedirs(pdir, exist_ok=True)
+            from rayrep.schema import stamp_version
+
             write_parquet_atomic(
-                shard, os.path.join(pdir, _SHARD_FMT.format(src=src_part))
+                stamp_version(shard, target.version),
+                os.path.join(pdir, _SHARD_FMT.format(src=src_part)),
             )
             mx = shard.column("ts").cast(pa.int64())
             mx_v = pc.max(mx).as_py() if shard.num_rows else None

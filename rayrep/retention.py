@@ -127,7 +127,9 @@ def purge_lake(lake_dir: str, before_ts_us: int | None = None,
         out = os.path.join(
             lake_dir, f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet"
         )
-        write_parquet_atomic(state, out)
+        from rayrep.schema import stamp_version
+
+        write_parquet_atomic(stamp_version(state, target.version), out)
         old_chain = list(m.state_chain)
         m.state_chain = [os.path.relpath(out, lake_dir)]
         # pruned per-cell state keeps several rows per key: count live

@@ -118,6 +118,15 @@ def apply_ddl(prev: SchemaVersion, ddl_json: str) -> SchemaVersion:
         if ddl["name"] in prev.schema.names:
             raise ValueError(f"add_column: {ddl['name']} already exists")
         fields.append(pa.field(ddl["name"], type_from_name(ddl.get("type", "string"))))
+        # The name may have been freed earlier by a rename or a drop of a
+        # rename destination. From this version on it denotes a NEW
+        # column, so any rename entry touching it must go — otherwise
+        # name-based conformance misroutes the new column (src match) or
+        # resurrects renamed-away data into it (dst match). Files written
+        # under OLDER versions are mapped by the stepwise
+        # ``evolve_table_from`` path, which doesn't use this map.
+        renames = {k: v for k, v in renames.items()
+                   if k != ddl["name"] and v != ddl["name"]}
     elif action == "rename_column":
         src, dst = ddl["from"], ddl["to"]
         idx = prev.schema.get_field_index(src)
@@ -136,6 +145,62 @@ def apply_ddl(prev: SchemaVersion, ddl_json: str) -> SchemaVersion:
     else:
         raise ValueError(f"unknown DDL action {action!r}")
     return SchemaVersion(version=prev.version + 1, schema=pa.schema(fields), renames=renames)
+
+
+# Parquet schema-metadata key recording the schema version a state file
+# was WRITTEN under. Name-based conformance is ambiguous once a column
+# name is dropped and later re-added (or freed by a rename and reused):
+# the stamp + the persisted version history make the mapping exact.
+STATE_VERSION_META = b"rayrep_state_version"
+
+
+def stamp_version(table: pa.Table, version: int) -> pa.Table:
+    md = dict(table.schema.metadata or {})
+    md[STATE_VERSION_META] = str(int(version)).encode()
+    return table.replace_schema_metadata(md)
+
+
+def stamped_version(table: pa.Table) -> int | None:
+    v = (table.schema.metadata or {}).get(STATE_VERSION_META)
+    return int(v) if v is not None else None
+
+
+def evolve_table_from(
+    table: pa.Table,
+    from_version: int,
+    target: SchemaVersion,
+    history: dict[int, SchemaVersion],
+) -> pa.Table:
+    """Version-aware ``evolve_table``: replay the schema steps between
+    ``from_version`` and ``target`` on the physical columns, so a column
+    DROPPED mid-history never leaks its old data into a later re-add of
+    the same name (MySQL DROP discards data), and a name freed by a
+    rename can be reused safely. Exactly one DDL separates consecutive
+    versions, so diffing adjacent field-name sets recovers the step
+    unambiguously. Falls back to name-based ``evolve_table`` if the
+    history doesn't cover the range (legacy lakes)."""
+    names: list[str | None] = list(table.column_names)
+    for v in range(from_version, target.version):
+        prev, nxt = history.get(v), history.get(v + 1)
+        if prev is None or nxt is None:
+            return evolve_table(table, target)
+        pn = [f.name for f in prev.schema]
+        nn = [f.name for f in nxt.schema]
+        removed = [c for c in pn if c not in nn]
+        added = [c for c in nn if c not in pn]
+        if len(removed) == 1 and len(added) == 1:       # rename step
+            src, dst = removed[0], added[0]
+            names = [dst if c == src else c for c in names]
+        elif removed:                                    # drop step
+            names = [None if c == removed[0] else c for c in names]
+        # add step: nothing — the final projection null-fills
+    keep = [i for i, c in enumerate(names) if c is not None]
+    table = table.select(keep).rename_columns([names[i] for i in keep])
+    # final projection without the cumulative rename map (steps already
+    # applied): null-fill missing, drop unknown, cast, canonical order
+    return evolve_table(
+        table, SchemaVersion(version=target.version, schema=target.schema)
+    )
 
 
 def evolve_table(table: pa.Table, target: SchemaVersion) -> pa.Table:

@@ -37,8 +37,20 @@ def replay_oracle(
                 cols_template.append(ddl["name"])
             elif ddl["action"] == "rename_column":
                 cols_template = [ddl["to"] if c == ddl["from"] else c for c in cols_template]
+                # MySQL RENAME COLUMN preserves data: rows written before
+                # the rename keep their value under the new name (the
+                # engine rename-maps old files at fold; the oracle must
+                # migrate its stored state keys the same way)
+                for key, (t, s, row) in state.items():
+                    if row is not None and ddl["from"] in row:
+                        row[ddl["to"]] = row.pop(ddl["from"])
             elif ddl["action"] == "drop_column":
                 cols_template = [c for c in cols_template if c != ddl["name"]]
+                # MySQL DROP COLUMN discards data: a later re-add of the
+                # same name must see NULLs, not resurrected values
+                for key, (t, s, row) in state.items():
+                    if row is not None:
+                        row.pop(ddl["name"], None)
             continue
         ctr["input_rows"] += 1
         key = (rec.conv_id, int(rec.turn_idx))
