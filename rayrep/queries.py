@@ -1506,6 +1506,12 @@ def _emit_changelog_batch(
         if with_ddl and ddl_action == "drop_column" and e >= 2:
             # post-drop files physically lack the column
             sub = sub.drop_columns(["props"])
+        if with_ddl and ddl_action == "alter_type" and e >= 2:
+            # post-alter files physically carry the NEW type (MySQL MODIFY:
+            # binlog row images after the ALTER are written converted)
+            i = sub.column_names.index("event_id")
+            sub = sub.set_column(i, pa.field("event_id", pa.string()),
+                                 sub.column(i).cast(pa.string()))
         edir = os.path.join(cl_dir, f"epoch-{int(e):05d}")
         os.makedirs(edir, exist_ok=True)
         fp = os.path.join(edir, f"part-{uuid.uuid4().hex}.parquet")
@@ -1684,6 +1690,11 @@ def _changelog_fixture(sf_dir: str, *, with_deletes: bool, with_ddl: bool,
                             "to": "meta"}
                 extra = {}
                 payload_col = "meta"  # DDL row written under the NEW schema
+            elif ddl_action == "alter_type":  # event_id int64→string
+                ddl_json = {"action": "alter_type", "name": "event_id",
+                            "type": "string"}
+                extra = {}
+                payload_col = None
             else:  # drop_column: props removed mid-stream
                 ddl_json = {"action": "drop_column", "name": "props"}
                 extra = {}
@@ -1705,6 +1716,9 @@ def _changelog_fixture(sf_dir: str, *, with_deletes: bool, with_ddl: bool,
             }
             if payload_col is not None:
                 cells[payload_col] = pa.nulls(1, pa.string())
+            if ddl_action == "alter_type":
+                # the DDL row's file is written under the NEW schema
+                cells["event_id"] = pa.nulls(1, pa.string())
             ddl_row = pa.table(cells)
             pq.write_table(ddl_row,
                            os.path.join(stage, "epoch-00002",
@@ -1907,8 +1921,9 @@ def _replay_events_through_engine(
         elif ddl_action == "rename_column":
             # rename: pre-DDL rows' payload must have migrated to `meta`
             keep[keep.index("props")] = "meta"
-        else:  # drop: the column is gone from the converged table
-            keep.remove("props")
+        elif ddl_action == "drop_column":
+            keep.remove("props")  # gone from the converged table
+        # alter_type: same columns, event_id's TYPE changed to string
     return out[keep]
 
 
@@ -2297,6 +2312,18 @@ def cdc_replay_drop_column(sf_dir: str) -> pd.DataFrame:
     return _replay_events_through_engine(sf_dir, with_deletes=False,
                                          with_ddl=True,
                                          ddl_action="drop_column")
+
+
+def cdc_replay_alter_type(sf_dir: str) -> pd.DataFrame:
+    """Mid-stream ``alter_type`` (MySQL ALTER ... MODIFY: event_id int64 →
+    string) through the real engine, SQL-oracled: post-ALTER epoch files
+    physically carry the converted type while pre-ALTER committed state
+    rows cast at the version-exact chain conform (the file's stamped
+    version drives the step replay).  Extends M9 beyond the add/rename/
+    drop trio; oracle = the LWW SQL with CAST(event_id AS VARCHAR)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         with_ddl=True,
+                                         ddl_action="alter_type")
 
 
 def cdc_replay_chaos(sf_dir: str) -> pd.DataFrame:
@@ -3242,6 +3269,7 @@ def queries() -> dict:
         "cdc_replay_chaos": cdc_replay_chaos,
         "cdc_replay_rename": cdc_replay_rename,
         "cdc_replay_drop_column": cdc_replay_drop_column,
+        "cdc_replay_alter_type": cdc_replay_alter_type,
         "cdc_lake_diff": cdc_lake_diff,
         "cdc_multi_table_conv": cdc_multi_table_conv,
         "cdc_multi_table_docs": cdc_multi_table_docs,
@@ -3526,6 +3554,12 @@ def _oracle_sql_base() -> dict:
         """,
         "cdc_replay_drop_column": """
             SELECT event_id, ts, user_id, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_replay_alter_type": """
+            SELECT CAST(event_id AS VARCHAR) AS event_id,
+                   ts, user_id, event_type, value, props
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,

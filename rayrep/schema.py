@@ -142,6 +142,18 @@ def apply_ddl(prev: SchemaVersion, ddl_json: str) -> SchemaVersion:
         if ddl["name"] in KEY_COLUMNS:
             raise ValueError("cannot drop a key column")
         fields = [f for f in fields if f.name != ddl["name"]]
+    elif action == "alter_type":
+        # MySQL ALTER TABLE ... MODIFY col NEWTYPE: the column keeps its
+        # name and data, converted to the new type (sequential cast —
+        # each ALTER casts from the column's CURRENT type, so chains
+        # like int32→int64→string compose step by step).
+        name = ddl["name"]
+        if name in KEY_COLUMNS:
+            raise ValueError("cannot alter a key column's type")
+        idx = prev.schema.get_field_index(name)
+        if idx < 0:
+            raise ValueError(f"alter_type: {name} not found")
+        fields[idx] = pa.field(name, type_from_name(ddl["type"]))
     else:
         raise ValueError(f"unknown DDL action {action!r}")
     return SchemaVersion(version=prev.version + 1, schema=pa.schema(fields), renames=renames)
@@ -174,12 +186,14 @@ def evolve_table_from(
     """Version-aware ``evolve_table``: replay the schema steps between
     ``from_version`` and ``target`` on the physical columns, so a column
     DROPPED mid-history never leaks its old data into a later re-add of
-    the same name (MySQL DROP discards data), and a name freed by a
-    rename can be reused safely. Exactly one DDL separates consecutive
-    versions, so diffing adjacent field-name sets recovers the step
-    unambiguously. Falls back to name-based ``evolve_table`` if the
-    history doesn't cover the range (legacy lakes)."""
-    names: list[str | None] = list(table.column_names)
+    the same name (MySQL DROP discards data), a name freed by a rename
+    can be reused safely, and type ALTERs apply sequentially (each cast
+    from the column's then-current type, MySQL MODIFY semantics).
+    Exactly one DDL separates consecutive versions, so diffing adjacent
+    field-name sets recovers rename/drop/add and diffing same-name field
+    types recovers an alter, unambiguously. Falls back to name-based
+    ``evolve_table`` if the history doesn't cover the range (legacy
+    lakes)."""
     for v in range(from_version, target.version):
         prev, nxt = history.get(v), history.get(v + 1)
         if prev is None or nxt is None:
@@ -190,12 +204,24 @@ def evolve_table_from(
         added = [c for c in nn if c not in pn]
         if len(removed) == 1 and len(added) == 1:       # rename step
             src, dst = removed[0], added[0]
-            names = [dst if c == src else c for c in names]
+            if src in table.column_names:
+                table = table.rename_columns(
+                    [dst if c == src else c for c in table.column_names]
+                )
         elif removed:                                    # drop step
-            names = [None if c == removed[0] else c for c in names]
+            if removed[0] in table.column_names:
+                table = table.drop_columns([removed[0]])
+        elif not added:                                  # alter_type step
+            for f in nxt.schema:
+                pi = prev.schema.get_field_index(f.name)
+                if (pi >= 0 and prev.schema.field(pi).type != f.type
+                        and f.name in table.column_names):
+                    i = table.column_names.index(f.name)
+                    table = table.set_column(
+                        i, pa.field(f.name, f.type),
+                        table.column(i).cast(f.type),
+                    )
         # add step: nothing — the final projection null-fills
-    keep = [i for i, c in enumerate(names) if c is not None]
-    table = table.select(keep).rename_columns([names[i] for i in keep])
     # final projection without the cumulative rename map (steps already
     # applied): null-fill missing, drop unknown, cast, canonical order
     return evolve_table(

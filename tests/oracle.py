@@ -15,14 +15,23 @@ import json
 import pandas as pd
 import pyarrow as pa
 
+# Python-value analogs of the Arrow casts used by alter_type chains in
+# tests (lossless transitions only: int widenings + int→string; str(int)
+# matches Arrow's integer→utf8 cast exactly)
+_PY_CAST = {"string": str, "int32": int, "int64": int, "float64": float}
+
 
 def replay_oracle(
     changelog: pa.Table,
     as_of_ts_us: int | None = None,
     changed_cells: bool = False,
+    base_cols: list[str] | None = None,
 ):
-    cols_template = ["conv_id", "turn_idx", "role", "text", "ts"]
-    df = changelog.to_pandas()
+    cols_template = (list(base_cols) if base_cols
+                     else ["conv_id", "turn_idx", "role", "text", "ts"])
+    # pa.Table or a pandas frame (object-dtype frames preserve the exact
+    # Python values the typed-DDL fuzz needs for sequential-cast replay)
+    df = changelog.to_pandas() if isinstance(changelog, pa.Table) else changelog
     df = df.sort_values("seq", kind="stable")
     state: dict[tuple, tuple] = {}  # key -> (ts_us, seq, row_dict | None)
     ctr = {"input_rows": 0, "applied": 0, "skipped": 0, "conflict": 0, "deleted": 0}
@@ -51,6 +60,13 @@ def replay_oracle(
                 for key, (t, s, row) in state.items():
                     if row is not None:
                         row.pop(ddl["name"], None)
+            elif ddl["action"] == "alter_type":
+                # MySQL MODIFY converts existing data at the ALTER —
+                # sequential cast semantics (from the CURRENT type)
+                conv = _PY_CAST[ddl["type"]]
+                for key, (t, s, row) in state.items():
+                    if row is not None and row.get(ddl["name"]) is not None:
+                        row[ddl["name"]] = conv(row[ddl["name"]])
             continue
         ctr["input_rows"] += 1
         key = (rec.conv_id, int(rec.turn_idx))

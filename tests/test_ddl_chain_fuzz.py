@@ -38,21 +38,31 @@ _META_PRE = [
 _META_POST = [("ts", pa.timestamp("us")), ("ddl", pa.string())]
 
 
+# lossless alter_type transitions (the test universe; the engine casts
+# whatever Arrow casts — both replay engines agree bitwise on these)
+_ALTERS = {"int32": ["int64", "string"], "int64": ["string"]}
+_PA_TYPES = {"string": pa.string(), "int32": pa.int32(), "int64": pa.int64()}
+
+
 def _build_chain(rng: np.random.Generator):
-    """Random evolving stream → (per-segment row dicts, per-segment payload
-    columns, union-schema rows for the oracle)."""
+    """Random evolving stream → [(payload_cols, {col: type_name}, rows)]
+    per segment, each written under its then-active physical schema."""
     convs = [f"c{i}" for i in range(int(rng.integers(4, 12)))]
     payload = ["role", "text"]          # active payload columns, in order
+    types = {"role": "string", "text": "string"}
     dropped: list[str] = []             # names freed by drops — reusable
     fresh = 0
     seq = 0
-    segments = []                       # [(payload_cols, [row dicts])]
+    segments = []                       # [(payload_cols, types, rows)]
     n_segments = int(rng.integers(2, 6))
     for seg in range(n_segments):
         rows = []
         if seg > 0:
             mutable = [c for c in payload if c != "text"]
-            act = str(rng.choice(["add"] + (["rename", "drop"] if mutable else [])))
+            alterable = [c for c in mutable if types[c] in _ALTERS]
+            acts = ["add"] + (["rename", "drop"] if mutable else []) \
+                + (["alter"] if alterable else [])
+            act = str(rng.choice(acts))
             if act == "add":
                 # half the time RE-ADD a previously dropped name: the old
                 # data must not resurrect (version-stamped chain fold)
@@ -60,18 +70,27 @@ def _build_chain(rng: np.random.Generator):
                     name = dropped.pop(0)
                 else:
                     name = f"x{fresh}"; fresh += 1
-                ddl = {"action": "add_column", "name": name, "type": "string"}
+                typ = str(rng.choice(["string", "int32"]))
+                ddl = {"action": "add_column", "name": name, "type": typ}
                 payload = payload + [name]
+                types[name] = typ
             elif act == "rename":
                 src = str(rng.choice(mutable))
                 dst = f"r{fresh}"; fresh += 1
                 ddl = {"action": "rename_column", "from": src, "to": dst}
                 payload = [dst if c == src else c for c in payload]
+                types[dst] = types.pop(src)
                 dropped.append(src)     # a rename frees its source name too
+            elif act == "alter":
+                col = str(rng.choice(alterable))
+                typ = str(rng.choice(_ALTERS[types[col]]))
+                ddl = {"action": "alter_type", "name": col, "type": typ}
+                types[col] = typ
             else:
                 victim = str(rng.choice(mutable))
                 ddl = {"action": "drop_column", "name": victim}
                 payload = [c for c in payload if c != victim]
+                types.pop(victim)
                 dropped.append(victim)
             rows.append({"seq": seq, "op": "DDL", "schema_ver": seg + 1,
                          "ddl": json.dumps(ddl), "ts": T0_US})
@@ -85,17 +104,23 @@ def _build_chain(rng: np.random.Generator):
                 "ts": T0_US + int(rng.integers(0, 30)) * 1_000_000,
             }
             for c in payload:
-                row[c] = None if op == "D" else f"{c}.s{seq}"
+                if op == "D":
+                    row[c] = None
+                elif types[c] == "string":
+                    row[c] = f"{c}.s{seq}"
+                else:
+                    row[c] = int(seq)
             rows.append(row)
             seq += 1
-        segments.append((list(payload), rows))
+        segments.append((list(payload), dict(types), rows))
     return segments
 
 
-def _segment_table(payload_cols, rows) -> pa.Table:
+def _segment_table(payload_cols, rows, types=None) -> pa.Table:
     """One epoch file under the segment's then-active physical schema."""
+    types = types or {}
     fields = (_META_PRE
-              + [(c, pa.string()) for c in payload_cols]
+              + [(c, _PA_TYPES[types.get(c, "string")]) for c in payload_cols]
               + _META_POST)
     cols = {}
     for name, typ in fields:
@@ -105,7 +130,7 @@ def _segment_table(payload_cols, rows) -> pa.Table:
 
 def _oracle_table(segments) -> pa.Table:
     """Union-schema changelog for the sequential oracle: every column that
-    ever existed, null where a row's schema lacked it."""
+    ever existed, null where a row's schema lacked it (all-string segs)."""
     all_payload = []
     for payload_cols, _ in segments:
         for c in payload_cols:
@@ -117,14 +142,31 @@ def _oracle_table(segments) -> pa.Table:
                      for n, t in fields})
 
 
+def _oracle_frame(segments) -> "pd.DataFrame":
+    """Union-schema changelog as an object-dtype frame: exact Python
+    values survive (an Arrow union table can't hold a column whose type
+    CHANGES mid-stream; the oracle applies each alter's cast itself)."""
+    import pandas as pd
+
+    all_payload = []
+    for payload_cols, _, _ in segments:
+        for c in payload_cols:
+            if c not in all_payload:
+                all_payload.append(c)
+    rows = [r for _, _, rs in segments for r in rs]
+    names = ([n for n, _ in _META_PRE] + all_payload
+             + [n for n, _ in _META_POST])
+    return pd.DataFrame(rows, columns=names, dtype=object)
+
+
 @pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66])
 def test_ddl_chain_fuzz_matches_oracle(tmp_path, seed):
     rng = np.random.default_rng(seed)
     segments = _build_chain(rng)
     cl = str(tmp_path / "cl")
     os.makedirs(cl)
-    for e, (payload_cols, rows) in enumerate(segments):
-        pq.write_table(_segment_table(payload_cols, rows),
+    for e, (payload_cols, types, rows) in enumerate(segments):
+        pq.write_table(_segment_table(payload_cols, rows, types),
                        os.path.join(cl, f"epoch-{e:05d}.parquet"))
 
     cfg = EngineConfig(
@@ -142,10 +184,18 @@ def test_ddl_chain_fuzz_matches_oracle(tmp_path, seed):
     replay(cfg, end_epoch=k)
     res = replay(cfg)
 
-    oracle_df, octr = replay_oracle(_oracle_table(segments))
+    oracle_df, octr = replay_oracle(_oracle_frame(segments))
     got = final_table_pandas(cfg.lake_dir)
     assert set(got.columns) == set(oracle_df.columns), (
         sorted(got.columns), sorted(oracle_df.columns))
+    # canonicalize numerics: the engine yields float64 for nullable ints,
+    # the oracle object-dtype ints/Nones — compare both as float64
+    import pandas.api.types as ptypes
+    for c in got.columns:
+        if c != "text" and (ptypes.is_numeric_dtype(got[c])
+                            and not ptypes.is_bool_dtype(got[c])):
+            got[c] = got[c].astype("float64")
+            oracle_df[c] = oracle_df[c].astype("float64")
     assert_frames_equal(got, oracle_df)
     assert res["totals"]["applied"] == octr["applied"]
     assert res["totals"]["conflict"] == octr["conflict"]
@@ -256,3 +306,140 @@ def test_rename_readd_drop_chain_multi_epoch_round(tmp_path, epochs_per_round):
     assert "r0" not in got.columns
     oracle_df, _ = replay_oracle(_oracle_table(segs))
     assert_frames_equal(got, oracle_df)
+
+
+def test_alter_type_chain_casts_state_sequentially(tmp_path):
+    """MySQL MODIFY converts existing data at each ALTER: a value written
+    as int32 at v1, altered int32→int64 at v2 and int64→string at v3,
+    must surface as its decimal string — including for keys whose LAST
+    write predates both alters (the cast happens at the state-chain
+    conform, driven by the file's version stamp)."""
+    T = T0_US
+    segs = [
+        (["role", "text", "n"], {"n": "int32"}, [
+            {"seq": 0, "op": "I", "schema_ver": 1, "ddl": None, "conv_id": "a",
+             "turn_idx": 0, "ts": T, "role": "u", "text": "a0", "n": 7},
+        ]),
+        (["role", "text", "n"], {"n": "int64"}, [
+            {"seq": 1, "op": "DDL", "schema_ver": 2, "ddl": json.dumps(
+                {"action": "alter_type", "name": "n", "type": "int64"}),
+             "ts": T},
+            {"seq": 2, "op": "I", "schema_ver": 2, "ddl": None, "conv_id": "b",
+             "turn_idx": 0, "ts": T + 1_000_000, "role": "u", "text": "b0",
+             "n": 4_000_000_000},   # needs int64 — overflows int32
+        ]),
+        (["role", "text", "n"], {"n": "string"}, [
+            {"seq": 3, "op": "DDL", "schema_ver": 3, "ddl": json.dumps(
+                {"action": "alter_type", "name": "n", "type": "string"}),
+             "ts": T},
+            {"seq": 4, "op": "I", "schema_ver": 3, "ddl": None, "conv_id": "c",
+             "turn_idx": 0, "ts": T + 2_000_000, "role": "u", "text": "c0",
+             "n": "str-born"},
+        ]),
+    ]
+    cl = str(tmp_path / "cl")
+    os.makedirs(cl)
+    for e, (cols, types, rows) in enumerate(segs):
+        pq.write_table(_segment_table(cols, rows, types),
+                       os.path.join(cl, f"epoch-{e:05d}.parquet"))
+    from rayrep.schema import SchemaVersion as _SV
+    sv1 = _SV(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()), pa.field("text", pa.string()),
+        pa.field("n", pa.int32()), pa.field("ts", pa.timestamp("us")),
+    ]))
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=str(tmp_path / "lake"),
+                       num_partitions=2, applier_concurrency=2,
+                       initial_schema_json=sv1.to_json(),
+                       delta_output=False,
+                       # keep a's v1 chain file alive through both alters
+                       state_snapshot_interval=10)
+    replay(cfg)
+    got = final_table_pandas(cfg.lake_dir).set_index("conv_id")
+    assert got.loc["a", "n"] == "7"
+    assert got.loc["b", "n"] == "4000000000"
+    assert got.loc["c", "n"] == "str-born"
+    oracle_df, _ = replay_oracle(_oracle_frame(segs), base_cols=[
+        "conv_id", "turn_idx", "role", "text", "n", "ts"])
+    assert list(oracle_df.sort_values("conv_id")["n"]) == [
+        "7", "4000000000", "str-born"]
+
+
+def test_alter_after_rename_follows_the_renamed_column(tmp_path):
+    """rename n→m at v2, alter m→string at v3: a v1-written state file
+    (column still named `n`, typed int32) must land as string under `m`."""
+    T = T0_US
+    segs = [
+        (["text", "n"], {"n": "int32"}, [
+            {"seq": 0, "op": "I", "schema_ver": 1, "ddl": None, "conv_id": "a",
+             "turn_idx": 0, "ts": T, "text": "a0", "n": 42},
+        ]),
+        (["text", "m"], {"m": "int32"}, [
+            {"seq": 1, "op": "DDL", "schema_ver": 2, "ddl": json.dumps(
+                {"action": "rename_column", "from": "n", "to": "m"}),
+             "ts": T},
+        ]),
+        (["text", "m"], {"m": "string"}, [
+            {"seq": 2, "op": "DDL", "schema_ver": 3, "ddl": json.dumps(
+                {"action": "alter_type", "name": "m", "type": "string"}),
+             "ts": T},
+            {"seq": 3, "op": "I", "schema_ver": 3, "ddl": None, "conv_id": "b",
+             "turn_idx": 0, "ts": T + 1_000_000, "text": "b0", "m": "new"},
+        ]),
+    ]
+    cl = str(tmp_path / "cl")
+    os.makedirs(cl)
+    for e, (cols, types, rows) in enumerate(segs):
+        pq.write_table(_segment_table(cols, rows, types),
+                       os.path.join(cl, f"epoch-{e:05d}.parquet"))
+    from rayrep.schema import SchemaVersion as _SV
+    sv1 = _SV(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("text", pa.string()), pa.field("n", pa.int32()),
+        pa.field("ts", pa.timestamp("us")),
+    ]))
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=str(tmp_path / "lake"),
+                       num_partitions=2, applier_concurrency=2,
+                       initial_schema_json=sv1.to_json(),
+                       delta_output=False, state_snapshot_interval=10)
+    replay(cfg)
+    got = final_table_pandas(cfg.lake_dir).set_index("conv_id")
+    assert "n" not in got.columns
+    assert got.loc["a", "m"] == "42"
+    assert got.loc["b", "m"] == "new"
+
+
+def test_apply_ddl_alter_type_validation():
+    from rayrep.schema import SchemaVersion, apply_ddl
+
+    sv = SchemaVersion(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("n", pa.int32()), pa.field("ts", pa.timestamp("us")),
+    ]))
+    out = apply_ddl(sv, json.dumps(
+        {"action": "alter_type", "name": "n", "type": "int64"}))
+    assert out.schema.field("n").type == pa.int64()
+    assert out.version == 2
+    with pytest.raises(ValueError, match="key column"):
+        apply_ddl(sv, json.dumps(
+            {"action": "alter_type", "name": "turn_idx", "type": "int64"}))
+    with pytest.raises(ValueError, match="not found"):
+        apply_ddl(sv, json.dumps(
+            {"action": "alter_type", "name": "nope", "type": "int64"}))
+
+
+def test_evolve_table_from_applies_alter_steps():
+    from rayrep.schema import SchemaVersion, apply_ddl, evolve_table_from
+
+    v1 = SchemaVersion(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("n", pa.int32()),
+    ]))
+    v2 = apply_ddl(v1, json.dumps(
+        {"action": "alter_type", "name": "n", "type": "int64"}))
+    v3 = apply_ddl(v2, json.dumps(
+        {"action": "alter_type", "name": "n", "type": "string"}))
+    hist = {1: v1, 2: v2, 3: v3}
+    t = pa.table({"conv_id": pa.array(["a"]), "n": pa.array([5], pa.int32())})
+    out = evolve_table_from(t, 1, v3, hist)
+    assert out.schema.field("n").type == pa.string()
+    assert out.column("n").to_pylist() == ["5"]
