@@ -112,6 +112,14 @@ def check_lake(lake_dir: str, deep: bool = False,
             from rayrep.schema import SchemaVersion
 
             m = PartitionManifest.load(lake_dir, pid)
+            # a chain with missing files can't fold — report, don't raise
+            # (the corruption `repair_partitions` exists to fix)
+            gone = [f for f in m.state_chain
+                    if not os.path.exists(os.path.join(lake_dir, f))]
+            if gone:
+                return {"errors": [f"p{pid:05d}: unfoldable chain, "
+                                   f"missing: {f}" for f in gone],
+                        "rows": 0}
             target = SchemaVersion.from_json(target_json)
             fold_fn = fold_state_chain_cells if cells else fold_state_chain
             state = fold_fn(lake_dir, m.state_chain, target)

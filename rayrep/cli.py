@@ -130,6 +130,22 @@ def main(argv=None) -> int:
                              "chains (one base file per bucket)")
     ci.add_argument("lake_dir")
 
+    rf = sub.add_parser("repair",
+                        help="rebuild damaged partitions from the "
+                             "changelog (targeted: only their rows are "
+                             "shuffled/applied; barrier never moves)")
+    rf.add_argument("changelog_dir")
+    rf.add_argument("lake_dir")
+    rf.add_argument("--parts", required=True,
+                    help="comma-separated partition ids to rebuild")
+    rf.add_argument("--partitions", type=int, default=32,
+                    help="the lake's pinned partition count")
+    rf.add_argument("--appliers", type=int, default=8)
+    rf.add_argument("--no-delta", action="store_true")
+    rf.add_argument("--salt-turns", action="store_true")
+    rf.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     args = p.parse_args(argv)
 
     def _maybe_ray():
@@ -226,6 +242,21 @@ def main(argv=None) -> int:
                 pack_exchange={"auto": "auto", "on": True, "off": False}[args.pack],
             )
             res = replay(cfg, end_epoch=args.end_epoch)
+            print(json.dumps(res))
+        elif args.cmd == "repair":
+            from rayrep.config import EngineConfig
+            from rayrep.repair import repair_partitions
+
+            cfg = EngineConfig(
+                changelog_dir=args.changelog_dir,
+                lake_dir=args.lake_dir,
+                num_partitions=args.partitions,
+                applier_concurrency=args.appliers,
+                delta_output=not args.no_delta,
+                salt_turn_keys=args.salt_turns,
+            )
+            res = repair_partitions(
+                cfg, [int(x) for x in args.parts.split(",") if x != ""])
             print(json.dumps(res))
         elif args.cmd == "repartition":
             from rayrep.repart import repartition_lake

@@ -294,10 +294,19 @@ def _scoped_block_size(fn):
 
 
 @_scoped_block_size
-def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
+def replay(cfg: EngineConfig, end_epoch: int | None = None,
+           _start_epoch: int | None = None,
+           _only_part_ids: tuple[int, ...] | None = None) -> ReplayResult:
     """Run (or resume) the streaming replay. ``end_epoch`` bounds the run
     (inclusive) — the `--end-binlog-file` analog (CHANGES.txt:129); also used
-    by the resume test to simulate a mid-replay kill."""
+    by the resume test to simulate a mid-replay kill.
+
+    ``_start_epoch``/``_only_part_ids`` are the targeted-repair entry
+    (``rayrep.repair.repair_partitions``): re-replay from an explicit
+    epoch with the exchange filtered to the partitions being rebuilt.
+    In repair mode the global epoch barrier is never advanced per round
+    (the lake stays readable at its committed frontier throughout) and
+    only refreshed — totals from the rebuilt manifests — at the end."""
     if cfg.exchange not in ("groupby", "staged"):
         raise ValueError(f"exchange must be 'groupby' or 'staged', got {cfg.exchange!r}")
     pack = resolve_pack_exchange(cfg)
@@ -365,7 +374,8 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         )
     if not cfg.dry_run:
         lm.save(cfg.lake_dir)  # pin BEFORE any partition commit
-    start = em.last_epoch + 1
+    repair = _only_part_ids is not None
+    start = _start_epoch if _start_epoch is not None else em.last_epoch + 1
     totals = dict(em.totals)
     per_epoch = []
 
@@ -384,11 +394,13 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         for _, path in rnd:
             registry.apply_ddl_events(extract_ddl_events(path))
         target_json = registry.current_json()
-        # broadcast the version history only when this round actually
-        # spans several schema versions (stepwise evolution is needed
-        # exactly then); the common single-version round ships nothing
+        # broadcast the version history only when this round may span
+        # several schema versions (stepwise evolution is needed exactly
+        # then): multi-epoch rounds, and ANY repair round (a from-zero
+        # repair replays old epochs against the already-final registry);
+        # the common single-version forward round ships nothing
         history_json = (
-            registry.history_json() if len(rnd) > 1 else ""
+            registry.history_json() if len(rnd) > 1 or repair else ""
         )
 
         parts = []
@@ -409,6 +421,17 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
                 )
             )
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        if repair:
+            # targeted rebuild: only the repaired partitions' rows enter
+            # the exchange — repair cost is O(changelog read) + O(1/P of
+            # the shuffle/apply), not a full re-replay
+            _ids = pa.array(sorted(_only_part_ids), pa.int32())
+            ds = ds.map_batches(
+                lambda t, _v=_ids: t.filter(
+                    pc.is_in(t.column("part_id"), value_set=_v)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         if cfg.dedup_ingest:
             # Dedup-on-ingest: content-bucket exchange + first-claim filter
             # BEFORE combine/pack/the conv exchange (rayrep/ingest_dedup.py).
@@ -532,8 +555,13 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         # manifests — robust to any crash/resume window
         totals = aggregate_partition_counters(cfg.lake_dir)
         delay_s = max(0.0, time.time() - max_ts / 1e6) if max_ts else 0.0
-        EpochManifest(last_epoch=epoch, totals=totals, replication_delay_s=delay_s,
-                      num_partitions=cfg.num_partitions).save(cfg.lake_dir)
+        if not repair:
+            # repair never advances (or regresses) the global barrier:
+            # healthy partitions stay at the committed frontier and a
+            # repaired one legitimately lags it until the rebuild is done
+            EpochManifest(last_epoch=epoch, totals=totals,
+                          replication_delay_s=delay_s,
+                          num_partitions=cfg.num_partitions).save(cfg.lake_dir)
         entry = {
             "epoch": epoch,
             "round_epochs": [e for e, _ in rnd],
@@ -555,7 +583,14 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None) -> ReplayResult:
         from rayrep.ingest_dedup import cumulative_deduped
 
         metrics["deduped_total"] = cumulative_deduped(cfg.lake_dir)
-    if not cfg.dry_run:
+    if repair and rounds:
+        # refresh the (unchanged) barrier's cached totals from the rebuilt
+        # manifests; metrics.json keeps the last FULL replay's record (the
+        # repair run's per-epoch rows cover only the filtered partitions)
+        EpochManifest(last_epoch=em.last_epoch, totals=totals,
+                      replication_delay_s=em.replication_delay_s,
+                      num_partitions=cfg.num_partitions).save(cfg.lake_dir)
+    elif not cfg.dry_run:
         atomic_write_json(os.path.join(cfg.lake_dir, "_manifests", "metrics.json"), metrics)
     return ReplayResult(metrics)
 

@@ -1753,7 +1753,7 @@ def _replay_events_through_engine(
     tail_mode: bool = False, repartition_to: int | None = None,
     erase_mod: int | None = None, purge_mid_ts: bool = False,
     replica_incremental: bool = False, snapshot_interval: int | None = None,
-    view: bool = False,
+    view: bool = False, repair: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1843,6 +1843,24 @@ def _replay_events_through_engine(
                         max_epochs=2)
     else:
         res = replay(cfg, end_epoch=end_epoch)
+    if repair:
+        # targeted partition repair (rayrep/repair.py): destroy two
+        # committed partitions — one losing its manifest too (fresh-disk
+        # mode), one keeping it (the nastier watermark-intact mode) —
+        # then rebuild ONLY them from the changelog. The oracle is the
+        # plain deletes-LWW SQL: repair must be invisible.
+        import shutil
+
+        from rayrep.manifests import PartitionManifest
+        from rayrep.repair import repair_partitions
+
+        parts = sorted(x for x in os.listdir(lake) if x.startswith("part-"))
+        pids = [int(parts[0].split("-")[1]), int(parts[-1].split("-")[1])]
+        for i, p in enumerate(pids):
+            shutil.rmtree(os.path.join(lake, f"part-{p:05d}"))
+            if i == 0:
+                os.remove(PartitionManifest.path(lake, p))
+        repair_partitions(cfg, pids)
     if erase_mod is not None:
         # targeted erasure (rayrep/retention.py): the request list is
         # user_id % erase_mod == 3 — request-sized, held on the driver by
@@ -2324,6 +2342,20 @@ def cdc_replay_alter_type(sf_dir: str) -> pd.DataFrame:
     return _replay_events_through_engine(sf_dir, with_deletes=False,
                                          with_ddl=True,
                                          ddl_action="alter_type")
+
+
+def cdc_partition_repair(sf_dir: str) -> pd.DataFrame:
+    """Targeted partition repair through the real engine, SQL-oracled:
+    after a full committed replay, two partitions are destroyed (one
+    with its manifest — fresh-disk loss; one keeping it — the nastier
+    watermark-intact corruption) and rebuilt from the changelog by
+    ``repair_partitions`` — only their rows re-shuffle, the barrier
+    never moves, healthy partitions stay untouched.  Oracle = the plain
+    deletes-LWW SQL: a correct repair is indistinguishable from an
+    undamaged replay (reference analog: the validator's targeted
+    re-copy, README.md:19-20)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         repair=True)
 
 
 def cdc_replay_chaos(sf_dir: str) -> pd.DataFrame:
@@ -3279,6 +3311,7 @@ def queries() -> dict:
         "cdc_replay_resume": cdc_replay_resume,
         "cdc_downstream_replica": cdc_downstream_replica,
         "cdc_replay_deletes": cdc_replay_deletes,
+        "cdc_partition_repair": cdc_partition_repair,
         "cdc_replay_evolution": cdc_replay_evolution,
         "cdc_replay_changed_cells": cdc_replay_changed_cells,
         "cdc_replay_cells_compacted": cdc_replay_cells_compacted,
@@ -3721,6 +3754,20 @@ def _oracle_sql_base() -> dict:
             )
             SELECT event_id, ts, user_id, event_type, value, props
             FROM w WHERE rn = 1
+        """,
+        "cdc_partition_repair": """
+            WITH e AS (
+                SELECT *,
+                       (event_id % 7 = 0 AND row_number() OVER
+                            (PARTITION BY user_id ORDER BY event_id) > 1) AS is_del
+                FROM events
+            ), r AS (
+                SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM r WHERE rn = 1 AND NOT is_del
         """,
         "cdc_replay_deletes": """
             WITH e AS (
