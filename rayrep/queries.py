@@ -2549,22 +2549,112 @@ def cdc_replay_transcripts(sf_dir: str) -> pd.DataFrame:
     from rayrep.gen import GenSpec, generate_changelog, write_changelog
     from rayrep.pipeline import final_table_pandas, replay
 
+    lake, _ = _transcripts_lake(sf_dir)
+    from rayrep.pipeline import final_table_pandas
+
+    return final_table_pandas(lake)
+
+
+def _export_dump_path() -> str:
+    """Separate stable dump for the training-export flagship (its spec
+    pads text, so it must not clobber ``cdc_replay_transcripts``' dump)."""
+    return os.path.join(_scratch_root(),
+                        "rayrep_training_export_changelog.parquet")
+
+
+# training-export pins (mirrored verbatim in the SQL oracle)
+_EXPORT_CAP = 512          # packing context capacity (tokens)
+_EXPORT_MIN_LEN = 20       # CleanText quality threshold (chars)
+_EXPORT_GID_M = 1_000_000  # gid = conv_number * M + turn_idx
+
+
+def cdc_training_export(sf_dir: str) -> pd.DataFrame:
+    """Lake → training-data export, the A+B composition flagship: replay
+    the transcript changelog through the real engine, then run the
+    training-prep pipeline OVER THE CONVERGED LAKE as one streaming
+    Dataset — deterministic dup/short plants (SQL-mirrored; every 5th
+    conversation shares one text per turn, every 7th truncates under the
+    quality bar) → C4-style CleanText (URL strip, whitespace collapse,
+    length filter) → exact dedup (hash-pair shuffle, min-gid winner,
+    text never shuffles) → whitespace token counts → concat-and-chunk
+    sequence packing via the distributed global prefix sum.  Every stage
+    is an existing oracled operator; this pins their COMPOSITION (and
+    that the lake read streams into it) end-to-end against one SQL
+    replay.  gid = conv_number·10^6 + turn_idx is the packing order —
+    zero-padded conv ids make it lexicographic-consistent."""
+    from rayrep.ops.dedup import exact_dedup_rows
+    from rayrep.ops.pack import pack_sequences_ds
+    from rayrep.ops.text import CleanText
+    from rayrep.pipeline import final_table
+
+    lake, _ = _transcripts_lake(sf_dir, text_pad=120,
+                                dump_path=_export_dump_path())
+    ds = final_table(lake)
+
+    def plant(t: pa.Table) -> pa.Table:
+        conv = t.column("conv_id")
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        cnum = pc.cast(pc.utf8_slice_codeunits(conv, 1), pa.int64())
+        turn = pc.cast(t.column("turn_idx"), pa.int64())
+        gid = pc.add(pc.multiply(cnum, pa.scalar(_EXPORT_GID_M, pa.int64())),
+                     turn)
+        text = t.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        cn = cnum.to_numpy()
+        dup = pc.binary_join_element_wise(
+            pa.scalar("duplicate turn payload number"),
+            pc.cast(turn, pa.string()), " ")
+        text = pc.if_else(pa.array(cn % 5 == 0), dup, text)
+        text = pc.if_else(pa.array((cn % 7 == 0) & (cn % 5 != 0)),
+                          pc.utf8_slice_codeunits(text, 0, 10), text)
+        dirty = pc.binary_join_element_wise(
+            pa.scalar("http://spam.example/"), pc.cast(gid, pa.string()),
+            pa.scalar("  "), text, pa.scalar(" "), "")
+        return pa.table({"gid": gid, "text": dirty})
+
+    staged = ds.map_batches(plant, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    cleaned = staged.map_batches(CleanText(min_len=_EXPORT_MIN_LEN),
+                                 batch_format="pyarrow")
+    uniq = exact_dedup_rows(cleaned, text_col="clean_text", id_col="gid")
+    packed = pack_sequences_ds(uniq, capacity=_EXPORT_CAP, chunk=256,
+                               id_col="gid", text_col="clean_text")
+    out = packed.to_pandas()  # result-sized: one skinny row per kept turn
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    out["bin_id"] = out["bin_id"].astype(np.int64)
+    return (out[["gid", "n_tokens", "bin_id"]]
+            .sort_values("gid").reset_index(drop=True))
+
+
+def _transcripts_lake(sf_dir: str, text_pad: int = 0,
+                      dump_path: str | None = None) -> tuple[str, str]:
+    """Generate the sf-sized deterministic transcript changelog, dump it
+    to a stable parquet path (the oracle's input), and replay it through
+    the real engine.  Returns (lake_dir, dump_path)."""
+    import tempfile
+
+    from rayrep.config import EngineConfig
+    from rayrep.gen import GenSpec, generate_changelog, write_changelog
+    from rayrep.pipeline import replay
+
     n_events = max(2000, pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows)
     d = tempfile.mkdtemp(prefix="rayrep_q_", dir=_scratch_root())
     cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
     spec = GenSpec(seed=42, n_events=n_events,
                    n_conversations=max(50, n_events // 50),
-                   n_epochs=4, zipf_a=1.1)
+                   n_epochs=4, zipf_a=1.1, text_pad=text_pad)
     table = generate_changelog(spec)
     write_changelog(cl, spec, table=table)
-    dump = _transcripts_dump_path()
+    dump = dump_path or _transcripts_dump_path()
     tmp = f"{dump}.tmp{os.getpid()}"
     pq.write_table(table, tmp)
     os.replace(tmp, dump)
     cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
                        applier_concurrency=4)
     replay(cfg)
-    return final_table_pandas(lake)
+    return lake, dump
 
 
 def _emit_ingest_dedup_batch(batch: pa.Table, cl_dir: str, N: int) -> pa.Table:
@@ -3317,6 +3407,7 @@ def queries() -> dict:
         "cdc_replay_cells_compacted": cdc_replay_cells_compacted,
         "cdc_replay_cells_deletes_compacted": cdc_replay_cells_deletes_compacted,
         "cdc_replay_transcripts": cdc_replay_transcripts,
+        "cdc_training_export": cdc_training_export,
         "cdc_ingest_dedup": cdc_ingest_dedup,
         "cdc_repartition": cdc_repartition,
         "cdc_erasure": cdc_erasure,
@@ -4277,6 +4368,65 @@ def _oracle_sql_base() -> dict:
                                        ORDER BY ts DESC, seq DESC) = 1
                 AND op <> 'D'
             ORDER BY conv_id, turn_idx
+        """,
+        # Lake -> training export: the SAME LWW replay, then the exact
+        # SQL mirror of every prep stage — plants, clean chain, dedup
+        # winner, whitespace token count, global prefix-sum packing.
+        "cdc_training_export": rf"""
+            WITH lww AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{_export_dump_path()}')
+                WHERE op IN ('I', 'U', 'D')
+                QUALIFY row_number() OVER (PARTITION BY conv_id, turn_idx
+                                           ORDER BY ts DESC, seq DESC) = 1
+                    AND op <> 'D'
+            ), keyed AS (
+                SELECT CAST(substr(conv_id, 2) AS BIGINT) * {_EXPORT_GID_M}
+                           + turn_idx AS gid,
+                       CAST(substr(conv_id, 2) AS BIGINT) AS cnum,
+                       turn_idx, text
+                FROM lww
+            ), planted AS (
+                SELECT gid,
+                       CASE WHEN cnum % 5 = 0
+                            THEN 'duplicate turn payload number ' ||
+                                 CAST(turn_idx AS VARCHAR)
+                            WHEN cnum % 7 = 0 THEN substr(text, 1, 10)
+                            ELSE text END AS text
+                FROM keyed
+            ), dirty AS (
+                SELECT gid, 'http://spam.example/' || CAST(gid AS VARCHAR)
+                           || '  ' || text || ' ' AS text
+                FROM planted
+            ), cleaned AS (
+                SELECT gid,
+                       trim(regexp_replace(regexp_replace(text,
+                            'https?://\S+', '', 'g'), '\s+', ' ', 'g'),
+                            ' ') AS clean_text
+                FROM dirty
+            ), sized AS (
+                SELECT gid, clean_text FROM cleaned
+                WHERE length(clean_text) >= {_EXPORT_MIN_LEN}
+            ), uniq AS (
+                SELECT gid, clean_text,
+                       row_number() OVER (PARTITION BY clean_text
+                                          ORDER BY gid) AS rn
+                FROM sized
+            ), tok AS (
+                SELECT gid,
+                       length(regexp_split_to_array(trim(clean_text),
+                                                    '\s+')) AS n_tokens
+                FROM uniq WHERE rn = 1
+            ), c AS (
+                SELECT gid, n_tokens,
+                       coalesce(sum(n_tokens) OVER (ORDER BY gid
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS strt
+                FROM tok
+            )
+            SELECT gid, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(strt // {_EXPORT_CAP} AS BIGINT) AS bin_id
+            FROM c ORDER BY gid
         """,
         # dedup-on-ingest: first-writer-wins per CONTENT (min doc_id = min
         # seq); every 10th doc's later U passes through — and re-creates a

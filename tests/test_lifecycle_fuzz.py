@@ -82,13 +82,31 @@ def test_lifecycle_fuzz_matches_oracle(tmp_path, seed):
     stage1 = replay(cfg, end_epoch=k)
 
     # random mid-lifecycle action
-    action = str(rng.choice(["none", "redeliver", "compact", "repartition"]))
+    action = str(rng.choice(["none", "redeliver", "compact", "repartition",
+                             "repair"]))
     if action == "redeliver":
         # exactly-once: re-running committed epochs must change nothing
         res = replay(cfg, end_epoch=k)
         assert res["totals"] == stage1["totals"]
     elif action == "compact":
         compact_lake(lake)
+    elif action == "repair":
+        # destroy a random committed partition and rebuild it from the
+        # changelog (targeted repair) — must be invisible to everything
+        # downstream, including under this trial's chaos/packing config
+        import shutil
+
+        from rayrep.repair import repair_partitions
+
+        parts = sorted(d for d in os.listdir(lake) if d.startswith("part-"))
+        if parts:
+            victim = parts[int(rng.integers(0, len(parts)))]
+            pid = int(victim.split("-")[1])
+            shutil.rmtree(os.path.join(lake, victim))
+            mp = os.path.join(lake, "_manifests", f"p{pid:05d}.json")
+            if rng.integers(0, 2) and os.path.exists(mp):
+                os.remove(mp)  # half the trials lose the manifest too
+            repair_partitions(cfg, [pid])
     elif action == "repartition":
         new_p = int(rng.integers(1, 7))
         dst = str(tmp_path / "lake_repart")
