@@ -130,6 +130,16 @@ def main(argv=None) -> int:
                              "chains (one base file per bucket)")
     ci.add_argument("lake_dir")
 
+    rd_ = sub.add_parser("read",
+                         help="export the lake table to parquet "
+                              "(--committed = barrier-consistent snapshot "
+                              "safe under a concurrent replay)")
+    rd_.add_argument("lake_dir")
+    rd_.add_argument("out_dir")
+    rd_.add_argument("--committed", action="store_true")
+    rd_.add_argument("--num-cpus", type=int,
+                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     rf = sub.add_parser("repair",
                         help="rebuild damaged partitions from the "
                              "changelog (targeted: only their rows are "
@@ -243,6 +253,14 @@ def main(argv=None) -> int:
             )
             res = replay(cfg, end_epoch=args.end_epoch)
             print(json.dumps(res))
+        elif args.cmd == "read":
+            from rayrep.pipeline import final_table, read_committed
+
+            ds = (read_committed if args.committed else final_table)(
+                args.lake_dir)
+            ds.write_parquet(args.out_dir)
+            print(json.dumps({"out_dir": args.out_dir,
+                              "committed": args.committed}))
         elif args.cmd == "repair":
             from rayrep.config import EngineConfig
             from rayrep.repair import repair_partitions

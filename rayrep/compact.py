@@ -17,7 +17,7 @@ import re
 
 import pyarrow.parquet as pq
 
-from rayrep.manifests import PartitionManifest
+from rayrep.manifests import EpochManifest, PartitionManifest
 
 _STATE_RE = re.compile(r"state-e(\d+)(-full)?\.parquet$")
 
@@ -83,12 +83,24 @@ def gc_lake(lake_dir: str, keep_epochs: int = 0) -> dict:
     ``timetravel.as_of`` (changelog replay — exact at any T), not retained
     state files. Never touches manifests. Returns {"deleted": n, "kept": n}."""
     deleted = kept = 0
+    barrier = EpochManifest.load(lake_dir).last_epoch
     for part_id in _partition_ids(lake_dir):
         m = PartitionManifest.load(lake_dir, part_id)
         cutoff = m.epoch - keep_epochs
         live = {
             os.path.abspath(os.path.join(lake_dir, f)) for f in m.state_chain
         }
+        # the .prev manifest backs barrier-consistent concurrent readers
+        # (pipeline.read_committed) — but readers only reach it while the
+        # partition is AHEAD of the barrier (the in-flight commit
+        # window); a quiescent .prev is dead and must not pin old files
+        if m.epoch > barrier:
+            prev = PartitionManifest.load_file(
+                PartitionManifest.path(lake_dir, part_id) + ".prev", part_id)
+            live |= {
+                os.path.abspath(os.path.join(lake_dir, f))
+                for f in prev.state_chain
+            }
         pdir = os.path.join(lake_dir, f"part-{part_id:05d}")
         for sp in glob.glob(os.path.join(pdir, "state-e*.parquet")):
             ep = int(_STATE_RE.search(sp).group(1))

@@ -66,9 +66,35 @@ class PartitionManifest:
         known = {f.name for f in fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
 
+    @classmethod
+    def load_file(cls, path: str, part_id: int) -> "PartitionManifest":
+        """Load from an explicit path (the ``.prev`` snapshot used by
+        barrier-consistent readers)."""
+        if not os.path.exists(path):
+            return cls(part_id=part_id)
+        with open(path) as f:
+            d = json.load(f)
+        if "state_file" in d and "state_chain" not in d:
+            sf = d.get("state_file")
+            d["state_chain"] = [sf] if sf else []
+        known = {f.name for f in fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
     def save(self, lake_dir: str) -> None:
         p = self.path(lake_dir, self.part_id)
         os.makedirs(os.path.dirname(p), exist_ok=True)
+        if os.path.exists(p):
+            # keep exactly ONE previous version: during a round's commit
+            # window this partition is AHEAD of the global barrier, and
+            # `.prev` is its last at-or-below-barrier state — what
+            # `read_committed` serves to concurrent readers. Manifests
+            # advance once per round, so one version always spans the gap.
+            with open(p, "rb") as f:
+                prev = f.read()
+            tmp = p + ".prev.tmp"
+            with open(tmp, "wb") as f:
+                f.write(prev)
+            os.replace(tmp, p + ".prev")
         atomic_write_json(p, asdict(self))
 
 

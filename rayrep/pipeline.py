@@ -674,17 +674,65 @@ def committed_state_chains(lake_dir: str) -> list[list[str]]:
     return chains
 
 
+def committed_snapshot_chains(lake_dir: str) -> tuple[int, list[list[str]]]:
+    """Barrier-consistent chain set: every partition's chain as of the
+    GLOBAL epoch barrier. A partition whose manifest is ahead of the
+    barrier (the in-flight commit window of the current round) serves its
+    ``.prev`` manifest instead — manifests advance once per round, so one
+    previous version always spans the gap. If the barrier advances twice
+    underneath the scan (a very fast replay), the scan restarts against
+    the fresh barrier (optimistic retry)."""
+    for _ in range(8):
+        k = EpochManifest.load(lake_dir).last_epoch
+        chains: list[list[str]] = []
+        ok = True
+        for mp in sorted(glob.glob(os.path.join(lake_dir, "_manifests", "p*.json"))):
+            part_id = int(re.search(r"p(\d+)\.json$", mp).group(1))
+            m = PartitionManifest.load(lake_dir, part_id)
+            if m.epoch > k:
+                m = PartitionManifest.load_file(mp + ".prev", part_id)
+                if m.epoch > k:
+                    ok = False
+                    break
+            if m.state_chain:
+                chains.append(m.state_chain)
+        if ok:
+            return k, chains
+    raise RuntimeError(
+        f"{lake_dir}: barrier kept advancing during the snapshot scan")
+
+
+def read_committed(lake_dir: str) -> rd.Dataset:
+    """The lake AS OF the last fully committed epoch barrier — the
+    snapshot-isolated read for consumers running CONCURRENTLY with a
+    replay: a half-committed round (some partitions at k+1, barrier at k)
+    is never observable. Reference analog: the checkpoint is only
+    advanced after every applier committed (CHANGES.txt:113-116) — this
+    makes readers honor the same frontier. Caveat: `compact --gc` deletes
+    superseded files a `.prev` chain may still reference; run gc with
+    `keep_epochs >= 1` (the default CLI keep) when concurrent readers
+    exist."""
+    _, chains = committed_snapshot_chains(lake_dir)
+    return _fold_chains_dataset(lake_dir, chains)
+
+
 def final_table(lake_dir: str) -> rd.Dataset:
     """The converged lake table as a streaming Dataset (live rows only).
 
     Merge-on-read: one task per partition folds its state chain (base +
     per-epoch deltas → newest row per key; changed-cells lakes fold "last
     non-null cell after last delete" instead, per LakeMeta) and conforms
-    it to the current registry schema — P parallel reads, no shuffle."""
+    it to the current registry schema — P parallel reads, no shuffle.
+    Reads the LATEST per-partition commits (eventually consistent across
+    partitions mid-round); use ``read_committed`` for the
+    barrier-consistent view while a replay is running."""
+    chains = committed_state_chains(lake_dir)
+    return _fold_chains_dataset(lake_dir, chains)
+
+
+def _fold_chains_dataset(lake_dir: str, chains: list[list[str]]) -> rd.Dataset:
     from rayrep.apply import fold_state_chain, fold_state_chain_cells
     from rayrep.registry import SchemaRegistry
-
-    chains = committed_state_chains(lake_dir)
     if not chains:
         return rd.from_arrow(
             pa.schema([pa.field("__seq", pa.int64()),

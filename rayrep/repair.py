@@ -72,7 +72,8 @@ def repair_partitions(cfg: EngineConfig, part_ids: list[int]) -> dict:
         if os.path.isdir(pdir):
             shutil.rmtree(pdir)
         mp = PartitionManifest.path(cfg.lake_dir, p)
-        if os.path.exists(mp):
-            os.remove(mp)
+        for path in (mp, mp + ".prev"):
+            if os.path.exists(path):
+                os.remove(path)
     return replay(cfg, end_epoch=em.last_epoch, _start_epoch=0,
                   _only_part_ids=tuple(ids))
