@@ -213,6 +213,9 @@ SUITE_V2 = [
     "pii_redact_docs",
     "tumbling_window_values",
     "cdc_multi_table_docs",
+    # session-8 additions
+    "cdc_training_export",
+    "cdc_partition_repair",
 ]
 
 

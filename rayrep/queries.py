@@ -1770,8 +1770,6 @@ def _replay_events_through_engine(
     from rayrep.pipeline import final_table, replay
     from rayrep.schema import SchemaVersion
 
-    if tail_mode and with_ddl:  # the DDL row sits inside the cached dir
-        raise ValueError("tail_mode and with_ddl are mutually exclusive")
     cl_src, B = _changelog_fixture(
         sf_dir, with_deletes=with_deletes, with_ddl=with_ddl,
         mask_cells=changed_cells, ddl_action=ddl_action)
@@ -1962,6 +1960,18 @@ def cdc_tail_mode(sf_dir: str) -> pd.DataFrame:
     the hash."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          tail_mode=True)
+
+
+def cdc_tail_evolution(sf_dir: str) -> pd.DataFrame:
+    """Continuous tail ACROSS a mid-stream DDL (§2.9 × M9), SQL-oracled:
+    epochs publish progressively while ``pipeline.tail`` polls; the
+    ``add_column`` DDL arrives INSIDE a late-published epoch, so the
+    tailer's registry must evolve mid-tail and conform both the already-
+    committed pre-DDL state and the still-arriving post-DDL events.
+    Oracle = the evolution LWW SQL (pre-DDL winners read NULL note)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         with_ddl=True, tail_mode=True,
+                                         ddl_action="add_column")
 
 
 def cdc_replay_metrics(sf_dir: str) -> pd.DataFrame:
@@ -3398,6 +3408,7 @@ def queries() -> dict:
         "cdc_replay_metrics": cdc_replay_metrics,
         "cdc_bootstrap_tail": cdc_bootstrap_tail,
         "cdc_tail_mode": cdc_tail_mode,
+        "cdc_tail_evolution": cdc_tail_evolution,
         "cdc_replay_resume": cdc_replay_resume,
         "cdc_downstream_replica": cdc_downstream_replica,
         "cdc_replay_deletes": cdc_replay_deletes,
@@ -3424,6 +3435,7 @@ def oracle_sql() -> dict:
     d["cdc_downstream_replica"] = d["cdc_replay_deletes"]  # rebuilt from deltas
     d["cdc_replay_resume"] = d["cdc_replay_events"]        # kill/resume split
     d["cdc_tail_mode"] = d["cdc_replay_deletes"]           # progressive publish
+    d["cdc_tail_evolution"] = d["cdc_replay_evolution"]    # DDL inside a tailed epoch
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_replica_incremental"] = d["cdc_replay_deletes"]  # watermarked refreshes
     # Maintained aggregate view: GROUP BY over the same deletes-LWW final
