@@ -159,7 +159,7 @@ def _oracle_frame(segments) -> "pd.DataFrame":
     return pd.DataFrame(rows, columns=names, dtype=object)
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66])
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 99])
 def test_ddl_chain_fuzz_matches_oracle(tmp_path, seed):
     rng = np.random.default_rng(seed)
     segments = _build_chain(rng)
@@ -182,6 +182,39 @@ def test_ddl_chain_fuzz_matches_oracle(tmp_path, seed):
     # kill/resume split: the schema history must survive the restart (S8)
     k = int(rng.integers(0, len(segments) - 1))
     replay(cfg, end_epoch=k)
+    # random maintenance op at the split — DDL chains × state rewrites is
+    # where version-stamp preservation gets stressed: a rewrite mid-chain
+    # re-stamps at the THEN-current registry version, and later DDLs must
+    # still evolve the rewritten file step-exact
+    action = str(rng.choice(["none", "compact", "repartition", "repair"]))
+    if action == "compact":
+        from rayrep.compact import compact_lake
+
+        compact_lake(cfg.lake_dir)
+    elif action == "repartition":
+        import dataclasses
+
+        from rayrep.repart import repartition_lake
+
+        new_p = int(rng.integers(1, 6))
+        dst = str(tmp_path / "lake_repart")
+        repartition_lake(cfg.lake_dir, dst, new_p)
+        cfg = dataclasses.replace(cfg, lake_dir=dst, num_partitions=new_p)
+    elif action == "repair":
+        import shutil
+
+        from rayrep.repair import repair_partitions
+
+        parts = sorted(d for d in os.listdir(cfg.lake_dir)
+                       if d.startswith("part-"))
+        if parts:
+            victim = parts[int(rng.integers(0, len(parts)))]
+            pid = int(victim.split("-")[1])
+            shutil.rmtree(os.path.join(cfg.lake_dir, victim))
+            mp = os.path.join(cfg.lake_dir, "_manifests", f"p{pid:05d}.json")
+            if os.path.exists(mp):
+                os.remove(mp)
+            repair_partitions(cfg, [pid])
     res = replay(cfg)
 
     oracle_df, octr = replay_oracle(_oracle_frame(segments))
