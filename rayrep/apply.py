@@ -480,6 +480,7 @@ class Applier:
         chaos_seed: int = 1234,
         compact_interval: int = 4,
         durable_sync: bool = False,
+        lease_token: int = 0,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -498,6 +499,9 @@ class Applier:
         # would exceed this many entries (1 = full rewrite every epoch)
         self.compact_interval = max(1, compact_interval)
         self.durable_sync = durable_sync
+        # Fencing stamp (rayrep/lease.py): commits under a lease carry the
+        # token so a fenced-out zombie's overwrite is refused at save time.
+        self.lease_token = lease_token
 
     # ------------------------------------------------------------------ call
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -879,6 +883,7 @@ class Applier:
             counters=merge_counters(manifest.counters, ctr),
             epoch_counters=ctr,
             max_ts_us=max_ts,
+            lease_token=self.lease_token,
         )
         new_manifest.save(self.lake_dir)  # atomic commit — the epoch frontier
         return ctr, new_manifest

@@ -46,7 +46,18 @@ def main(argv=None) -> int:
                         "destination LZ4 IPC blobs (auto = on when the "
                         "cluster has >1 node; force 'on' for bus-bound "
                         "single boxes, 32.6 vs 72.4 B/event)")
+    r.add_argument("--lease", action="store_true",
+                   help="acquire the single-writer lease before committing "
+                        "(fails if another writer is live; HA fencing)")
+    r.add_argument("--lease-takeover", action="store_true",
+                   help="with --lease: fence out the previous writer "
+                        "immediately (elected-successor failover)")
+    r.add_argument("--lease-ttl", type=float, default=60.0)
     r.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
+    le = sub.add_parser("lease", help="writer-lease operations (HA single-writer)")
+    le.add_argument("op", choices=["status", "break"])
+    le.add_argument("lake_dir")
 
     w = sub.add_parser("tail", help="continuous tail: apply epochs as they are published")
     w.add_argument("changelog_dir")
@@ -209,6 +220,15 @@ def main(argv=None) -> int:
         print(json.dumps(res))
         return 0
 
+    if args.cmd == "lease":
+        from rayrep import lease as lease_mod
+
+        if args.op == "status":
+            print(json.dumps(lease_mod.status(args.lake_dir)))
+        else:
+            print(json.dumps({"broken": lease_mod.break_lease(args.lake_dir)}))
+        return 0
+
     if args.cmd == "gen":
         from rayrep.gen import GenSpec, write_changelog
 
@@ -250,6 +270,9 @@ def main(argv=None) -> int:
                 dedup_ingest=args.dedup_ingest,
                 dedup_content_col=args.dedup_content_col,
                 pack_exchange={"auto": "auto", "on": True, "off": False}[args.pack],
+                writer_lease=args.lease,
+                lease_takeover=args.lease_takeover,
+                lease_ttl_s=args.lease_ttl,
             )
             res = replay(cfg, end_epoch=args.end_epoch)
             print(json.dumps(res))

@@ -150,6 +150,20 @@ class EngineConfig:
     # claims persisted).
     dedup_ingest: bool = False
     dedup_content_col: str = "text"
+    # Single-writer lease + fencing (rayrep/lease.py) — the reference's
+    # ZooKeeper leader-election/HA contract (README.md:17-20,
+    # CHANGES.txt:74,82) re-expressed on the lake's shared filesystem.
+    # Off by default: single-writer deployments (every test/bench here)
+    # need no coordination. When on, replay acquires before the first
+    # round, renews at every round barrier, and releases on clean return;
+    # a crashed writer's lease expires after lease_ttl_s, and a successor
+    # started with lease_takeover=True fences the old writer immediately
+    # (it fails at its next barrier check, and its manifest overwrites
+    # are refused by token order).
+    writer_lease: bool = False
+    lease_ttl_s: float = 60.0
+    lease_takeover: bool = False
+    lease_owner: str = ""            # "" = hostname:pid
     dry_run: bool = False            # STDOUT/JSON debug sink (CHANGES.txt:43,143)
     collect_stats: bool = False      # capture ds.stats() per round into metrics.json
     # Override the v1 payload schema (SchemaVersion JSON). Empty = the

@@ -1,0 +1,286 @@
+"""Single-writer lake lease with fencing tokens (HA / leader election).
+
+Reference analog: mysql-time-machine runs replicators under ZooKeeper
+leader election so exactly one applier writes HBase at a time, and a new
+leader resumes from the pGTID safe checkpoint (README.md:17-20; position
+in ZooKeeper, CHANGES.txt:74,82). This sandbox has no ZK and Ray core
+deliberately ships no lock service, so the lake's own shared filesystem
+— the one medium every writer already depends on — is the coordination
+point. A lease file plus a monotonically increasing *fencing token*
+reproduces the operational contract:
+
+- **Mutual exclusion (cooperative):** ``acquire()`` fails with
+  ``LeaseHeldError`` while another writer's lease is fresh (renewed
+  within ``ttl_s``).
+- **Failover:** a crashed leader never releases; its lease simply goes
+  stale. A successor acquires after TTL expiry, or immediately with
+  ``takeover=True`` — the explicit "I have been elected" operator /
+  supervisor action (ZK session-expiry analog).
+- **Fencing:** every acquisition increments the token. The replay
+  driver re-checks the on-disk token at each round barrier and a
+  fenced-out zombie fails with ``LeaseLostError`` before its next
+  commit; additionally each partition manifest is stamped with the
+  writer's token and ``PartitionManifest.save`` refuses to let a
+  lower-token writer overwrite a higher-token commit
+  (``StaleWriterError``) — the Kafka-style "reject smaller epoch"
+  backstop for the window between two barrier checks.
+
+Token uniqueness under concurrent acquisition does not rely on reading
+``lease.json`` race-free: each acquirer must *claim* its token by
+``os.link``-ing a unique temp file to ``claims/t{token}`` — link is
+atomic on POSIX (EEXIST = lost the race), so two racing takeovers can
+never mint the same token. ``lease.json`` itself is last-writer-wins,
+which is safe because tokens are unique and totally ordered: whoever
+holds the *lower* token observes a foreign token at its next
+``check()`` and stops, and the higher holder's next renew re-asserts.
+
+Limitations (documented, not hidden): fencing binds only writers that
+use the lease — a ``lease_token=0`` writer (the default, lease
+disabled) bypasses the manifest guard for compatibility with
+maintenance tools and legacy lakes. And as with any lease scheme
+without a fully serialized log, a zombie paused *inside* the
+check→rename window of a single partition commit can still interleave;
+the manifest token guard closes that for any partition the successor
+has already stamped, and the deterministic-overwrite apply contract
+makes a same-epoch double write content-identical.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import socket
+import time
+import uuid
+from dataclasses import asdict, dataclass, fields
+
+
+
+class LeaseHeldError(RuntimeError):
+    """Another writer holds a live lease on this lake."""
+
+
+class LeaseLostError(RuntimeError):
+    """This writer's lease was taken over (fenced) or expired+reclaimed."""
+
+
+def default_owner() -> str:
+    return f"{socket.gethostname()}:{os.getpid()}"
+
+
+@dataclass
+class LeaseRecord:
+    token: int
+    owner: str
+    acquired_ts_us: int
+    renewed_ts_us: int
+    ttl_s: float
+
+    def age_s(self, now: float | None = None) -> float:
+        return (now if now is not None else time.time()) - self.renewed_ts_us / 1e6
+
+    def expired(self, now: float | None = None) -> bool:
+        return self.age_s(now) >= self.ttl_s
+
+
+def lease_path(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_manifests", "lease.json")
+
+
+def _write_lease(lake_dir: str, rec: LeaseRecord) -> None:
+    """Atomic last-writer-wins publish. Unlike manifests (one writer per
+    partition by construction), lease.json is contended BY DESIGN during
+    an election, so the temp name must be unique per writer — a shared
+    ``.tmp`` would let one acquirer rename the other's file away."""
+    path = lease_path(lake_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.{uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(asdict(rec), f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def _claims_dir(lake_dir: str) -> str:
+    return os.path.join(lake_dir, "_manifests", "lease_claims")
+
+
+def read_lease(lake_dir: str) -> LeaseRecord | None:
+    p = lease_path(lake_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    known = {f.name for f in fields(LeaseRecord)}
+    return LeaseRecord(**{k: v for k, v in d.items() if k in known})
+
+
+def _claim_token(lake_dir: str, token: int, owner: str) -> bool:
+    """Atomically claim ``token`` for ``owner``. True iff we won it.
+
+    ``os.link`` of a unique temp name onto the canonical claim name is
+    the POSIX atomic test-and-set: exactly one linker succeeds per
+    target name, even across hosts on a shared filesystem.
+    """
+    d = _claims_dir(lake_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(owner)
+    try:
+        os.link(tmp, os.path.join(d, f"t{token:020d}"))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
+
+
+def _max_claimed(lake_dir: str) -> int:
+    """Highest token ever claimed. The claims directory — not lease.json,
+    which a clean release removes — is the durable token frontier, so
+    tokens are monotone for the life of the lake even across releases."""
+    d = _claims_dir(lake_dir)
+    if not os.path.isdir(d):
+        return 0
+    toks = [int(n[1:]) for n in os.listdir(d) if n.startswith("t") and n[1:].isdigit()]
+    return max(toks, default=0)
+
+
+def _gc_claims(lake_dir: str, keep_from_token: int) -> None:
+    """Drop claim markers older than ``keep_from_token`` − 8 (any token
+    that far below the frontier can never be claimed again — acquirers
+    always start from the current lease's token)."""
+    d = _claims_dir(lake_dir)
+    if not os.path.isdir(d):
+        return
+    for name in os.listdir(d):
+        if name.startswith("t") and name[1:].isdigit():
+            if int(name[1:]) < keep_from_token - 8:
+                try:
+                    os.unlink(os.path.join(d, name))
+                except OSError:
+                    pass
+
+
+class WriterLease:
+    """A held lease. Use :func:`acquire` to obtain one."""
+
+    def __init__(self, lake_dir: str, record: LeaseRecord):
+        self.lake_dir = lake_dir
+        self.record = record
+
+    @property
+    def token(self) -> int:
+        return self.record.token
+
+    # ------------------------------------------------------------- checks
+    def check(self) -> None:
+        """Raise ``LeaseLostError`` if the on-disk lease is no longer ours."""
+        cur = read_lease(self.lake_dir)
+        if cur is None or cur.token != self.record.token:
+            raise LeaseLostError(
+                f"lake {self.lake_dir}: lease token {self.record.token} "
+                f"({self.record.owner}) superseded by "
+                f"{'removal' if cur is None else f'token {cur.token} ({cur.owner})'}"
+            )
+
+    def renew(self) -> None:
+        """Refresh the TTL clock. Checks ownership first, re-reads after
+        the write, and *yields* if a higher token appears concurrently
+        (lower token always loses — that is what makes last-writer-wins
+        on ``lease.json`` safe)."""
+        self.check()
+        self.record.renewed_ts_us = int(time.time() * 1e6)
+        _write_lease(self.lake_dir, self.record)
+        cur = read_lease(self.lake_dir)
+        if cur is None or cur.token > self.record.token:
+            raise LeaseLostError(
+                f"lake {self.lake_dir}: lease token {self.record.token} fenced "
+                f"by concurrent token {cur.token if cur else '<removed>'}"
+            )
+
+    def release(self) -> None:
+        """Clean hand-off: remove the lease iff still ours. A crashed
+        writer never gets here — its lease goes stale and expires."""
+        cur = read_lease(self.lake_dir)
+        if cur is not None and cur.token == self.record.token:
+            try:
+                os.unlink(lease_path(self.lake_dir))
+            except FileNotFoundError:
+                pass
+
+
+def acquire(
+    lake_dir: str,
+    owner: str | None = None,
+    ttl_s: float = 60.0,
+    takeover: bool = False,
+) -> WriterLease:
+    """Acquire the single-writer lease for ``lake_dir``.
+
+    - live foreign lease + ``takeover=False`` → ``LeaseHeldError``;
+    - expired / absent lease → acquired with token+1;
+    - ``takeover=True`` → acquired with token+1 regardless of liveness
+      (the elected-successor path; the old holder is fenced out at its
+      next check/renew/commit).
+    """
+    owner = owner or default_owner()
+    os.makedirs(os.path.dirname(lease_path(lake_dir)), exist_ok=True)
+    for _ in range(16):  # bounded retry through claim races
+        cur = read_lease(lake_dir)
+        if cur is not None and not cur.expired() and not takeover:
+            raise LeaseHeldError(
+                f"lake {lake_dir}: writer lease held by {cur.owner} "
+                f"(token {cur.token}, renewed {cur.age_s():.1f}s ago, "
+                f"ttl {cur.ttl_s}s); pass takeover=True to fence it out"
+            )
+        token = max(cur.token if cur is not None else 0, _max_claimed(lake_dir)) + 1
+        if not _claim_token(lake_dir, token, owner):
+            continue  # lost the mint race for this token; re-read and retry
+        now_us = int(time.time() * 1e6)
+        rec = LeaseRecord(
+            token=token, owner=owner, acquired_ts_us=now_us,
+            renewed_ts_us=now_us, ttl_s=float(ttl_s),
+        )
+        _write_lease(lake_dir, rec)
+        # Last-writer-wins on lease.json: if a concurrent acquirer minted a
+        # higher token and wrote after us, we are already fenced — surface
+        # it here rather than at the first commit.
+        latest = read_lease(lake_dir)
+        if latest is None or latest.token > token:
+            raise LeaseHeldError(
+                f"lake {lake_dir}: lost acquisition race to token "
+                f"{latest.token if latest else '<removed>'}"
+            )
+        _gc_claims(lake_dir, token)
+        return WriterLease(lake_dir, rec)
+    raise LeaseHeldError(f"lake {lake_dir}: could not mint a lease token (claim contention)")
+
+
+def status(lake_dir: str) -> dict:
+    """Operator view (CLI ``lease status``)."""
+    cur = read_lease(lake_dir)
+    if cur is None:
+        return {"held": False}
+    return {
+        "held": not cur.expired(),
+        "token": cur.token,
+        "owner": cur.owner,
+        "age_s": round(cur.age_s(), 3),
+        "ttl_s": cur.ttl_s,
+        "expired": cur.expired(),
+    }
+
+
+def break_lease(lake_dir: str) -> bool:
+    """Operator override (CLI ``lease break``): drop the lease file.
+    The previous holder, if alive, fails its next check. Prefer
+    ``takeover=True`` on the successor — it fences via token order;
+    breaking merely clears the file."""
+    try:
+        os.unlink(lease_path(lake_dir))
+        return True
+    except FileNotFoundError:
+        return False

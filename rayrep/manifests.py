@@ -20,6 +20,11 @@ from dataclasses import asdict, dataclass, field, fields
 COUNTER_KEYS = ["input_rows", "applied", "skipped", "conflict", "deleted"]
 
 
+class StaleWriterError(RuntimeError):
+    """A fenced-out writer (lower lease token) tried to overwrite a
+    partition manifest committed by its successor (rayrep/lease.py)."""
+
+
 def zero_counters() -> dict[str, int]:
     return {k: 0 for k in COUNTER_KEYS}
 
@@ -44,6 +49,11 @@ class PartitionManifest:
     counters: dict[str, int] = field(default_factory=zero_counters)        # cumulative
     epoch_counters: dict[str, int] = field(default_factory=zero_counters)  # last epoch only
     max_ts_us: int = 0                  # for the replication-delay gauge
+    # Fencing stamp (rayrep/lease.py): the writer-lease token this commit
+    # was made under. 0 = written without a lease (legacy lakes and
+    # lease-disabled runs — no fencing). Maintenance ops that load→mutate→
+    # save a manifest carry the stamp through unchanged.
+    lease_token: int = 0
 
     @staticmethod
     def path(lake_dir: str, part_id: int) -> str:
@@ -83,6 +93,20 @@ class PartitionManifest:
     def save(self, lake_dir: str) -> None:
         p = self.path(lake_dir, self.part_id)
         os.makedirs(os.path.dirname(p), exist_ok=True)
+        if self.lease_token > 0 and os.path.exists(p):
+            # Fencing backstop: a lease-holding writer may never overwrite
+            # a commit stamped by a HIGHER token — that commit belongs to
+            # the successor that fenced this writer out. (Token-0 writers
+            # bypass: fencing binds only writers that opted into the
+            # lease; mixing leased and unleased writers forfeits it.)
+            with open(p) as f:
+                existing_token = int(json.load(f).get("lease_token", 0) or 0)
+            if existing_token > self.lease_token:
+                raise StaleWriterError(
+                    f"partition {self.part_id}: manifest committed under lease "
+                    f"token {existing_token} > this writer's {self.lease_token}; "
+                    "writer has been fenced out (rayrep/lease.py)"
+                )
         if os.path.exists(p):
             # keep exactly ONE previous version: during a round's commit
             # window this partition is AHEAD of the global barrier, and

@@ -374,6 +374,19 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
         )
     if not cfg.dry_run:
         lm.save(cfg.lake_dir)  # pin BEFORE any partition commit
+    lease = None
+    if cfg.writer_lease and not cfg.dry_run:
+        # HA single-writer contract (rayrep/lease.py): acquire before the
+        # first commit; fail fast with LeaseHeldError if another writer is
+        # live (unless this run is the elected successor: lease_takeover).
+        from rayrep import lease as _lease_mod
+
+        lease = _lease_mod.acquire(
+            cfg.lake_dir,
+            owner=cfg.lease_owner or None,
+            ttl_s=cfg.lease_ttl_s,
+            takeover=cfg.lease_takeover,
+        )
     repair = _only_part_ids is not None
     start = _start_epoch if _start_epoch is not None else em.last_epoch + 1
     totals = dict(em.totals)
@@ -509,6 +522,7 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
             "chaos_seed": cfg.chaos_seed,
             "compact_interval": cfg.state_snapshot_interval,
             "durable_sync": cfg.durable_sync,
+            "lease_token": lease.token if lease is not None else 0,
         }
         stage_stats = None
         if cfg.exchange == "staged":
@@ -555,6 +569,13 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
         # manifests — robust to any crash/resume window
         totals = aggregate_partition_counters(cfg.lake_dir)
         delay_s = max(0.0, time.time() - max_ts / 1e6) if max_ts else 0.0
+        if lease is not None:
+            # Renew-at-barrier: a fenced-out writer (successor took over)
+            # raises LeaseLostError HERE — before publishing a barrier the
+            # successor would disagree with. The per-partition token stamp
+            # (StaleWriterError at manifest save) backstops the window
+            # inside this round.
+            lease.renew()
         if not repair:
             # repair never advances (or regresses) the global barrier:
             # healthy partitions stay at the committed frontier and a
@@ -592,6 +613,10 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
                       num_partitions=cfg.num_partitions).save(cfg.lake_dir)
     elif not cfg.dry_run:
         atomic_write_json(os.path.join(cfg.lake_dir, "_manifests", "metrics.json"), metrics)
+    if lease is not None:
+        # Clean hand-off only: a crashed writer never reaches here, so its
+        # lease goes stale and a successor takes over by TTL or takeover.
+        lease.release()
     return ReplayResult(metrics)
 
 

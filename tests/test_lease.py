@@ -1,0 +1,169 @@
+"""Single-writer lease + fencing (rayrep/lease.py) — the reference's
+ZooKeeper leader-election/HA contract (README.md:17-20, CHANGES.txt:74,82)
+on the lake's shared filesystem.
+
+Covers: acquire/renew/release lifecycle, TTL expiry, explicit takeover
+(election), atomic token minting under a thread race, the manifest-level
+fencing backstop (StaleWriterError), and an end-to-end failover replay
+whose post-takeover lake matches the sequential oracle.
+"""
+
+import threading
+import time
+
+import pytest
+
+from rayrep import lease as L
+from rayrep.config import EngineConfig
+from rayrep.gen import GenSpec, generate_changelog, write_changelog
+from rayrep.manifests import PartitionManifest, StaleWriterError
+from rayrep.pipeline import final_table_pandas, replay
+
+from .oracle import replay_oracle
+from .test_replay import assert_frames_equal
+
+SPEC = GenSpec(seed=77, n_conversations=40, max_turns=6, n_events=600, n_epochs=3)
+
+
+@pytest.fixture(scope="module")
+def changelog_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cl_lease"))
+    write_changelog(d, SPEC)
+    return d
+
+
+# --------------------------------------------------------------- lifecycle
+def test_acquire_renew_release(tmp_path):
+    lake = str(tmp_path)
+    lease = L.acquire(lake, owner="a", ttl_s=60)
+    assert lease.token == 1
+    assert L.status(lake)["held"] and L.status(lake)["owner"] == "a"
+    lease.check()
+    before = lease.record.renewed_ts_us
+    lease.renew()
+    assert lease.record.renewed_ts_us >= before
+    lease.release()
+    assert L.status(lake) == {"held": False}
+    # re-acquire after clean release mints the NEXT token (monotone forever)
+    lease2 = L.acquire(lake, owner="b", ttl_s=60)
+    assert lease2.token == 2
+
+
+def test_live_lease_blocks_and_ttl_expiry(tmp_path):
+    lake = str(tmp_path)
+    a = L.acquire(lake, owner="a", ttl_s=0.2)
+    with pytest.raises(L.LeaseHeldError):
+        L.acquire(lake, owner="b", ttl_s=60)
+    time.sleep(0.25)  # a's lease goes stale (crashed-writer model)
+    assert L.status(lake)["expired"]
+    b = L.acquire(lake, owner="b", ttl_s=60)
+    assert b.token == a.token + 1
+    with pytest.raises(L.LeaseLostError):
+        a.check()
+    with pytest.raises(L.LeaseLostError):
+        a.renew()
+    b.renew()  # the successor is unaffected
+
+
+def test_takeover_fences_live_holder(tmp_path):
+    lake = str(tmp_path)
+    a = L.acquire(lake, owner="a", ttl_s=3600)  # very much alive
+    b = L.acquire(lake, owner="b", ttl_s=3600, takeover=True)
+    assert b.token == a.token + 1
+    with pytest.raises(L.LeaseLostError):
+        a.renew()  # the fenced writer must stop at its next barrier
+    b.check()
+
+
+def test_break_lease(tmp_path):
+    lake = str(tmp_path)
+    a = L.acquire(lake, owner="a", ttl_s=3600)
+    assert L.break_lease(lake)
+    assert not L.break_lease(lake)  # idempotent
+    with pytest.raises(L.LeaseLostError):
+        a.check()
+
+
+# ------------------------------------------------------------ token minting
+def test_concurrent_takeover_mints_unique_tokens(tmp_path):
+    """8 racing takeovers: tokens must be unique (os.link claim is the
+    atomic test-and-set) and exactly one holder survives check()."""
+    lake = str(tmp_path)
+    L.acquire(lake, owner="seed", ttl_s=3600)
+    won: list[L.WriterLease] = []
+    errs: list[Exception] = []
+    lock = threading.Lock()
+
+    def go(i):
+        try:
+            lz = L.acquire(lake, owner=f"w{i}", ttl_s=3600, takeover=True)
+            with lock:
+                won.append(lz)
+        except L.LeaseHeldError as e:
+            with lock:
+                errs.append(e)
+
+    ts = [threading.Thread(target=go, args=(i,)) for i in range(8)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    tokens = [w.token for w in won]
+    assert len(set(tokens)) == len(tokens), "duplicate fencing token minted"
+    survivors = []
+    for w in won:
+        try:
+            w.check()
+            survivors.append(w)
+        except L.LeaseLostError:
+            pass
+    assert len(survivors) == 1
+    assert survivors[0].token == max(tokens)
+
+
+# ------------------------------------------------------------ manifest fence
+def test_manifest_fencing_refuses_lower_token(tmp_path):
+    lake = str(tmp_path)
+    m = PartitionManifest(part_id=3, epoch=5, last_seq=100, lease_token=7)
+    m.save(lake)
+    zombie = PartitionManifest(part_id=3, epoch=6, last_seq=120, lease_token=5)
+    with pytest.raises(StaleWriterError):
+        zombie.save(lake)
+    # equal or higher token commits fine; token-0 (lease disabled) bypasses
+    PartitionManifest(part_id=3, epoch=6, last_seq=120, lease_token=7).save(lake)
+    PartitionManifest(part_id=3, epoch=7, last_seq=130, lease_token=9).save(lake)
+    PartitionManifest(part_id=3, epoch=8, last_seq=140, lease_token=0).save(lake)
+    assert PartitionManifest.load(lake, 3).epoch == 8
+
+
+# ----------------------------------------------------------------- failover
+def test_replay_failover_matches_oracle(changelog_dir, tmp_lake):
+    """Writer A replays epoch 0 under a lease and 'crashes' (stale lease
+    left behind, simulated by re-acquiring as a dead owner). A successor
+    without takeover is refused; the elected successor (takeover=True)
+    fences A, resumes from the manifests, and the final lake matches the
+    sequential oracle. A's later zombie commit attempt is refused."""
+    base = dict(changelog_dir=changelog_dir, lake_dir=tmp_lake,
+                num_partitions=8, applier_concurrency=2,
+                augmenter_concurrency=2)
+    cfg_a = EngineConfig(**base, writer_lease=True, lease_owner="writer-a")
+    replay(cfg_a, end_epoch=0)  # releases cleanly at return
+    # simulate the crash window: A's lease is live-but-abandoned
+    dead = L.acquire(tmp_lake, owner="writer-a", ttl_s=3600)
+    with pytest.raises(L.LeaseHeldError):
+        replay(EngineConfig(**base, writer_lease=True, lease_owner="writer-b"))
+    cfg_b = EngineConfig(**base, writer_lease=True, lease_owner="writer-b",
+                         lease_takeover=True)
+    replay(cfg_b)
+    # the zombie is fenced at both layers
+    with pytest.raises(L.LeaseLostError):
+        dead.renew()
+    m0 = PartitionManifest.load(tmp_lake, 0)
+    assert m0.lease_token > dead.token  # successor's stamp is on the lake
+    zombie = PartitionManifest(part_id=0, epoch=m0.epoch + 1,
+                               last_seq=m0.last_seq,
+                               lease_token=dead.token)
+    with pytest.raises(StaleWriterError):
+        zombie.save(tmp_lake)
+    oracle_df, oracle_ctr = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(tmp_lake), oracle_df)
