@@ -66,6 +66,11 @@ def main(argv=None) -> int:
     w.add_argument("--poll", type=float, default=2.0)
     w.add_argument("--idle-timeout", type=float, default=30.0,
                    help="stop after this many idle seconds (0 = run forever)")
+    w.add_argument("--lease", action="store_true",
+                   help="hold the single-writer lease for the whole tail "
+                        "session (renewed on every poll)")
+    w.add_argument("--lease-takeover", action="store_true")
+    w.add_argument("--lease-ttl", type=float, default=60.0)
     w.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
     t = sub.add_parser("snapshot", help="point-in-time export (snapshotter analog)")
@@ -313,6 +318,9 @@ def main(argv=None) -> int:
                 changelog_dir=args.changelog_dir,
                 lake_dir=args.lake_dir,
                 num_partitions=args.partitions,
+                writer_lease=args.lease,
+                lease_takeover=args.lease_takeover,
+                lease_ttl_s=args.lease_ttl,
             )
             res = tail(cfg, poll_interval_s=args.poll,
                        idle_timeout_s=args.idle_timeout or None)

@@ -296,7 +296,8 @@ def _scoped_block_size(fn):
 @_scoped_block_size
 def replay(cfg: EngineConfig, end_epoch: int | None = None,
            _start_epoch: int | None = None,
-           _only_part_ids: tuple[int, ...] | None = None) -> ReplayResult:
+           _only_part_ids: tuple[int, ...] | None = None,
+           _lease=None) -> ReplayResult:
     """Run (or resume) the streaming replay. ``end_epoch`` bounds the run
     (inclusive) — the `--end-binlog-file` analog (CHANGES.txt:129); also used
     by the resume test to simulate a mid-replay kill.
@@ -374,8 +375,13 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
         )
     if not cfg.dry_run:
         lm.save(cfg.lake_dir)  # pin BEFORE any partition commit
-    lease = None
-    if cfg.writer_lease and not cfg.dry_run:
+    lease = _lease
+    if lease is not None:
+        # Caller-held lease (``tail`` holds ONE lease for its whole
+        # session): verify it is still ours, renew, and DON'T release at
+        # return — the caller owns the lifecycle.
+        lease.renew()
+    elif cfg.writer_lease and not cfg.dry_run:
         # HA single-writer contract (rayrep/lease.py): acquire before the
         # first commit; fail fast with LeaseHeldError if another writer is
         # live (unless this run is the elected successor: lease_takeover).
@@ -613,9 +619,10 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
                       num_partitions=cfg.num_partitions).save(cfg.lake_dir)
     elif not cfg.dry_run:
         atomic_write_json(os.path.join(cfg.lake_dir, "_manifests", "metrics.json"), metrics)
-    if lease is not None:
+    if lease is not None and _lease is None:
         # Clean hand-off only: a crashed writer never reaches here, so its
         # lease goes stale and a successor takes over by TTL or takeover.
+        # (A caller-held lease — tail mode — is released by the caller.)
         lease.release()
     return ReplayResult(metrics)
 
@@ -651,14 +658,35 @@ def tail(
     temp name, then rename to ``epoch-NNNNN[/]`` (see
     ``gen.publish_epoch``); a half-written directory must never match the
     ``epoch-*`` glob. Stops after ``idle_timeout_s`` with no new epochs
-    (None = run forever) or after ``max_epochs`` applied."""
+    (None = run forever) or after ``max_epochs`` applied.
+
+    With ``cfg.writer_lease`` the tailer holds ONE lease for its whole
+    session — acquired up front (``lease_takeover`` elects this tailer
+    over a crashed predecessor), renewed on every poll (including idle
+    ones, so the TTL never lapses while the tailer is merely waiting),
+    and released only on clean exit. A fenced-out tailer (a successor
+    took over) raises ``LeaseLostError`` at its next poll instead of
+    double-writing — the ZK session-expiry shutdown analog
+    (README.md:17-20)."""
     applied = 0
     last_new = time.monotonic()
     all_epochs: list = []
     last: ReplayResult | None = None
+    lease = None
+    if cfg.writer_lease and not cfg.dry_run:
+        from rayrep import lease as _lease_mod
+
+        lease = _lease_mod.acquire(
+            cfg.lake_dir,
+            owner=cfg.lease_owner or None,
+            ttl_s=cfg.lease_ttl_s,
+            takeover=cfg.lease_takeover,
+        )
     while True:
+        if lease is not None:
+            lease.renew()  # idle polls keep the lease fresh; fenced → raise
         try:
-            res = replay(cfg)
+            res = replay(cfg, _lease=lease)
         except FileNotFoundError:
             # tailer started before the producer published its first epoch:
             # keep polling until idle_timeout_s, don't crash (long-running
@@ -679,9 +707,11 @@ def tail(
             break
         time.sleep(poll_interval_s)
     if last is None:
-        last = replay(cfg)
+        last = replay(cfg, _lease=lease)
         all_epochs.extend(last["epochs"])
     last["epochs"] = all_epochs
+    if lease is not None:
+        lease.release()
     return last
 
 

@@ -136,6 +136,85 @@ def test_manifest_fencing_refuses_lower_token(tmp_path):
     assert PartitionManifest.load(lake, 3).epoch == 8
 
 
+# --------------------------------------------------------------- leased tail
+def test_tail_holds_one_lease_for_whole_session(changelog_dir, tmp_path):
+    """Tail mode holds ONE lease for its lifetime: the same token stays
+    held through apply and idle polls (renewed each poll), a concurrent
+    non-takeover acquire is refused mid-tail, and the lease is released
+    on clean (idle-timeout) exit."""
+    from rayrep.pipeline import final_table_pandas, tail
+
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(changelog_dir=changelog_dir, lake_dir=lake,
+                       num_partitions=4, applier_concurrency=2,
+                       writer_lease=True, lease_owner="tailer")
+    observed: list[int] = []
+    refused = []
+    done = threading.Event()
+
+    def watcher():
+        while not done.is_set():
+            st = L.status(lake)
+            if st.get("held"):
+                observed.append(st["token"])
+                if not refused:
+                    try:
+                        L.acquire(lake, owner="intruder", ttl_s=60)
+                    except L.LeaseHeldError as e:
+                        refused.append(e)
+            time.sleep(0.1)
+
+    th = threading.Thread(target=watcher)
+    th.start()
+    try:
+        res = tail(cfg, poll_interval_s=0.3, idle_timeout_s=2.0)
+    finally:
+        done.set()
+        th.join()
+    assert observed and len(set(observed)) == 1, observed  # one token, held
+    assert refused, "intruder acquire was never refused mid-tail"
+    assert L.status(lake) == {"held": False}  # clean exit released
+    oracle_df, octr = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    assert res["totals"]["input_rows"] == octr["input_rows"]
+
+
+def test_tail_fenced_by_takeover_stops(changelog_dir, tmp_path):
+    """A successor's takeover mid-tail fences the running tailer: it
+    raises LeaseLostError at its next renew instead of double-writing,
+    and the successor converges the lake (ZK session-expiry analog)."""
+    from rayrep.pipeline import final_table_pandas, replay as _replay, tail
+
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(changelog_dir=changelog_dir, lake_dir=lake,
+                       num_partitions=4, applier_concurrency=2,
+                       writer_lease=True, lease_owner="old-tailer")
+    taken = {}
+
+    def takeover():
+        # wait until the tailer actually holds the lease, then fence it
+        for _ in range(200):
+            if L.status(lake).get("held"):
+                break
+            time.sleep(0.1)
+        time.sleep(1.0)
+        taken["lease"] = L.acquire(lake, owner="new-tailer", ttl_s=3600,
+                                   takeover=True)
+
+    th = threading.Thread(target=takeover)
+    th.start()
+    with pytest.raises(L.LeaseLostError):
+        tail(cfg, poll_interval_s=0.3, idle_timeout_s=30.0)
+    th.join()
+    # the successor finishes the job under its own (held) lease
+    cfg_b = EngineConfig(changelog_dir=changelog_dir, lake_dir=lake,
+                         num_partitions=4, applier_concurrency=2)
+    _replay(cfg_b, _lease=taken["lease"])
+    taken["lease"].release()
+    oracle_df, _ = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+
+
 # ----------------------------------------------------------------- failover
 def test_replay_failover_matches_oracle(changelog_dir, tmp_lake):
     """Writer A replays epoch 0 under a lease and 'crashes' (stale lease
