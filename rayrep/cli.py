@@ -118,6 +118,13 @@ def main(argv=None) -> int:
                          "uniqueness, watermark)")
     ck.add_argument("--distributed", action="store_true",
                     help="one Ray task per partition (with --deep)")
+
+    cg = sub.add_parser("check-log",
+                        help="changelog integrity audit: dense seq, "
+                             "contiguous epochs, op/key hygiene "
+                             "(source-side validator analog)")
+    cg.add_argument("changelog_dir")
+    cg.add_argument("--start-epoch", type=int, default=0)
     ck.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
@@ -200,6 +207,15 @@ def main(argv=None) -> int:
         _maybe_ray()
         res = check_lake(args.lake_dir, deep=args.deep,
                          distributed=args.distributed)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 3
+
+    if args.cmd == "check-log":
+        from rayrep.checklog import check_changelog
+
+        _maybe_ray()
+        res = check_changelog(args.changelog_dir,
+                              expect_start_epoch=args.start_epoch)
         print(json.dumps(res))
         return 0 if res["ok"] else 3
 

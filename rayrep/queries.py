@@ -2329,6 +2329,28 @@ def cdc_lake_diff(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def cdc_log_integrity(sf_dir: str) -> pd.DataFrame:
+    """Changelog integrity audit (``rayrep/checklog.py``) over the shared
+    deletes changelog fixture: one pruned streaming pass computes per-epoch
+    row count / seq range / mul-mod hash-sum, and the DENSITY VERDICT — the
+    epoch's seq multiset equals its contiguous [min,max] range iff the
+    count matches AND the wrapped hash-sum equals the same sum over the
+    range. The oracle recomputes count/min/max/hash-sum from the events
+    view (seq = event_id, epoch = least(3, event_id*4 // B)) AND the
+    expected range hash-sum via ``generate_series`` in overflow-free
+    HUGEINT arithmetic, so the engine's verdict itself is hash-verified —
+    not just the stats it is derived from. Reference analog: the
+    source-side half of the replication validator (README.md:19-20)."""
+    from rayrep.checklog import check_changelog
+
+    cl, _B = _changelog_fixture(sf_dir, with_deletes=True, with_ddl=False,
+                                mask_cells=False, ddl_action="add_column")
+    rep = check_changelog(cl)
+    assert rep["ok"], rep["errors"]  # the fixture is healthy by contract
+    df = pd.DataFrame(rep["epochs"])
+    return df[["epoch", "n_rows", "min_seq", "max_seq", "hashsum", "dense"]]
+
+
 def cdc_replay_drop_column(sf_dir: str) -> pd.DataFrame:
     """Mid-stream ``drop_column`` (props) through the real engine,
     SQL-oracled: pre-drop epochs' files — and the already-committed state
@@ -3403,6 +3425,7 @@ def queries() -> dict:
         "cdc_replay_drop_column": cdc_replay_drop_column,
         "cdc_replay_alter_type": cdc_replay_alter_type,
         "cdc_lake_diff": cdc_lake_diff,
+        "cdc_log_integrity": cdc_log_integrity,
         "cdc_multi_table_conv": cdc_multi_table_conv,
         "cdc_multi_table_docs": cdc_multi_table_docs,
         "cdc_replay_metrics": cdc_replay_metrics,
@@ -3497,7 +3520,54 @@ def oracle_sql() -> dict:
 
 
 def _oracle_sql_base() -> dict:
+    from rayrep.ops.sketch import KMV_MULT, _sql_mulmod64, _sql_u64
+
+    _two64 = "18446744073709551616::HUGEINT"
+    _two63 = "9223372036854775808::HUGEINT"
+
+    def _hs(expr: str) -> str:  # per-row mul-mod hash of a seq expression
+        return _sql_mulmod64(_sql_u64(expr), int(KMV_MULT))
+
+    def _signed(expr: str) -> str:  # u64 → int64 two's-complement view
+        return (f"(CASE WHEN ({expr}) >= {_two63} THEN ({expr}) - {_two64} "
+                f"ELSE ({expr}) END)::BIGINT")
+
     return {
+        # Changelog integrity: per-epoch stats AND the density verdict —
+        # the hash-sum over the epoch's seqs must equal the hash-sum over
+        # generate_series(min_seq, max_seq) (fixture: seq = event_id,
+        # epoch = least(3, event_id*4 // B)).
+        "cdc_log_integrity": f"""
+            WITH e AS (
+                SELECT least(3, event_id * 4 //
+                             (SELECT max(event_id) + 1 FROM events)) AS epoch,
+                       event_id AS seq
+                FROM events
+            ), s AS (
+                SELECT epoch, COUNT(*) AS n_rows,
+                       MIN(seq) AS min_seq, MAX(seq) AS max_seq,
+                       (SUM({_hs('seq')}) % {_two64}) AS h
+                FROM e GROUP BY epoch
+            ), ser AS (
+                -- generate_series takes only CONSTANT bounds here, so the
+                -- integer line is synthesized as a 2048x2048 cross join
+                -- (covers seq < 4,194,304 at every oracle sf; an undersized
+                -- series breaks the count match loudly, never silently)
+                SELECT a.x * 2048 + b.x AS x
+                FROM generate_series(0, 2047) a(x),
+                     generate_series(0, 2047) b(x)
+            ), x AS (
+                SELECT s.epoch, COUNT(*) AS cnt,
+                       (SUM({_hs('ser.x')}) % {_two64}) AS exph
+                FROM s JOIN ser ON ser.x BETWEEN s.min_seq AND s.max_seq
+                GROUP BY s.epoch
+            )
+            SELECT s.epoch, s.n_rows, s.min_seq, s.max_seq,
+                   {_signed('s.h')} AS hashsum,
+                   (s.n_rows = x.cnt AND s.h = x.exph) AS dense
+            FROM s JOIN x USING (epoch)
+            ORDER BY epoch
+        """,
         "cdc_lww_latest": f"""
             SELECT event_id, ts, user_id, event_type, value, props
             FROM events
