@@ -1753,7 +1753,7 @@ def _replay_events_through_engine(
     tail_mode: bool = False, repartition_to: int | None = None,
     erase_mod: int | None = None, purge_mid_ts: bool = False,
     replica_incremental: bool = False, snapshot_interval: int | None = None,
-    view: bool = False, repair: bool = False,
+    view: bool = False, repair: bool = False, lease_failover: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1809,6 +1809,31 @@ def _replay_events_through_engine(
         # epoch barriers; the second must re-run ONLY the uncommitted tail
         # and converge to the identical table (exactly-once redelivery).
         replay(cfg, end_epoch=1)
+    dead = None
+    if lease_failover:
+        # HA failover (rayrep/lease.py): writer A replays under a lease to
+        # the epoch-1 barrier and "crashes" leaving a live-but-abandoned
+        # lease; a successor WITHOUT takeover must be refused; the elected
+        # successor (takeover=True) fences A, resumes from the manifests,
+        # and converges — the failover must be INVISIBLE to the final
+        # state (oracle = the plain deletes LWW SQL). The zombie is then
+        # proven fenced at both layers below.
+        import dataclasses
+
+        from rayrep import lease as _lease_mod
+
+        replay(dataclasses.replace(cfg, writer_lease=True,
+                                   lease_owner="writer-a"), end_epoch=1)
+        dead = _lease_mod.acquire(lake, owner="writer-a", ttl_s=3600)
+        try:
+            replay(dataclasses.replace(cfg, writer_lease=True,
+                                       lease_owner="writer-b"))
+            raise AssertionError("non-takeover successor was not refused")
+        except _lease_mod.LeaseHeldError:
+            pass
+        cfg = dataclasses.replace(cfg, writer_lease=True,
+                                  lease_owner="writer-b",
+                                  lease_takeover=True)
     if repartition_to is not None:
         # mid-stream cluster rescale (rayrep/repart.py): commit the first
         # two epochs at the original partition count, rescale the lake
@@ -1841,6 +1866,26 @@ def _replay_events_through_engine(
                         max_epochs=2)
     else:
         res = replay(cfg, end_epoch=end_epoch)
+    if lease_failover:
+        # zombie fencing, both layers: A's renew fails (token superseded),
+        # and a manifest commit under A's token is refused on disk.
+        from rayrep import lease as _lease_mod
+        from rayrep.manifests import PartitionManifest, StaleWriterError
+
+        try:
+            dead.renew()
+            raise AssertionError("fenced zombie renew did not fail")
+        except _lease_mod.LeaseLostError:
+            pass
+        m0 = PartitionManifest.load(lake, 0)
+        assert m0.lease_token > dead.token, (m0.lease_token, dead.token)
+        try:
+            PartitionManifest(part_id=0, epoch=m0.epoch + 1,
+                              last_seq=m0.last_seq,
+                              lease_token=dead.token).save(lake)
+            raise AssertionError("zombie manifest commit was not refused")
+        except StaleWriterError:
+            pass
     if repair:
         # targeted partition repair (rayrep/repair.py): destroy two
         # committed partitions — one losing its manifest too (fresh-disk
@@ -2408,6 +2453,19 @@ def cdc_replay_resume(sf_dir: str) -> pd.DataFrame:
     identical LWW table."""
     return _replay_events_through_engine(sf_dir, with_deletes=False,
                                          resume_split=True)
+
+
+def cdc_lease_failover(sf_dir: str) -> pd.DataFrame:
+    """HA single-writer failover, SQL-oracled end-to-end: writer A replays
+    under the lake lease to the epoch-1 barrier and crashes (live stale
+    lease left behind); a non-takeover successor is refused; the elected
+    successor fences A by token order and converges; A's zombie renew AND
+    manifest commit are both refused.  The converged table must equal the
+    plain deletes LWW oracle — leader election is invisible to state.
+    Reference: ZooKeeper leader election + pGTID handoff
+    (README.md:17-20, CHANGES.txt:74,82)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         lease_failover=True)
 
 
 def cdc_downstream_replica(sf_dir: str) -> pd.DataFrame:
@@ -3433,6 +3491,7 @@ def queries() -> dict:
         "cdc_tail_mode": cdc_tail_mode,
         "cdc_tail_evolution": cdc_tail_evolution,
         "cdc_replay_resume": cdc_replay_resume,
+        "cdc_lease_failover": cdc_lease_failover,
         "cdc_downstream_replica": cdc_downstream_replica,
         "cdc_replay_deletes": cdc_replay_deletes,
         "cdc_partition_repair": cdc_partition_repair,
@@ -3457,6 +3516,7 @@ def oracle_sql() -> dict:
     d["cdc_replay_chaos"] = d["cdc_replay_deletes"]        # + injected crashes
     d["cdc_downstream_replica"] = d["cdc_replay_deletes"]  # rebuilt from deltas
     d["cdc_replay_resume"] = d["cdc_replay_events"]        # kill/resume split
+    d["cdc_lease_failover"] = d["cdc_replay_deletes"]      # leased HA failover
     d["cdc_tail_mode"] = d["cdc_replay_deletes"]           # progressive publish
     d["cdc_tail_evolution"] = d["cdc_replay_evolution"]    # DDL inside a tailed epoch
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
