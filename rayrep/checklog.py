@@ -119,14 +119,25 @@ def _stats_batch(batch: pa.Table) -> pa.Table:
     return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
 
 
-def check_changelog(changelog_dir: str, expect_start_epoch: int = 0,
+def check_changelog(changelog_dir: str, expect_start_epoch: int | None = None,
                     expect_start_seq: int | None = 0) -> dict:
     """Audit ``changelog_dir``; returns a report dict (mutates nothing).
 
-    ``expect_start_seq``: the first epoch's expected ``min_seq``
-    (None = don't check — e.g. a log whose snapshot prefix was GC'd).
+    ``expect_start_epoch`` defaults to the log's trim floor
+    (``retention.trim_changelog`` marker; 0 for an untrimmed log) — a
+    trimmed log is checked from its floor, with the first epoch's
+    ``min_seq`` unconstrained. ``expect_start_seq``: the first epoch's
+    expected ``min_seq`` (None = don't check).
     """
-    epochs = discover_epochs(changelog_dir)
+    from rayrep.manifests import log_floor
+
+    floor = log_floor(changelog_dir)
+    if expect_start_epoch is None:
+        expect_start_epoch = floor
+        if floor > 0:
+            expect_start_seq = None
+    epochs = [(e, p) for e, p in discover_epochs(changelog_dir)
+              if e >= expect_start_epoch]
     errors: list[str] = []
     enos = [e for e, _ in epochs]
     expected = list(range(expect_start_epoch, expect_start_epoch + len(enos)))

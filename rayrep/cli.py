@@ -124,7 +124,16 @@ def main(argv=None) -> int:
                              "contiguous epochs, op/key hygiene "
                              "(source-side validator analog)")
     cg.add_argument("changelog_dir")
-    cg.add_argument("--start-epoch", type=int, default=0)
+    cg.add_argument("--start-epoch", type=int, default=None,
+                    help="first expected epoch (default: the log's trim floor)")
+
+    tl = sub.add_parser("trim-log",
+                        help="drop/archive changelog epochs the lake has "
+                             "committed past (binlog expiry analog)")
+    tl.add_argument("changelog_dir")
+    tl.add_argument("lake_dir")
+    tl.add_argument("--keep-from-epoch", type=int, required=True)
+    tl.add_argument("--archive-dir", default=None)
     ck.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
@@ -218,6 +227,14 @@ def main(argv=None) -> int:
                               expect_start_epoch=args.start_epoch)
         print(json.dumps(res))
         return 0 if res["ok"] else 3
+
+    if args.cmd == "trim-log":
+        from rayrep.retention import trim_changelog
+
+        print(json.dumps(trim_changelog(args.changelog_dir, args.lake_dir,
+                                        args.keep_from_epoch,
+                                        archive_dir=args.archive_dir)))
+        return 0
 
     if args.cmd == "erase":
         from rayrep.retention import erase_keys

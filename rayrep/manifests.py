@@ -209,3 +209,41 @@ def atomic_write_json(path: str, obj) -> None:
 
 def atomic_rename(tmp_path: str, final_path: str) -> None:
     os.replace(tmp_path, final_path)
+
+
+# ------------------------------------------------------------ changelog floor
+class TrimmedLogError(RuntimeError):
+    """An operation that needs full changelog history (fresh replay from
+    epoch 0, targeted partition repair, point-in-time snapshot) was asked
+    to run against a TRIMMED changelog (``retention.trim_changelog``).
+    The trimmed epochs are gone by design — resume from the lake's
+    committed barrier instead, or restore the archived epochs."""
+
+
+def log_floor_path(changelog_dir: str) -> str:
+    return os.path.join(changelog_dir, "_floor.json")
+
+
+def log_floor(changelog_dir: str) -> int:
+    """First epoch still present in a trimmed changelog (0 = never
+    trimmed). Written ATOMICALLY BEFORE any epoch is deleted, so a crash
+    mid-trim leaves a consistent view: the floor says 'epochs below may
+    be absent', and survivors below it are merely not-yet-deleted."""
+    p = log_floor_path(changelog_dir)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["first_epoch"])
+
+
+def require_full_history(changelog_dir: str, op: str) -> None:
+    """Raise ``TrimmedLogError`` if ``changelog_dir`` was trimmed — for
+    operations whose correctness silently depends on epoch-0 history."""
+    floor = log_floor(changelog_dir)
+    if floor > 0:
+        raise TrimmedLogError(
+            f"{op} needs the changelog from epoch 0, but {changelog_dir} "
+            f"was trimmed to first_epoch={floor} "
+            "(retention.trim_changelog); restore the archived epochs or "
+            "use the lake's committed state instead"
+        )

@@ -44,8 +44,11 @@ from rayrep.manifests import (
     EpochManifest,
     LakeMeta,
     PartitionManifest,
+    TrimmedLogError,
     atomic_write_json,
+    log_floor,
     merge_counters,
+    require_full_history,
     zero_counters,
 )
 from rayrep.registry import SchemaRegistry
@@ -395,6 +398,21 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
         )
     repair = _only_part_ids is not None
     start = _start_epoch if _start_epoch is not None else em.last_epoch + 1
+    floor = log_floor(cfg.changelog_dir)
+    if floor > start:
+        # the log was trimmed past this run's starting epoch: a fresh
+        # replay (or a repair, which re-replays from 0) would silently
+        # miss the trimmed events — refuse instead. A lake whose barrier
+        # is at/above floor-1 resumes normally.
+        raise TrimmedLogError(
+            f"replay of {cfg.changelog_dir} would start at epoch {start} "
+            f"but the log was trimmed to first_epoch={floor} "
+            f"(lake barrier {em.last_epoch}); "
+            + ("targeted repair needs the full history — restore the "
+               "archived epochs" if repair else
+               "only a lake already committed through the trimmed epochs "
+               "can resume against this log")
+        )
     totals = dict(em.totals)
     per_epoch = []
 
@@ -843,6 +861,9 @@ def replay_batch(
     README.md:22-23: latest cell version ≤ T per row). Same operators (M2
     augment, J1 hash partition, A4 grouped LWW), different predicate.
     """
+    # a trimmed log cannot converge from scratch: events in the trimmed
+    # epochs may be LWW winners (at any as-of point) — refuse loudly
+    require_full_history(changelog_dir, "batch replay / point-in-time read")
     epochs = discover_epochs(changelog_dir)
     registry = SchemaRegistry()
     for _, path in epochs:

@@ -152,3 +152,70 @@ def purge_lake(lake_dir: str, before_ts_us: int | None = None,
     return {"dropped_erased": sum(r["dropped_erased"] for r in res),
             "dropped_expired": sum(r["dropped_expired"] for r in res),
             "erased_keys": len(erased)}
+
+
+# ------------------------------------------------------------- changelog trim
+def trim_changelog(changelog_dir: str, lake_dir: str,
+                   keep_from_epoch: int, archive_dir: str | None = None) -> dict:
+    """Bound the changelog itself: drop (or archive) epochs below
+    ``keep_from_epoch``, recording the durable floor marker first.
+
+    At the design scale the changelog is the largest artifact in the
+    system (10^10 events vs a keys-sized lake) — it cannot grow forever.
+    The reference's analog is binlog file rotation+expiry on the MySQL
+    side: binlogs the replicator has safely passed (pGTID checkpoint
+    committed, CHANGES.txt:74,82) are the DBA's to expire. Here "safely
+    passed" is the lake's global epoch barrier: every trimmed epoch must
+    be committed in ``lake_dir`` (barrier >= keep_from_epoch - 1), so
+    resume/tail never needs it again.
+
+    Ordering is crash-safe: the ``_floor.json`` marker is written
+    ATOMICALLY BEFORE any deletion, so a crash mid-trim leaves a log
+    whose floor already declares 'epochs below may be absent' — readers
+    that need full history (fresh replay from 0, targeted repair,
+    point-in-time snapshot, bootstrap-from-log) check the floor and
+    refuse with ``TrimmedLogError`` instead of producing a silently
+    incomplete table. With ``archive_dir`` the epochs are MOVED there
+    (restorable: move them back and delete ``_floor.json``); without it
+    they are deleted.
+
+    The lake barrier check makes trim safe under a live leased tailer:
+    a tailer only ever reads epochs ABOVE the barrier.
+    """
+    from rayrep.manifests import EpochManifest, log_floor, log_floor_path
+    from rayrep.pipeline import discover_epochs
+
+    em = EpochManifest.load(lake_dir)
+    if em.last_epoch < keep_from_epoch - 1:
+        raise ValueError(
+            f"cannot trim {changelog_dir} below epoch {keep_from_epoch}: "
+            f"lake {lake_dir} has only committed through epoch "
+            f"{em.last_epoch} — trimmed epochs would be unrecoverable"
+        )
+    cur = log_floor(changelog_dir)
+    if keep_from_epoch <= cur:
+        return {"trimmed": [], "first_epoch": cur}
+    atomic_write_json(log_floor_path(changelog_dir),
+                      {"first_epoch": int(keep_from_epoch)})
+    trimmed = []
+    for e, p in discover_epochs(changelog_dir):
+        if e >= keep_from_epoch:
+            continue
+        if archive_dir is not None:
+            os.makedirs(archive_dir, exist_ok=True)
+            os.replace(p, os.path.join(archive_dir, os.path.basename(p)))
+        else:
+            # rename first so the epoch disappears atomically from the
+            # tailer's epoch-* glob, then delete at leisure
+            trash = os.path.join(os.path.dirname(p),
+                                 f"_trash-{os.path.basename(p)}")
+            os.replace(p, trash)
+            if os.path.isdir(trash):
+                import shutil
+
+                shutil.rmtree(trash)
+            else:
+                os.remove(trash)
+        trimmed.append(e)
+    return {"trimmed": trimmed, "first_epoch": int(keep_from_epoch),
+            "archived_to": archive_dir}
