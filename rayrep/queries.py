@@ -1754,6 +1754,7 @@ def _replay_events_through_engine(
     erase_mod: int | None = None, purge_mid_ts: bool = False,
     replica_incremental: bool = False, snapshot_interval: int | None = None,
     view: bool = False, repair: bool = False, lease_failover: bool = False,
+    trim_after_barrier: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1775,10 +1776,10 @@ def _replay_events_through_engine(
         mask_cells=changed_cells, ddl_action=ddl_action)
     d = tempfile.mkdtemp(prefix="rayrep_qe_", dir=_scratch_root())
     lake = os.path.join(d, "lake")
-    if tail_mode:
-        # progressive publication: epochs are hardlink-staged from the
-        # cached fixture and os.replace'd into the tailed dir — the
-        # gen.publish_epoch atomic-rename producer protocol
+    if tail_mode or trim_after_barrier:
+        # private changelog dir: tail mode publishes epochs progressively;
+        # trim MUTATES the log (epoch deletion + floor marker) and the
+        # fixture is shared across queries, so both get a hardlink copy
         cl = os.path.join(d, "cl")
         os.makedirs(cl)
     else:
@@ -1809,6 +1810,30 @@ def _replay_events_through_engine(
         # epoch barriers; the second must re-run ONLY the uncommitted tail
         # and converge to the identical table (exactly-once redelivery).
         replay(cfg, end_epoch=1)
+    if trim_after_barrier:
+        # binlog expiry mid-stream (retention.trim_changelog): commit the
+        # epoch-1 barrier, TRIM the committed prefix (epochs 0-1 deleted,
+        # durable floor marker written first), prove a fresh consumer is
+        # refused, then resume — the resumed replay reads only the
+        # surviving epochs and must converge to the full-history oracle:
+        # trim is invisible to a lake at/above the floor.
+        from rayrep.manifests import TrimmedLogError, log_floor
+        from rayrep.pipeline import replay_batch
+        from rayrep.retention import trim_changelog
+
+        for name in sorted(os.listdir(cl_src)):
+            if name.startswith("epoch-"):
+                staged = os.path.join(d, "stage-" + name)
+                _link_or_copy_tree(os.path.join(cl_src, name), staged)
+                os.replace(staged, os.path.join(cl, name))
+        replay(cfg, end_epoch=1)
+        res_t = trim_changelog(cl, lake, keep_from_epoch=2)
+        assert res_t["trimmed"] == [0, 1] and log_floor(cl) == 2, res_t
+        try:  # full-history consumers must refuse the trimmed log
+            replay_batch(cl, num_partitions=4)
+            raise AssertionError("batch read of trimmed log was not refused")
+        except TrimmedLogError:
+            pass
     dead = None
     if lease_failover:
         # HA failover (rayrep/lease.py): writer A replays under a lease to
@@ -2466,6 +2491,19 @@ def cdc_lease_failover(sf_dir: str) -> pd.DataFrame:
     (README.md:17-20, CHANGES.txt:74,82)."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          lease_failover=True)
+
+
+def cdc_log_trim(sf_dir: str) -> pd.DataFrame:
+    """Changelog retention through the real engine, SQL-oracled: replay
+    the deletes changelog to the epoch-1 barrier, TRIM the committed
+    prefix (retention.trim_changelog — the MySQL binlog-expiry analog:
+    floor marker written atomically BEFORE deletion), prove a fresh
+    full-history consumer refuses with TrimmedLogError, then resume the
+    committed lake against the trimmed log.  Oracle = the plain
+    deletes-LWW SQL over the FULL history: a correct trim is invisible
+    to any lake already committed past the floor."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         trim_after_barrier=True)
 
 
 def cdc_downstream_replica(sf_dir: str) -> pd.DataFrame:
@@ -3507,6 +3545,7 @@ def queries() -> dict:
         "cdc_retention": cdc_retention,
         "cdc_replica_incremental": cdc_replica_incremental,
         "cdc_incremental_view": cdc_incremental_view,
+        "cdc_log_trim": cdc_log_trim,
     }
 
 
@@ -3520,6 +3559,7 @@ def oracle_sql() -> dict:
     d["cdc_tail_mode"] = d["cdc_replay_deletes"]           # progressive publish
     d["cdc_tail_evolution"] = d["cdc_replay_evolution"]    # DDL inside a tailed epoch
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
+    d["cdc_log_trim"] = d["cdc_replay_deletes"]            # binlog-expiry trim
     d["cdc_replica_incremental"] = d["cdc_replay_deletes"]  # watermarked refreshes
     # Maintained aggregate view: GROUP BY over the same deletes-LWW final
     # state the replica queries pin, with int64 fixed-point sums (FLOOR
