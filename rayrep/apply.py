@@ -255,7 +255,8 @@ FOLD_COLLAPSE_ROWS = 4_000_000
 
 
 def fold_state_chain(lake_dir: str, chain: list[str], target: SchemaVersion,
-                     collapse_rows: int = FOLD_COLLAPSE_ROWS) -> pa.Table:
+                     collapse_rows: int = FOLD_COLLAPSE_ROWS,
+                     read_filter=None) -> pa.Table:
     """Full-payload merge-on-read of a state chain: each file is conformed
     to the target schema FIRST (so a rename between deltas doesn't strand
     old rows' payload in a dead column), then the newest row per key wins.
@@ -265,13 +266,20 @@ def fold_state_chain(lake_dir: str, chain: list[str], target: SchemaVersion,
     positional-last-per-key is associative under ordered concatenation,
     so any collapse schedule yields the identical result (property-
     tested) while bounding peak memory to live-keys + one file instead of
-    the whole chain (r3 advice: the chain used to concatenate whole)."""
+    the whole chain (r3 advice: the chain used to concatenate whole).
+
+    ``read_filter`` (a pyarrow dataset Expression over the KEY columns,
+    e.g. ``pc.field("conv_id").isin([...])``) pushes a key predicate into
+    every chain-file read — sound because the fold is per-key independent
+    (fold(filter_K(chain)) ≡ filter_K(fold(chain)) for any key set K) and
+    key columns are engine-level, never touched by DDL. The point-lookup
+    read path (rayrep/lookup.py) rides on this."""
     from rayrep.schema import stamped_version
 
     acc = None
     history = None
     for f in chain:
-        raw = pq.read_table(os.path.join(lake_dir, f))
+        raw = pq.read_table(os.path.join(lake_dir, f), filters=read_filter)
         v = stamped_version(raw)
         if v is not None and v < target.version and history is None:
             history = load_schema_history(lake_dir)
@@ -407,7 +415,8 @@ def _live_count_cells(state: pa.Table) -> int:
 
 
 def _chain_tables(lake_dir: str, chain: list[str], target: SchemaVersion,
-                  collapse_rows: int = FOLD_COLLAPSE_ROWS) -> pa.Table | None:
+                  collapse_rows: int = FOLD_COLLAPSE_ROWS,
+                  read_filter=None) -> pa.Table | None:
     """Load a per-cell chain with each file conformed to the target
     schema FIRST (renames don't strand old cells). INCREMENTAL like the
     row fold: whenever the accumulator crosses ``collapse_rows`` it is
@@ -423,7 +432,7 @@ def _chain_tables(lake_dir: str, chain: list[str], target: SchemaVersion,
     acc = None
     history = None
     for f in chain:
-        raw = pq.read_table(os.path.join(lake_dir, f))
+        raw = pq.read_table(os.path.join(lake_dir, f), filters=read_filter)
         v = stamped_version(raw)
         if v is not None and v < target.version and history is None:
             history = load_schema_history(lake_dir)
@@ -435,11 +444,14 @@ def _chain_tables(lake_dir: str, chain: list[str], target: SchemaVersion,
 
 
 def fold_state_chain_cells(
-    lake_dir: str, chain: list[str], target: SchemaVersion
+    lake_dir: str, chain: list[str], target: SchemaVersion,
+    read_filter=None,
 ) -> pa.Table:
     """Changed-cells merge-on-read: conform each chain file to the target
-    schema first (renames don't strand old cells), then cell-fold."""
-    comb = _chain_tables(lake_dir, chain, target)
+    schema first (renames don't strand old cells), then cell-fold.
+    ``read_filter``: key-column pushdown, sound per-key like the row fold
+    (per-cell argmax + delete masking are per-(conv_id, turn_idx))."""
+    comb = _chain_tables(lake_dir, chain, target, read_filter=read_filter)
     if comb is None:
         return state_schema(target).empty_table()
     return fold_cells(comb, [f.name for f in target.schema])

@@ -97,6 +97,18 @@ def main(argv=None) -> int:
     c.add_argument("lake_dir")
     c.add_argument("--keep-epochs", type=int, default=0,
                    help="retain superseded files newer than committed-N (forensics; use `snapshot` for point-in-time)")
+    c.add_argument("--no-sort-keys", action="store_true",
+                   help="skip the (conv_id, turn_idx) ordering that makes "
+                        "point lookups row-group-prunable")
+
+    gt = sub.add_parser("get",
+                        help="point lookup: fetch keys' live rows by "
+                             "probing only their routed partitions "
+                             "(HBase key-addressed read analog)")
+    gt.add_argument("lake_dir")
+    gt.add_argument("--key", action="append", required=True,
+                    help="conv_id, or conv_id:turn_idx (repeatable; "
+                         "salted lakes need the pair form)")
 
     rp = sub.add_parser("repartition",
                         help="rescale a committed lake to a new partition "
@@ -205,7 +217,8 @@ def main(argv=None) -> int:
 
         _maybe_ray()
         res = {"compact": compact_lake(args.lake_dir,
-                                       distributed=args.distributed),
+                                       distributed=args.distributed,
+                                       sort_keys=not args.no_sort_keys),
                "gc": gc_lake(args.lake_dir, keep_epochs=args.keep_epochs)}
         print(json.dumps(res))
         return 0
@@ -227,6 +240,21 @@ def main(argv=None) -> int:
                               expect_start_epoch=args.start_epoch)
         print(json.dumps(res))
         return 0 if res["ok"] else 3
+
+    if args.cmd == "get":
+        from rayrep.lookup import lookup
+
+        keys: list = []
+        for k in args.key:
+            if ":" in k:
+                c, t = k.rsplit(":", 1)
+                keys.append((c, int(t)))
+            else:
+                keys.append(k)
+        out = lookup(args.lake_dir, keys)
+        print(json.dumps({"n": out.num_rows, "rows": out.to_pylist()},
+                         default=str))
+        return 0
 
     if args.cmd == "trim-log":
         from rayrep.retention import trim_changelog

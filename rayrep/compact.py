@@ -15,6 +15,7 @@ import glob
 import os
 import re
 
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from rayrep.manifests import EpochManifest, PartitionManifest
@@ -29,14 +30,22 @@ def _partition_ids(lake_dir: str) -> list[int]:
     )
 
 
-def compact_lake(lake_dir: str, distributed: bool = False) -> dict:
+def compact_lake(lake_dir: str, distributed: bool = False,
+                 sort_keys: bool = True) -> dict:
     """Major compaction: fold every partition's chain into one full state
     file (`state-eEEEEE-full.parquet`, epoch = the committed one) and point
     the manifest at it. Each partition's fold+rewrite+manifest-save is
     independent and manifest-atomic, so ``distributed=True`` fans it out
     as one Ray task per partition (the 10^3-partition shape);
     ``False`` keeps the Ray-free driver loop for small lakes / the CLI's
-    sessionless path. Returns {"compacted": n, "skipped": n}."""
+    sessionless path. Returns {"compacted": n, "skipped": n}.
+
+    ``sort_keys`` (default on) writes the compacted file ordered by
+    (conv_id, turn_idx), so parquet row-group min/max stats make point
+    lookups (rayrep/lookup.py) row-group-prunable — the HBase sorted-
+    region analog. Sorting is fold-neutral in both modes: a row-LWW
+    compacted file holds exactly one row per key (positional last-per-key
+    is vacuous), and the per-cell fold orders by (ts, __seq) itself."""
     from rayrep.maintenance import run_per_partition
     from rayrep.manifests import LakeMeta
     from rayrep.registry import SchemaRegistry
@@ -59,6 +68,10 @@ def compact_lake(lake_dir: str, distributed: bool = False) -> dict:
         if len(m.state_chain) <= 1:
             return {"compacted": 0, "skipped": 1}
         folded = fold_fn(lake_dir, m.state_chain, target)
+        if sort_keys and folded.num_rows:
+            folded = folded.take(pc.sort_indices(
+                folded, sort_keys=[("conv_id", "ascending"),
+                                   ("turn_idx", "ascending")]))
         out = os.path.join(
             lake_dir, f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet"
         )

@@ -1754,7 +1754,7 @@ def _replay_events_through_engine(
     erase_mod: int | None = None, purge_mid_ts: bool = False,
     replica_incremental: bool = False, snapshot_interval: int | None = None,
     view: bool = False, repair: bool = False, lease_failover: bool = False,
-    trim_after_barrier: bool = False,
+    trim_after_barrier: bool = False, point_lookup_mod: int | None = None,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1998,6 +1998,26 @@ def _replay_events_through_engine(
         out["user_id"] = out["conv_id"].astype("int64")
         return out[["event_id", "ts", "user_id", "event_type", "value",
                     "props"]]
+    if point_lookup_mod is not None:
+        # key-addressed serving read (rayrep/lookup.py): fetch ONLY the
+        # selected keys' rows via the routing-hash partition prune + chain
+        # read pushdown — never a lake scan. The plan-size assert pins the
+        # prune (probes ≤ min(P, |keys|) partitions); the oracle is the
+        # deletes-LWW SQL restricted to the same key predicate.
+        from rayrep.lookup import lookup, lookup_plan
+
+        uids = np.unique(
+            pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id"]).column("user_id").to_numpy())
+        keys = [str(u) for u in uids if u % point_lookup_mod == 5]
+        plan = lookup_plan(lake, keys)
+        assert 0 < len(plan) <= min(cfg.num_partitions, len(keys)), (
+            len(plan), len(keys))
+        out = lookup(lake, keys).to_pandas()
+        out["user_id"] = out["conv_id"].astype("int64")
+        return (out[["event_id", "ts", "user_id", "event_type", "value",
+                     "props"]]
+                .sort_values("user_id").reset_index(drop=True))
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
     keep = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -2504,6 +2524,18 @@ def cdc_log_trim(sf_dir: str) -> pd.DataFrame:
     to any lake already committed past the floor."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          trim_after_barrier=True)
+
+
+def cdc_point_lookup(sf_dir: str) -> pd.DataFrame:
+    """Key-addressed serving read, SQL-oracled (rayrep/lookup.py — the
+    HBase get/row-key analog, CHANGES.txt:102-104): after a committed
+    deletes replay, fetch the rows for ``user_id % 53 == 5`` by probing
+    ONLY the partitions the pinned routing hash names (plan-size asserted
+    inside), with the key predicate pushed into every chain-file read.
+    Oracle = the deletes-LWW SQL under the same predicate: the pruned
+    read must be indistinguishable from filtering a full scan."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         point_lookup_mod=53)
 
 
 def cdc_downstream_replica(sf_dir: str) -> pd.DataFrame:
@@ -3546,6 +3578,7 @@ def queries() -> dict:
         "cdc_replica_incremental": cdc_replica_incremental,
         "cdc_incremental_view": cdc_incremental_view,
         "cdc_log_trim": cdc_log_trim,
+        "cdc_point_lookup": cdc_point_lookup,
     }
 
 
@@ -3560,6 +3593,12 @@ def oracle_sql() -> dict:
     d["cdc_tail_evolution"] = d["cdc_replay_evolution"]    # DDL inside a tailed epoch
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_log_trim"] = d["cdc_replay_deletes"]            # binlog-expiry trim
+    # point lookup: the same deletes-LWW state restricted to the looked-up
+    # key predicate — the pruned read must equal filter(full scan)
+    d["cdc_point_lookup"] = d["cdc_replay_deletes"].replace(
+        "WHERE rn = 1 AND NOT is_del",
+        "WHERE rn = 1 AND NOT is_del AND user_id % 53 = 5")
+    assert "user_id % 53" in d["cdc_point_lookup"]
     d["cdc_replica_incremental"] = d["cdc_replay_deletes"]  # watermarked refreshes
     # Maintained aggregate view: GROUP BY over the same deletes-LWW final
     # state the replica queries pin, with int64 fixed-point sums (FLOOR
