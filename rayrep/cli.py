@@ -139,6 +139,22 @@ def main(argv=None) -> int:
     cg.add_argument("--start-epoch", type=int, default=None,
                     help="first expected epoch (default: the log's trim floor)")
 
+    ij = sub.add_parser("ingest-json",
+                        help="ingest Debezium-style JSONL envelope files "
+                             "(one per producer flush) into engine epochs")
+    ij.add_argument("src_dir")
+    ij.add_argument("changelog_dir")
+    ij.add_argument("--start-epoch", type=int, default=0)
+    ij.add_argument("--start-seq", type=int, default=0)
+    ij.add_argument("--start-schema-ver", type=int, default=1)
+    ij.add_argument("--files-per-epoch", type=int, default=1)
+
+    ej = sub.add_parser("export-json",
+                        help="export an engine changelog as Debezium-style "
+                             "JSONL envelopes (egress/interchange)")
+    ej.add_argument("changelog_dir")
+    ej.add_argument("out_dir")
+
     tl = sub.add_parser("trim-log",
                         help="drop/archive changelog epochs the lake has "
                              "committed past (binlog expiry analog)")
@@ -254,6 +270,21 @@ def main(argv=None) -> int:
         out = lookup(args.lake_dir, keys)
         print(json.dumps({"n": out.num_rows, "rows": out.to_pylist()},
                          default=str))
+        return 0
+
+    if args.cmd == "ingest-json":
+        from rayrep.ingest import ingest_cdc_json
+
+        print(json.dumps(ingest_cdc_json(
+            args.src_dir, args.changelog_dir, start_epoch=args.start_epoch,
+            start_seq=args.start_seq, start_schema_ver=args.start_schema_ver,
+            files_per_epoch=args.files_per_epoch)))
+        return 0
+
+    if args.cmd == "export-json":
+        from rayrep.ingest import export_envelopes
+
+        print(json.dumps(export_envelopes(args.changelog_dir, args.out_dir)))
         return 0
 
     if args.cmd == "trim-log":

@@ -1731,6 +1731,18 @@ def _changelog_fixture(sf_dir: str, *, with_deletes: bool, with_ddl: bool,
         return final, int(_json.load(f)["B"])
 
 
+def _envelope_fixture(cl_src: str) -> str:
+    """Debezium-JSONL export of a cached changelog fixture, itself disk-
+    cached (keyed by the fixture dir, whose name already encodes the
+    content key): built once, shared by every round-trip query."""
+    def build(stage: str) -> None:
+        from rayrep.ingest import export_envelopes
+
+        export_envelopes(cl_src, stage)
+
+    return _disk_cached_dir("envfix", [os.path.basename(cl_src)], build)
+
+
 def _link_or_copy_tree(src: str, dst: str) -> None:
     """Populate ``dst`` with hardlinks to ``src``'s files (copy fallback
     across filesystems) — O(files), no data movement on the same fs."""
@@ -1755,6 +1767,7 @@ def _replay_events_through_engine(
     replica_incremental: bool = False, snapshot_interval: int | None = None,
     view: bool = False, repair: bool = False, lease_failover: bool = False,
     trim_after_barrier: bool = False, point_lookup_mod: int | None = None,
+    via_envelopes: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1782,6 +1795,18 @@ def _replay_events_through_engine(
         # fixture is shared across queries, so both get a hardlink copy
         cl = os.path.join(d, "cl")
         os.makedirs(cl)
+    elif via_envelopes:
+        # external-source round-trip (rayrep/ingest.py): the fixture is
+        # exported to Debezium-style JSONL envelopes (cached once per
+        # fixture) and re-ingested into a FRESH engine changelog — replay
+        # then runs on the ingested log, so the oracle hash pins the whole
+        # envelope encode → parse → seq/schema_ver re-assignment path
+        from rayrep.ingest import ingest_cdc_json
+
+        env_dir = _envelope_fixture(cl_src)
+        cl = os.path.join(d, "cl-ingested")
+        res_i = ingest_cdc_json(env_dir, cl)
+        assert res_i["rows"] > 0
     else:
         cl = cl_src  # read-only input to replay()
 
@@ -2524,6 +2549,31 @@ def cdc_log_trim(sf_dir: str) -> pd.DataFrame:
     to any lake already committed past the floor."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          trim_after_barrier=True)
+
+
+def cdc_json_ingest(sf_dir: str) -> pd.DataFrame:
+    """External-source ingest round-trip, SQL-oracled (rayrep/ingest.py):
+    the deletes changelog is exported to Debezium-style JSONL envelopes
+    (op c/u/d, before/after images with nulls omitted, ts_ms+ts_us,
+    binlog source positions) and re-ingested into a fresh engine
+    changelog — dense seq and schema_ver re-assigned from the stream —
+    then replayed through the real engine.  Oracle = the plain
+    deletes-LWW SQL: the envelope encode→parse→stamp path must be
+    loss-free down to the hash."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         via_envelopes=True)
+
+
+def cdc_json_ingest_evolution(sf_dir: str) -> pd.DataFrame:
+    """Envelope round-trip WITH mid-stream DDL: the add_column DDL rides
+    the JSONL stream as an ``op:"ddl"`` envelope (in binlog order, like
+    the reference's in-stream schema events) and post-DDL after-images
+    carry the new column; ingest re-stamps version-exact ``schema_ver``
+    from the cumulative DDL count and the replay must converge to the
+    same evolution LWW SQL as the native-fixture path."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         with_ddl=True,
+                                         via_envelopes=True)
 
 
 def cdc_point_lookup(sf_dir: str) -> pd.DataFrame:
@@ -3579,6 +3629,8 @@ def queries() -> dict:
         "cdc_incremental_view": cdc_incremental_view,
         "cdc_log_trim": cdc_log_trim,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_json_ingest": cdc_json_ingest,
+        "cdc_json_ingest_evolution": cdc_json_ingest_evolution,
     }
 
 
@@ -3593,6 +3645,8 @@ def oracle_sql() -> dict:
     d["cdc_tail_evolution"] = d["cdc_replay_evolution"]    # DDL inside a tailed epoch
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_log_trim"] = d["cdc_replay_deletes"]            # binlog-expiry trim
+    d["cdc_json_ingest"] = d["cdc_replay_deletes"]         # envelope round-trip
+    d["cdc_json_ingest_evolution"] = d["cdc_replay_evolution"]  # + in-stream DDL
     # point lookup: the same deletes-LWW state restricted to the looked-up
     # key predicate — the pruned read must equal filter(full scan)
     d["cdc_point_lookup"] = d["cdc_replay_deletes"].replace(
