@@ -77,9 +77,20 @@ def compact_lake(lake_dir: str, distributed: bool = False,
         )
         from rayrep.schema import stamp_version
 
+        from rayrep.bloom import sidecar_path, write_sidecar
+
+        rel = os.path.relpath(out, lake_dir)
+        # delete-old → rename-file → write-new: a crash window leaves no
+        # sidecar (lookup just reads the file) — never a stale one whose
+        # key set could under-claim the new content
+        old_bloom = sidecar_path(lake_dir, rel)
+        if os.path.exists(old_bloom):
+            os.remove(old_bloom)
         pq.write_table(stamp_version(folded, target.version), out + ".tmp")
         os.replace(out + ".tmp", out)
-        m.state_chain = [os.path.relpath(out, lake_dir)]
+        if folded.num_rows:
+            write_sidecar(lake_dir, rel, folded.column("conv_id"))
+        m.state_chain = [rel]
         m.save(lake_dir)  # atomic: readers see either old chain or new file
         return {"compacted": 1, "skipped": 0}
 
@@ -119,7 +130,12 @@ def gc_lake(lake_dir: str, keep_epochs: int = 0) -> dict:
             ep = int(_STATE_RE.search(sp).group(1))
             if ep < cutoff and os.path.abspath(sp) not in live:
                 os.remove(sp)
+                if os.path.exists(sp + ".bloom"):
+                    os.remove(sp + ".bloom")  # sidecar dies with its file
                 deleted += 1
             else:
                 kept += 1
+        for bp in glob.glob(os.path.join(pdir, "*.bloom")):
+            if not os.path.exists(bp[:-len(".bloom")]):
+                os.remove(bp)  # orphan sidecar (crash window)
     return {"deleted": deleted, "kept": kept}

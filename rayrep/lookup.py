@@ -108,15 +108,20 @@ def _probe_partition(lake_dir: str, part_id: int, part_keys: list,
 
     target = SchemaVersion.from_json(target_json)
     m = PartitionManifest.load(lake_dir, part_id)
-    if not m.state_chain:
+    pairs = isinstance(part_keys[0], tuple)
+    conv_set = sorted({(k[0] if pairs else k) for k in part_keys})
+    # bloom sidecars (rayrep/bloom.py, HBase per-HFile bloom analog):
+    # chain files proven key-free are never read at all
+    from rayrep.bloom import chain_candidates
+
+    chain = chain_candidates(lake_dir, m.state_chain, conv_set)
+    if not chain:
         from rayrep.apply import state_schema
 
         return state_schema(target).empty_table()
-    pairs = isinstance(part_keys[0], tuple)
-    conv_set = sorted({(k[0] if pairs else k) for k in part_keys})
     filt = pc.field("conv_id").isin(conv_set)
     fold_fn = fold_state_chain_cells if cells else fold_state_chain
-    t = fold_fn(lake_dir, m.state_chain, target, read_filter=filt)
+    t = fold_fn(lake_dir, chain, target, read_filter=filt)
     if pairs and t.num_rows:
         # exact pair filter: the conv pushdown is coarse (one conv's other
         # turns may share the partition)
