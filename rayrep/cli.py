@@ -139,6 +139,18 @@ def main(argv=None) -> int:
     cg.add_argument("--start-epoch", type=int, default=None,
                     help="first expected epoch (default: the log's trim floor)")
 
+    cn = sub.add_parser("clone",
+                        help="barrier-consistent lake clone (DR/backup: "
+                             "hardlinked immutable files + as-of-barrier "
+                             "manifests; resumable and independent)")
+    cn.add_argument("src_lake")
+    cn.add_argument("dst_lake")
+    cn.add_argument("--copy", action="store_true",
+                    help="copy bytes instead of hardlinking "
+                         "(cross-filesystem targets)")
+    cn.add_argument("--no-delta", action="store_true",
+                    help="skip the daily-delta stream")
+
     ij = sub.add_parser("ingest-json",
                         help="ingest Debezium-style JSONL envelope files "
                              "(one per producer flush) into engine epochs")
@@ -270,6 +282,15 @@ def main(argv=None) -> int:
         out = lookup(args.lake_dir, keys)
         print(json.dumps({"n": out.num_rows, "rows": out.to_pylist()},
                          default=str))
+        return 0
+
+    if args.cmd == "clone":
+        from rayrep.clone import clone_lake
+
+        print(json.dumps(clone_lake(
+            args.src_lake, args.dst_lake,
+            mode="copy" if args.copy else "hardlink",
+            include_delta=not args.no_delta)))
         return 0
 
     if args.cmd == "ingest-json":

@@ -1767,7 +1767,7 @@ def _replay_events_through_engine(
     replica_incremental: bool = False, snapshot_interval: int | None = None,
     view: bool = False, repair: bool = False, lease_failover: bool = False,
     trim_after_barrier: bool = False, point_lookup_mod: int | None = None,
-    via_envelopes: bool = False,
+    via_envelopes: bool = False, clone_resume: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1835,6 +1835,25 @@ def _replay_events_through_engine(
         # epoch barriers; the second must re-run ONLY the uncommitted tail
         # and converge to the identical table (exactly-once redelivery).
         replay(cfg, end_epoch=1)
+    if clone_resume:
+        # DR drill (rayrep/clone.py): commit the epoch-1 barrier, clone
+        # the lake (hardlinked barrier-consistent backup), then resume
+        # the replay INTO THE CLONE — the remaining epochs apply against
+        # the cloned manifests/state and must converge to the same
+        # full-history oracle. The source lake stays frozen at its
+        # barrier (checked), proving the clone is fully independent.
+        import dataclasses
+
+        from rayrep.clone import clone_lake
+        from rayrep.manifests import EpochManifest
+
+        replay(cfg, end_epoch=1)
+        lake2 = os.path.join(d, "lake-clone")
+        res_c = clone_lake(lake, lake2)
+        assert res_c["barrier"] == 1 and res_c["partitions"] == 16, res_c
+        cfg = dataclasses.replace(cfg, lake_dir=lake2)
+        src_lake = lake
+        lake = lake2
     if trim_after_barrier:
         # binlog expiry mid-stream (retention.trim_changelog): commit the
         # epoch-1 barrier, TRIM the committed prefix (epochs 0-1 deleted,
@@ -1916,6 +1935,12 @@ def _replay_events_through_engine(
                         max_epochs=2)
     else:
         res = replay(cfg, end_epoch=end_epoch)
+    if clone_resume:
+        from rayrep.manifests import EpochManifest as _EM
+
+        # the resumed replay ran only in the clone: source frozen at 1
+        assert _EM.load(src_lake).last_epoch == 1
+        assert _EM.load(lake).last_epoch == 3
     if lease_failover:
         # zombie fencing, both layers: A's renew fails (token superseded),
         # and a manifest commit under A's token is refused on disk.
@@ -2549,6 +2574,18 @@ def cdc_log_trim(sf_dir: str) -> pd.DataFrame:
     to any lake already committed past the floor."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          trim_after_barrier=True)
+
+
+def cdc_lake_clone(sf_dir: str) -> pd.DataFrame:
+    """DR drill, SQL-oracled (rayrep/clone.py): replay the deletes
+    changelog to the epoch-1 barrier, take a barrier-consistent hardlink
+    clone (HBase-snapshot analog: manifests + immutable files, O(files)
+    metadata), then RESUME THE REPLAY INTO THE CLONE while the source
+    stays frozen at its barrier (asserted).  Oracle = the plain
+    deletes-LWW SQL: backup + restore + resume must be invisible to the
+    converged state."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         clone_resume=True)
 
 
 def cdc_json_ingest(sf_dir: str) -> pd.DataFrame:
@@ -3631,6 +3668,7 @@ def queries() -> dict:
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_json_ingest": cdc_json_ingest,
         "cdc_json_ingest_evolution": cdc_json_ingest_evolution,
+        "cdc_lake_clone": cdc_lake_clone,
     }
 
 
@@ -3646,6 +3684,7 @@ def oracle_sql() -> dict:
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_log_trim"] = d["cdc_replay_deletes"]            # binlog-expiry trim
     d["cdc_json_ingest"] = d["cdc_replay_deletes"]         # envelope round-trip
+    d["cdc_lake_clone"] = d["cdc_replay_deletes"]          # DR clone + resume
     d["cdc_json_ingest_evolution"] = d["cdc_replay_evolution"]  # + in-stream DDL
     # point lookup: the same deletes-LWW state restricted to the looked-up
     # key predicate — the pruned read must equal filter(full scan)
