@@ -1850,7 +1850,13 @@ def _replay_events_through_engine(
         replay(cfg, end_epoch=1)
         lake2 = os.path.join(d, "lake-clone")
         res_c = clone_lake(lake, lake2)
-        assert res_c["barrier"] == 1 and res_c["partitions"] == 16, res_c
+        # partitions cloned == partitions the replay actually touched
+        # (TOUCHED count is data-dependent: sf0.01 hits all 16, the
+        # sf0.001 pytest fixture only ~10 — never hard-code the scale)
+        import glob as _glob
+        n_src = len(_glob.glob(os.path.join(lake, "_manifests", "p*.json")))
+        assert res_c["barrier"] == 1 and n_src > 0 \
+            and res_c["partitions"] == n_src, (res_c, n_src)
         cfg = dataclasses.replace(cfg, lake_dir=lake2)
         src_lake = lake
         lake = lake2
