@@ -216,6 +216,8 @@ SUITE_V2 = [
     # session-8 additions
     "cdc_training_export",
     "cdc_partition_repair",
+    # session-10 additions
+    "cdc_bulk_load",
 ]
 
 

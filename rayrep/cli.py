@@ -85,6 +85,19 @@ def main(argv=None) -> int:
     b.add_argument("changelog_dir")
     b.add_argument("--num-cpus", type=int, default=8)
 
+    bl = sub.add_parser("bulk-load",
+                        help="base table -> partition state files DIRECTLY "
+                             "(HBase bulkload analog; skips the changelog "
+                             "round-trip). Fresh lakes only; tail epochs "
+                             "(>=1, seq >= printed next_seq) resume via "
+                             "`replay`.")
+    bl.add_argument("base_parquet")
+    bl.add_argument("lake_dir")
+    bl.add_argument("--partitions", type=int, default=32)
+    bl.add_argument("--salt-turn-keys", action="store_true")
+    bl.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     k = sub.add_parser("replica",
                        help="rebuild the latest-image table from a lake's "
                             "daily-delta stream (Kafka-consumer analog)")
@@ -459,6 +472,19 @@ def main(argv=None) -> int:
             from rayrep.bootstrap import bootstrap_snapshot
 
             m = bootstrap_snapshot(rd.read_parquet(args.base_parquet), args.changelog_dir)
+            print(json.dumps(m))
+        elif args.cmd == "bulk-load":
+            import ray.data as rd
+
+            from rayrep.bulkload import bulk_load
+            from rayrep.config import EngineConfig
+
+            m = bulk_load(
+                EngineConfig(changelog_dir="", lake_dir=args.lake_dir,
+                             num_partitions=args.partitions,
+                             salt_turn_keys=args.salt_turn_keys),
+                rd.read_parquet(args.base_parquet),
+            )
             print(json.dumps(m))
     finally:
         ray.shutdown()

@@ -2239,6 +2239,116 @@ def cdc_bootstrap_tail(sf_dir: str) -> pd.DataFrame:
     return out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
 
 
+def cdc_bulk_load(sf_dir: str) -> pd.DataFrame:
+    """The bulk-load onboarding flow (rayrep/bulkload.py), SQL-oracled
+    against the SAME oracle as ``cdc_bootstrap_tail``: the snapshot
+    (each user's first first-half event) loads DIRECTLY into partition
+    state files — no changelog round-trip, no per-event LWW — then the
+    second-half U-op tail replays on top through the normal engine.
+    Identical final state to the bootstrap path is the whole contract
+    (HBase bulkload analog; CHANGES.txt:97-98 snapshot-speed claim)."""
+    import tempfile
+    import uuid as _uuid
+
+    from rayrep.bulkload import bulk_load
+    from rayrep.config import EngineConfig
+    from rayrep.pipeline import final_table, replay
+    from rayrep.schema import SchemaVersion
+
+    path = os.path.join(sf_dir, "events.parquet")
+    max_eid = _parquet_col_max(path, "event_id")
+    ds = rd.read_parquet(path, columns=EVENT_COLS[:5] + ["props"])
+    if max_eid is None:
+        from ray.data.aggregate import Max
+
+        max_eid = ds.select_columns(["event_id"]).aggregate(Max("event_id"))[
+            "max(event_id)"
+        ]
+    B = int(max_eid) + 1
+    thr = (B + 1) // 2
+    P = 16
+
+    def tag_first_half(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t.column("event_id").to_numpy() < thr))
+        uid = t.column("user_id").to_numpy()
+        return t.append_column("part_id", pa.array((uid % P).astype(np.int32)))
+
+    def first_per_user(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy()
+        eid = g.column("event_id").to_numpy()
+        order = np.lexsort((eid, uid))
+        u = uid[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        s = g.take(pa.array(order[first]))
+        return pa.table({
+            "conv_id": s.column("user_id").cast(pa.string()),
+            "turn_idx": pa.array(np.zeros(s.num_rows, np.int32)),
+            "event_id": s.column("event_id"),
+            "event_type": s.column("event_type"),
+            "value": s.column("value"),
+            "props": s.column("props"),
+            "ts": s.column("ts"),
+        })
+
+    snap = (ds.map_batches(tag_first_half, batch_format="pyarrow")
+            .groupby("part_id").map_groups(first_per_user,
+                                           batch_format="pyarrow"))
+
+    sv = SchemaVersion(1, pa.schema([
+        pa.field("conv_id", pa.string()), pa.field("turn_idx", pa.int32()),
+        pa.field("event_id", pa.int64()), pa.field("event_type", pa.string()),
+        pa.field("value", pa.float64()), pa.field("props", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]))
+    d = tempfile.mkdtemp(prefix="rayrep_bl_", dir=_scratch_root())
+    cl, lake = os.path.join(d, "cl"), os.path.join(d, "lake")
+    os.makedirs(cl, exist_ok=True)
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
+                       initial_schema_json=sv.to_json(), delta_output=False)
+    man = bulk_load(cfg, snap, payload_json=sv.to_json())
+    assert man["conflict"] == 0, man  # the snapshot is key-unique
+    off = int(man["next_seq"])  # tail seqs strictly above the snapshot's
+
+    def emit_tail(t: pa.Table) -> pa.Table:
+        eid_all = t.column("event_id").to_numpy()
+        t = t.filter(pa.array(eid_all >= thr))
+        eid = eid_all[eid_all >= thr]
+        n = t.num_rows
+        tbl = pa.table({
+            "seq": pa.array(eid + off),
+            "txn_id": pa.nulls(n, pa.int64()),
+            "op": pa.array(np.full(n, "U", dtype="U1")),
+            "schema_ver": pa.array(np.ones(n, np.int32)),
+            "conv_id": t.column("user_id").cast(pa.string()),
+            "turn_idx": pa.array(np.zeros(n, np.int32)),
+            "event_id": t.column("event_id"),
+            "event_type": t.column("event_type"),
+            "value": t.column("value"),
+            "props": t.column("props"),
+            "ts": t.column("ts"),
+            "ddl": pa.nulls(n, pa.string()),
+        })
+        mid = thr + (B - thr + 1) // 2  # two tail epochs (1 and 2)
+        ep = np.where(eid < mid, 1, 2)
+        for e in np.unique(ep):
+            sub = tbl.filter(pa.array(ep == e))
+            edir = os.path.join(cl, f"epoch-{int(e):05d}")
+            os.makedirs(edir, exist_ok=True)
+            fp = os.path.join(edir, f"part-{_uuid.uuid4().hex}.parquet")
+            pq.write_table(sub, fp + ".tmp")
+            os.replace(fp + ".tmp", fp)
+        return pa.table({"rows": pa.array([n], pa.int64())})
+
+    ds.map_batches(emit_tail, batch_format="pyarrow").take_all()
+    res = replay(cfg)
+    # the resume starts ABOVE the bulk-loaded barrier: only the tail ran
+    assert [e["epoch"] for e in res["epochs"]] == [1, 2], res["epochs"]
+    out = final_table(lake).to_pandas()
+    out["user_id"] = out["conv_id"].astype("int64")
+    return out[["event_id", "ts", "user_id", "event_type", "value", "props"]]
+
+
 def cdc_replay_rename(sf_dir: str) -> pd.DataFrame:
     """Mid-stream ``rename_column`` (props → meta) through the real
     engine, SQL-oracled: pre-rename epochs' files physically carry the OLD
@@ -3651,6 +3761,7 @@ def queries() -> dict:
         "cdc_multi_table_docs": cdc_multi_table_docs,
         "cdc_replay_metrics": cdc_replay_metrics,
         "cdc_bootstrap_tail": cdc_bootstrap_tail,
+        "cdc_bulk_load": cdc_bulk_load,
         "cdc_tail_mode": cdc_tail_mode,
         "cdc_tail_evolution": cdc_tail_evolution,
         "cdc_replay_resume": cdc_replay_resume,
@@ -3955,6 +4066,29 @@ def _oracle_sql_base() -> dict:
             GROUP BY doc_id
         """,
         "cdc_bootstrap_tail": """
+            WITH t AS (SELECT (max(event_id) + 2) // 2 AS thr FROM events),
+            snap AS (
+                SELECT user_id, event_id, ts, event_type, value, props
+                FROM events WHERE event_id < (SELECT thr FROM t)
+                QUALIFY row_number() OVER (PARTITION BY user_id
+                                           ORDER BY event_id) = 1
+            ),
+            uni AS (
+                SELECT user_id, event_id, ts, event_type, value, props,
+                       0 AS pri FROM snap
+                UNION ALL
+                SELECT user_id, event_id, ts, event_type, value, props,
+                       1 AS pri
+                FROM events WHERE event_id >= (SELECT thr FROM t)
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM uni
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, pri DESC, event_id DESC) = 1
+        """,
+        # bulk load's entire contract is "indistinguishable from the
+        # bootstrap path": same snapshot, same tail, same oracle.
+        "cdc_bulk_load": """
             WITH t AS (SELECT (max(event_id) + 2) // 2 AS thr FROM events),
             snap AS (
                 SELECT user_id, event_id, ts, event_type, value, props
