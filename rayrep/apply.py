@@ -886,16 +886,25 @@ class Applier:
                 self._write_delta(part_id, delta_events)
         self._maybe_chaos(rng)  # crash point B: state visible, manifest not
 
+        merged = merge_counters(manifest.counters, ctr)
+        from rayrep.manifests import MANIFEST_HISTORY_MAX
+
+        history = (manifest.history + [{
+            "epoch": self.epoch, "last_seq": last_seq, "live_rows": live_rows,
+            "max_ts_us": max_ts, "counters": merged, "epoch_counters": ctr,
+            "chain": list(new_chain),
+        }])[-MANIFEST_HISTORY_MAX:]
         new_manifest = PartitionManifest(
             part_id=part_id,
             epoch=self.epoch,
             last_seq=last_seq,
             state_chain=new_chain,
             live_rows=live_rows,
-            counters=merge_counters(manifest.counters, ctr),
+            counters=merged,
             epoch_counters=ctr,
             max_ts_us=max_ts,
             lease_token=self.lease_token,
+            history=history,
         )
         new_manifest.save(self.lake_dir)  # atomic commit — the epoch frontier
         return ctr, new_manifest

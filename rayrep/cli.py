@@ -225,6 +225,18 @@ def main(argv=None) -> int:
     rd_.add_argument("--num-cpus", type=int,
                      default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
+    rb = sub.add_parser("rollback",
+                        help="rewind a lake IN PLACE to an earlier epoch "
+                             "barrier (O(files) metadata: restore per-"
+                             "partition history entries, drop the chain "
+                             "suffix). Refuses when compaction/purge/gc "
+                             "moved the horizon past the target.")
+    rb.add_argument("lake_dir")
+    rb.add_argument("--to-epoch", type=int, required=True)
+    rb.add_argument("--distributed", action="store_true")
+    rb.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     rf = sub.add_parser("repair",
                         help="rebuild damaged partitions from the "
                              "changelog (targeted: only their rows are "
@@ -415,6 +427,11 @@ def main(argv=None) -> int:
             ds.write_parquet(args.out_dir)
             print(json.dumps({"out_dir": args.out_dir,
                               "committed": args.committed}))
+        elif args.cmd == "rollback":
+            from rayrep.rollback import rollback_lake
+
+            print(json.dumps(rollback_lake(
+                args.lake_dir, args.to_epoch, distributed=args.distributed)))
         elif args.cmd == "repair":
             from rayrep.config import EngineConfig
             from rayrep.repair import repair_partitions

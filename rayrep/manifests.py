@@ -19,6 +19,12 @@ from dataclasses import asdict, dataclass, field, fields
 
 COUNTER_KEYS = ["input_rows", "applied", "skipped", "conflict", "deleted"]
 
+# Rollback horizon: per-epoch history entries kept per partition manifest
+# (FIFO). ~150 B each → worst case ~75 KB/manifest; the USEFUL horizon is
+# anyway bounded by chain retention (compaction + gc invalidate old
+# chains), so an aggressive cap costs nothing in practice.
+MANIFEST_HISTORY_MAX = 512
+
 
 class StaleWriterError(RuntimeError):
     """A fenced-out writer (lower lease token) tried to overwrite a
@@ -54,6 +60,16 @@ class PartitionManifest:
     # lease-disabled runs — no fencing). Maintenance ops that load→mutate→
     # save a manifest carry the stamp through unchanged.
     lease_token: int = 0
+    # Per-epoch commit history (newest last), appended by the Applier at
+    # every epoch commit: {epoch, last_seq, live_rows, max_ts_us,
+    # counters, epoch_counters, chain}. This is what makes IN-PLACE
+    # rollback (rayrep/rollback.py) O(files): the entry for epoch k IS
+    # the manifest as of k, and its recorded chain names exactly the
+    # files that represented the partition then (valid until compaction/
+    # purge/gc removes them — rollback checks existence and refuses).
+    # Bounded FIFO (MANIFEST_HISTORY_MAX); maintenance rewrites that
+    # invalidate old chains (repartition) reset it to [].
+    history: list = field(default_factory=list)
 
     @staticmethod
     def path(lake_dir: str, part_id: int) -> str:

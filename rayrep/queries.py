@@ -1768,6 +1768,7 @@ def _replay_events_through_engine(
     view: bool = False, repair: bool = False, lease_failover: bool = False,
     trim_after_barrier: bool = False, point_lookup_mod: int | None = None,
     via_envelopes: bool = False, clone_resume: bool = False,
+    rollback_drill: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1909,6 +1910,28 @@ def _replay_events_through_engine(
         cfg = dataclasses.replace(cfg, writer_lease=True,
                                   lease_owner="writer-b",
                                   lease_takeover=True)
+    if rollback_drill:
+        # in-place PITR drill (rayrep/rollback.py): replay EVERYTHING,
+        # rewind the lake to the epoch-1 barrier (O(files) metadata:
+        # manifests restore their epoch-1 history entries, the chain
+        # suffix is deleted), then the ordinary resume below re-applies
+        # the rolled-back epochs. Convergence to the full-history LWW SQL
+        # proves rollback landed exactly on a committed barrier and the
+        # restored watermarks re-admitted exactly the rolled-back events.
+        from rayrep.manifests import EpochManifest as _EM
+        from rayrep.manifests import PartitionManifest as _PM
+        from rayrep.rollback import rollback_lake
+
+        replay(cfg)
+        assert _EM.load(lake).last_epoch == 3
+        rb = rollback_lake(lake, to_epoch=1)
+        assert rb["barrier"] == 1 and rb["restored"] >= 1, rb
+        assert _EM.load(lake).last_epoch == 1
+        import glob as _glob
+        import re as _re
+        for mp in _glob.glob(os.path.join(lake, "_manifests", "p*.json")):
+            pid = int(_re.search(r"p(\d+)\.json$", mp).group(1))
+            assert _PM.load(lake, pid).epoch <= 1
     if repartition_to is not None:
         # mid-stream cluster rescale (rayrep/repart.py): commit the first
         # two epochs at the original partition count, rescale the lake
@@ -2779,6 +2802,19 @@ def cdc_replay_deletes(sf_dir: str) -> pd.DataFrame:
     must be ABSENT from the converged table, and a delete overwritten by a
     later event resurrects the row — mirrored exactly in the SQL."""
     return _replay_events_through_engine(sf_dir, with_deletes=True)
+
+
+def cdc_rollback(sf_dir: str) -> pd.DataFrame:
+    """In-place rollback drill (rayrep/rollback.py), SQL-oracled with
+    tombstones in play: replay all four epochs, rewind the lake to the
+    epoch-1 barrier (manifests restore their recorded history entries;
+    the chain suffix is deleted — O(files), no replay), then resume.
+    The resumed lake must hash-match the full-history deletes-LWW SQL,
+    proving the restored watermarks/counters re-admitted EXACTLY the
+    rolled-back events (a stale watermark would skip them; a reset-to-
+    zero one would double-apply the prefix)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         rollback_drill=True)
 
 
 def cdc_repartition(sf_dir: str) -> pd.DataFrame:
@@ -3768,6 +3804,7 @@ def queries() -> dict:
         "cdc_lease_failover": cdc_lease_failover,
         "cdc_downstream_replica": cdc_downstream_replica,
         "cdc_replay_deletes": cdc_replay_deletes,
+        "cdc_rollback": cdc_rollback,
         "cdc_partition_repair": cdc_partition_repair,
         "cdc_replay_evolution": cdc_replay_evolution,
         "cdc_replay_changed_cells": cdc_replay_changed_cells,
@@ -4315,6 +4352,22 @@ def _oracle_sql_base() -> dict:
             FROM r WHERE rn = 1 AND NOT is_del
         """,
         "cdc_replay_deletes": """
+            WITH e AS (
+                SELECT *,
+                       (event_id % 7 = 0 AND row_number() OVER
+                            (PARTITION BY user_id ORDER BY event_id) > 1) AS is_del
+                FROM events
+            ), r AS (
+                SELECT *, row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                FROM e
+            )
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM r WHERE rn = 1 AND NOT is_del
+        """,
+        # rollback + resume must converge to the FULL-history LWW fold —
+        # identical oracle to cdc_replay_deletes by design.
+        "cdc_rollback": """
             WITH e AS (
                 SELECT *,
                        (event_id % 7 = 0 AND row_number() OVER
