@@ -87,7 +87,16 @@ def _stats_batch(batch: pa.Table) -> pa.Table:
         # single-file epoch (epoch-NNNNN.parquet) matches directly; a part
         # file inside an epoch DIR (epoch-NNNNN/part-*.parquet) matches on
         # its parent directory
-        m = EPOCH_RE.search(sp) or EPOCH_RE.search(sp.rsplit("/", 1)[0])
+        parent = sp.rsplit("/", 1)[0]
+        # a compacted span dir (epoch-FFFFF-cLLLLL, rayrep/logcompact.py)
+        # reports under its END epoch number, like discover_epochs
+        from rayrep.pipeline import SPAN_RE
+
+        m2 = SPAN_RE.search(parent)
+        if m2:
+            epoch_of[i] = int(m2.group(2))
+            continue
+        m = EPOCH_RE.search(sp) or EPOCH_RE.search(parent)
         epoch_of[i] = int(m.group(1)) if m else -1
     ep = epoch_of[codes]
 
@@ -136,13 +145,24 @@ def check_changelog(changelog_dir: str, expect_start_epoch: int | None = None,
         expect_start_epoch = floor
         if floor > 0:
             expect_start_seq = None
+    from rayrep.logcompact import span_meta
+
     epochs = [(e, p) for e, p in discover_epochs(changelog_dir)
               if e >= expect_start_epoch]
+    spans = {e: span_meta(p) for e, p in epochs if span_meta(p) is not None}
     errors: list[str] = []
     enos = [e for e, _ in epochs]
-    expected = list(range(expect_start_epoch, expect_start_epoch + len(enos)))
-    missing = sorted(set(expected) - set(enos))
-    if enos != expected:
+    # a compacted span (listed under its END epoch) covers its whole
+    # [first, last] range — numbering is dense THROUGH spans
+    missing: list[int] = []
+    cursor = expect_start_epoch
+    for e in enos:
+        sm = spans.get(e)
+        lo = sm["first_epoch"] if sm is not None else e
+        if lo != cursor:
+            missing.extend(range(cursor, lo))
+        cursor = e + 1
+    if missing:
         errors.append(
             f"epoch numbering not dense from {expect_start_epoch}: "
             f"found {enos[:8]}{'...' if len(enos) > 8 else ''}, missing {missing}")
@@ -168,37 +188,75 @@ def check_changelog(changelog_dir: str, expect_start_epoch: int | None = None,
             np.sum(s.to_numpy().astype(np.uint64), dtype=np.uint64)))),
     ).sort_index()
 
-    # expected range hash-sums: one bounded task per epoch, in parallel
+    # expected range hash-sums: one bounded task per PLAIN epoch, in
+    # parallel (a compacted span's retained multiset is sparse by design —
+    # its expected hash-sum was recorded at compaction time instead)
     exp_refs = {e: _range_hashsum.remote(int(r.min_seq), int(r.max_seq))
-                for e, r in agg.iterrows()}
+                for e, r in agg.iterrows() if e not in spans}
     exp = {e: ray.get(ref) for e, ref in exp_refs.items()}
 
     per_epoch = []
     prev_max = None
     for e, r in agg.iterrows():
         n, lo, hi = int(r.n), int(r.min_seq), int(r.max_seq)
-        dense = (n == hi - lo + 1) and (int(r.hashsum) == exp[e])
-        if not dense:
-            errors.append(
-                f"epoch {e}: seq multiset != contiguous [{lo}, {hi}] "
-                f"(rows {n} vs range {hi - lo + 1}; hash "
-                f"{'match' if int(r.hashsum) == exp[e] else 'MISMATCH'})")
-        if prev_max is not None and lo != prev_max + 1:
-            errors.append(
-                f"epoch {e}: min_seq {lo} != previous epoch max_seq "
-                f"{prev_max} + 1 (epochs must chain contiguously)")
-        if prev_max is None and expect_start_seq is not None and lo != expect_start_seq:
-            errors.append(f"first epoch min_seq {lo} != expected {expect_start_seq}")
+        sm = spans.get(e)
+        if sm is not None:
+            # compacted span: verify the RETAINED multiset against the
+            # compactor's receipt (count + hash-sum), the retained seqs
+            # against the span's original [seq_lo, seq_hwm] envelope, and
+            # chain neighbors through the envelope, not the observed ends
+            dense = (n == sm["n_retained"]
+                     and int(r.hashsum) == sm["retained_hashsum"])
+            if not dense:
+                errors.append(
+                    f"span epoch {e}: retained seq multiset != compaction "
+                    f"receipt (rows {n} vs {sm['n_retained']}; hash "
+                    f"{'match' if int(r.hashsum) == sm['retained_hashsum'] else 'MISMATCH'})")
+            if sm["seq_lo"] is not None and lo < sm["seq_lo"]:
+                errors.append(
+                    f"span epoch {e}: min retained seq {lo} below the "
+                    f"span's original seq_lo {sm['seq_lo']}")
+            if sm["seq_hwm"] is not None and hi > sm["seq_hwm"]:
+                errors.append(
+                    f"span epoch {e}: max retained seq {hi} above the "
+                    f"span's original seq_hwm {sm['seq_hwm']}")
+            if prev_max is not None and sm["seq_lo"] is not None \
+                    and sm["seq_lo"] != prev_max + 1:
+                errors.append(
+                    f"span epoch {e}: seq_lo {sm['seq_lo']} != previous "
+                    f"epoch max_seq {prev_max} + 1")
+            if prev_max is None and expect_start_seq is not None \
+                    and sm["seq_lo"] is not None \
+                    and sm["seq_lo"] != expect_start_seq:
+                errors.append(
+                    f"first (span) epoch seq_lo {sm['seq_lo']} != "
+                    f"expected {expect_start_seq}")
+            chain_hi = sm["seq_hwm"] if sm["seq_hwm"] is not None else hi
+        else:
+            dense = (n == hi - lo + 1) and (int(r.hashsum) == exp[e])
+            if not dense:
+                errors.append(
+                    f"epoch {e}: seq multiset != contiguous [{lo}, {hi}] "
+                    f"(rows {n} vs range {hi - lo + 1}; hash "
+                    f"{'match' if int(r.hashsum) == exp[e] else 'MISMATCH'})")
+            if prev_max is not None and lo != prev_max + 1:
+                errors.append(
+                    f"epoch {e}: min_seq {lo} != previous epoch max_seq "
+                    f"{prev_max} + 1 (epochs must chain contiguously)")
+            if prev_max is None and expect_start_seq is not None and lo != expect_start_seq:
+                errors.append(f"first epoch min_seq {lo} != expected {expect_start_seq}")
+            chain_hi = hi
         if r.bad_op:
             errors.append(f"epoch {e}: {int(r.bad_op)} rows with op outside I/U/D/DDL")
         if r.null_key:
             errors.append(
                 f"epoch {e}: {int(r.null_key)} non-DDL rows with null "
                 "conv_id/turn_idx (would route non-portably)")
-        prev_max = hi
+        prev_max = chain_hi
         per_epoch.append({"epoch": int(e), "n_rows": n, "min_seq": lo,
                           "max_seq": hi, "hashsum": int(r.hashsum),
-                          "dense": bool(dense), "n_ddl": int(r.n_ddl)})
+                          "dense": bool(dense), "n_ddl": int(r.n_ddl),
+                          "compacted_span": bool(sm is not None)})
 
     return {
         "ok": not errors,

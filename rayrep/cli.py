@@ -190,6 +190,25 @@ def main(argv=None) -> int:
     ck.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
+    lc = sub.add_parser("compact-log",
+                        help="Kafka-style log compaction: collapse epochs "
+                             "[first, through] to latest-event-per-key "
+                             "(+tombstones +DDLs); the result still "
+                             "replays from scratch, unlike trim-log")
+    lc.add_argument("changelog_dir")
+    lc.add_argument("--through-epoch", type=int, default=None,
+                    help="default: last-but-one (the active tail epoch is "
+                         "never compacted)")
+    lc.add_argument("--lake", default=None, dest="lake_dir",
+                    help="optional: require this lake's barrier at/past "
+                         "the span (live-tailer safety)")
+    lc.add_argument("--mode", choices=["row", "cells"], default="row",
+                    help="cells = per-cell retention for changed-cells "
+                         "logs (CHANGES.txt:173)")
+    lc.add_argument("--tasks", type=int, default=None)
+    lc.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     er = sub.add_parser("erase",
                         help="targeted erasure (GDPR): reads hide the "
                              "keys at once; `purge` makes it physical")
@@ -339,6 +358,19 @@ def main(argv=None) -> int:
         print(json.dumps(trim_changelog(args.changelog_dir, args.lake_dir,
                                         args.keep_from_epoch,
                                         archive_dir=args.archive_dir)))
+        return 0
+
+    if args.cmd == "compact-log":
+        import ray
+
+        from rayrep.logcompact import compact_changelog
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        print(json.dumps(compact_changelog(
+            args.changelog_dir, through_epoch=args.through_epoch,
+            lake_dir=args.lake_dir, mode=args.mode, num_tasks=args.tasks)))
         return 0
 
     if args.cmd == "erase":

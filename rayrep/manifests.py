@@ -227,6 +227,16 @@ def atomic_rename(tmp_path: str, final_path: str) -> None:
     os.replace(tmp_path, final_path)
 
 
+class CompactedLogError(RuntimeError):
+    """An operation that needs the changelog's INTERMEDIATE history —
+    point-in-time reconstruction below a compacted span's ts horizon,
+    ``end_epoch`` strictly inside a span, changed-cells replay of a
+    row-compacted span — was asked to run against a COMPACTED changelog
+    (``rayrep.logcompact``).  Compaction keeps exactly what final-state
+    replay needs (Kafka compacted-topic semantics); anything finer is
+    gone by design."""
+
+
 # ------------------------------------------------------------ changelog floor
 class TrimmedLogError(RuntimeError):
     """An operation that needs full changelog history (fresh replay from

@@ -44,6 +44,7 @@ from rayrep.manifests import (
     EpochManifest,
     LakeMeta,
     PartitionManifest,
+    CompactedLogError,
     TrimmedLogError,
     atomic_write_json,
     log_floor,
@@ -57,16 +58,40 @@ from rayrep.schema import SchemaVersion
 EPOCH_RE = re.compile(r"epoch-(\d+)(\.parquet)?$")
 
 
+SPAN_RE = re.compile(r"epoch-(\d+)-c(\d+)$")
+
+
 def discover_epochs(changelog_dir: str) -> list[tuple[int, str]]:
-    """Epochs are either single files (`epoch-00000.parquet`, hand-built
-    fixtures) or directories of part files (`epoch-00000/part-*.parquet`,
-    the parallel-read layout the generator produces)."""
-    out = []
+    """Epochs are single files (`epoch-00000.parquet`, hand-built
+    fixtures), directories of part files (`epoch-00000/part-*.parquet`,
+    the parallel-read layout the generator produces), or COMPACTED SPANS
+    (`epoch-00000-c00005/`, rayrep/logcompact.py): a span stands for the
+    whole range ``[first, last]`` it was compacted from and is listed
+    under its END epoch number (resume semantics: a lake whose barrier is
+    anywhere inside the span re-reads it and converges via the watermark
+    anti-join; a lake at/above the end skips it).  Plain epochs and older
+    spans fully covered by a span are SHADOWED — they are garbage a
+    crashed compactor hasn't deleted yet (the span dir renames into place
+    atomically BEFORE originals are removed), so preferring the span is
+    what makes compaction crash-monotone."""
+    plain, spans = [], []
     for p in sorted(glob.glob(os.path.join(changelog_dir, "epoch-*"))):
+        m2 = SPAN_RE.search(p)
+        if m2 and os.path.isdir(p):
+            spans.append((int(m2.group(1)), int(m2.group(2)), p))
+            continue
         m = EPOCH_RE.search(p)
         if m and (os.path.isdir(p) or p.endswith(".parquet")):
-            out.append((int(m.group(1)), p))
-    return out
+            plain.append((int(m.group(1)), p))
+    if not spans:
+        return plain
+    spans = [s for s in spans
+             if not any(o is not s and o[0] <= s[0] and s[1] <= o[1]
+                        for o in spans)]
+    out = [(e, p) for e, p in plain
+           if not any(f <= e <= l for f, l, _ in spans)]
+    out += [(l, p) for _, l, p in spans]
+    return sorted(out)
 
 
 def _max_watermark(lake_dir: str) -> int:
@@ -415,6 +440,28 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
         )
     totals = dict(em.totals)
     per_epoch = []
+
+    # Compacted-span guards (rayrep/logcompact.py): a span replays only as
+    # a unit and only with semantics at least as fine as it retained.
+    from rayrep.logcompact import span_meta as _span_meta
+
+    for e, p in epochs:
+        sm = _span_meta(p)
+        if sm is None:
+            continue
+        if end_epoch is not None and sm["first_epoch"] <= end_epoch < e:
+            raise CompactedLogError(
+                f"end_epoch={end_epoch} falls strictly inside compacted "
+                f"span [{sm['first_epoch']}, {e}] of {cfg.changelog_dir} — "
+                "a span replays only as a whole (its intermediate epoch "
+                "boundaries were compacted away)")
+        if cfg.changed_cells_updates and sm["mode"] == "row" and e >= start:
+            raise CompactedLogError(
+                f"span [{sm['first_epoch']}, {e}] was ROW-compacted "
+                "(latest event per key) but this replay runs with "
+                "changed_cells_updates=True — older partial-update "
+                "carriers are gone; recompact source logs with "
+                "mode='cells' for per-cell lakes")
 
     pending = [
         (e, p)
@@ -864,6 +911,19 @@ def replay_batch(
     # a trimmed log cannot converge from scratch: events in the trimmed
     # epochs may be LWW winners (at any as-of point) — refuse loudly
     require_full_history(changelog_dir, "batch replay / point-in-time read")
+    if as_of_ts_us is not None:
+        # a COMPACTED log still batch-replays to the exact final state,
+        # but intermediate versions below a span's ts horizon are gone —
+        # an as-of read there would fabricate a state that never existed
+        from rayrep.logcompact import compaction_horizon
+
+        h = compaction_horizon(changelog_dir)
+        if h and as_of_ts_us < h:
+            raise CompactedLogError(
+                f"point-in-time read at ts={as_of_ts_us} is below the "
+                f"compaction horizon {h} of {changelog_dir} — intermediate "
+                "versions were compacted away (rayrep/logcompact.py); "
+                "snapshot from a lake barrier or keep an archived log")
     epochs = discover_epochs(changelog_dir)
     registry = SchemaRegistry()
     for _, path in epochs:

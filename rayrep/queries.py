@@ -1768,7 +1768,7 @@ def _replay_events_through_engine(
     view: bool = False, repair: bool = False, lease_failover: bool = False,
     trim_after_barrier: bool = False, point_lookup_mod: int | None = None,
     via_envelopes: bool = False, clone_resume: bool = False,
-    rollback_drill: bool = False,
+    rollback_drill: bool = False, compact_log: str | None = None,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1790,10 +1790,11 @@ def _replay_events_through_engine(
         mask_cells=changed_cells, ddl_action=ddl_action)
     d = tempfile.mkdtemp(prefix="rayrep_qe_", dir=_scratch_root())
     lake = os.path.join(d, "lake")
-    if tail_mode or trim_after_barrier:
+    if tail_mode or trim_after_barrier or compact_log:
         # private changelog dir: tail mode publishes epochs progressively;
-        # trim MUTATES the log (epoch deletion + floor marker) and the
-        # fixture is shared across queries, so both get a hardlink copy
+        # trim and compact-log MUTATE the log (epoch deletion / span swap)
+        # and the fixture is shared across queries, so each gets a
+        # hardlink copy
         cl = os.path.join(d, "cl")
         os.makedirs(cl)
     elif via_envelopes:
@@ -1885,6 +1886,35 @@ def _replay_events_through_engine(
             raise AssertionError("batch read of trimmed log was not refused")
         except TrimmedLogError:
             pass
+    if compact_log:
+        # Kafka-style log compaction (rayrep/logcompact.py): collapse
+        # epochs 0-2 to latest-event-per-key (+tombstones +DDLs) in one
+        # span dir; the active tail epoch 3 stays plain.  "fresh" proves
+        # a from-zero replay of the compacted log converges to the
+        # full-history oracle; "resume" commits the epoch-1 barrier FIRST
+        # so the span lands mid-history and convergence additionally
+        # exercises the watermark anti-join across a compacted span.
+        # check-log must pass on the result (span receipt verification).
+        from rayrep.checklog import check_changelog
+        from rayrep.logcompact import compact_changelog
+
+        for name in sorted(os.listdir(cl_src)):
+            if name.startswith("epoch-"):
+                staged = os.path.join(d, "stage-" + name)
+                _link_or_copy_tree(os.path.join(cl_src, name), staged)
+                os.replace(staged, os.path.join(cl, name))
+        if compact_log == "resume":
+            replay(cfg, end_epoch=1)
+        res_k = compact_changelog(cl, through_epoch=2)
+        assert res_k["n_retained"] < res_k["n_original"], res_k
+        assert os.path.isdir(os.path.join(cl, "epoch-00000-c00002")), res_k
+        if not with_ddl:
+            # the ddl fixture's seqs are sparse BY DESIGN (seq=2*event_id
+            # with one odd DDL seq), so the density audit doesn't apply to
+            # it even uncompacted; the dense fixtures must pass check-log
+            # end to end, span receipt included
+            rep_k = check_changelog(cl)
+            assert rep_k["ok"], rep_k["errors"][:3]
     dead = None
     if lease_failover:
         # HA failover (rayrep/lease.py): writer A replays under a lease to
@@ -2713,6 +2743,48 @@ def cdc_log_trim(sf_dir: str) -> pd.DataFrame:
     to any lake already committed past the floor."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          trim_after_barrier=True)
+
+
+def cdc_log_compaction(sf_dir: str) -> pd.DataFrame:
+    """Kafka-style changelog compaction, SQL-oracled (rayrep/logcompact.py):
+    compact epochs 0-2 of the deletes changelog to latest-event-per-key
+    (tombstones retained, original seq/ts preserved; the active tail
+    epoch stays plain), verify the span receipt with check-log, then
+    FRESH-replay the compacted log through the real engine.  Oracle =
+    the plain deletes-LWW SQL over the FULL history: compaction keeps
+    exactly what final-state replay needs — log storage becomes O(live
+    keys) instead of O(history) at the 10^10-event design scale, and the
+    log stays fully replayable (unlike trim-log)."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         compact_log="fresh")
+
+
+def cdc_log_compaction_resume(sf_dir: str) -> pd.DataFrame:
+    """Log compaction landing MID-HISTORY, SQL-oracled: the lake commits
+    the epoch-1 barrier first, THEN epochs 0-2 are compacted (the span
+    straddles the barrier), then the lake resumes against the compacted
+    log.  Convergence to the full-history deletes-LWW SQL proves the
+    watermark anti-join composes with compaction: retained events at or
+    below the watermark are skipped (already applied), retained events
+    above it are each their key's overall LWW winner and beat whatever
+    row the lake holds, and the discarded events were ts-losers the full
+    replay would have rejected anyway."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         compact_log="resume")
+
+
+def cdc_log_compaction_evolution(sf_dir: str) -> pd.DataFrame:
+    """Log compaction ACROSS a mid-stream DDL, SQL-oracled: the span
+    [0, 2] contains the add_column DDL, so the compactor pre-evolves
+    every retained event's payload stepwise to the span's final schema
+    version (the same ``evolve_table_from`` the augmenter would apply
+    lazily) while the DDL event itself rides the span with its original
+    seq — a fresh replay rebuilds the identical schema-version chain and
+    must converge to the same evolution LWW SQL as the uncompacted
+    fixture path."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         with_ddl=True,
+                                         compact_log="fresh")
 
 
 def cdc_lake_clone(sf_dir: str) -> pd.DataFrame:
@@ -3819,6 +3891,9 @@ def queries() -> dict:
         "cdc_replica_incremental": cdc_replica_incremental,
         "cdc_incremental_view": cdc_incremental_view,
         "cdc_log_trim": cdc_log_trim,
+        "cdc_log_compaction": cdc_log_compaction,
+        "cdc_log_compaction_resume": cdc_log_compaction_resume,
+        "cdc_log_compaction_evolution": cdc_log_compaction_evolution,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_json_ingest": cdc_json_ingest,
         "cdc_json_ingest_evolution": cdc_json_ingest_evolution,
@@ -3837,6 +3912,9 @@ def oracle_sql() -> dict:
     d["cdc_tail_evolution"] = d["cdc_replay_evolution"]    # DDL inside a tailed epoch
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_log_trim"] = d["cdc_replay_deletes"]            # binlog-expiry trim
+    d["cdc_log_compaction"] = d["cdc_replay_deletes"]      # Kafka-style compact
+    d["cdc_log_compaction_resume"] = d["cdc_replay_deletes"]  # span mid-history
+    d["cdc_log_compaction_evolution"] = d["cdc_replay_evolution"]  # + DDL span
     d["cdc_json_ingest"] = d["cdc_replay_deletes"]         # envelope round-trip
     d["cdc_lake_clone"] = d["cdc_replay_deletes"]          # DR clone + resume
     d["cdc_json_ingest_evolution"] = d["cdc_replay_evolution"]  # + in-stream DDL
