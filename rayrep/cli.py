@@ -209,6 +209,26 @@ def main(argv=None) -> int:
     lc.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
+    iu = sub.add_parser("index-update",
+                        help="refresh a secondary index (value -> key) "
+                             "from the lake's delta stream")
+    iu.add_argument("delta_dir")
+    iu.add_argument("index_dir")
+    iu.add_argument("--column", required=True)
+    iu.add_argument("--partitions", type=int, default=16,
+                    help="index partition count Q (pins on first refresh)")
+    iu.add_argument("--up-to-epoch", type=int, default=None)
+    iu.add_argument("--lake", default=None, dest="lake_dir")
+    iu.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
+    il = sub.add_parser("index-get",
+                        help="probe a secondary index for one or more "
+                             "values (reads only their q partitions)")
+    il.add_argument("index_dir")
+    il.add_argument("--value", action="append", required=True,
+                    dest="values", help="indexed value (repeatable)")
+
     er = sub.add_parser("erase",
                         help="targeted erasure (GDPR): reads hide the "
                              "keys at once; `purge` makes it physical")
@@ -371,6 +391,28 @@ def main(argv=None) -> int:
         print(json.dumps(compact_changelog(
             args.changelog_dir, through_epoch=args.through_epoch,
             lake_dir=args.lake_dir, mode=args.mode, num_tasks=args.tasks)))
+        return 0
+
+    if args.cmd == "index-update":
+        import ray
+
+        from rayrep.secindex import update_index
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        print(json.dumps(update_index(
+            args.delta_dir, args.index_dir, column=args.column,
+            num_index_partitions=args.partitions,
+            up_to_epoch=args.up_to_epoch, lake_dir=args.lake_dir)))
+        return 0
+
+    if args.cmd == "index-get":
+        from rayrep.secindex import index_lookup
+
+        t = index_lookup(args.index_dir, args.values)
+        print(json.dumps({"entries": t.num_rows,
+                          "rows": t.to_pylist()[:1000]}, default=str))
         return 0
 
     if args.cmd == "erase":

@@ -1769,6 +1769,7 @@ def _replay_events_through_engine(
     trim_after_barrier: bool = False, point_lookup_mod: int | None = None,
     via_envelopes: bool = False, clone_resume: bool = False,
     rollback_drill: bool = False, compact_log: str | None = None,
+    sec_index: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1821,7 +1822,7 @@ def _replay_events_through_engine(
     cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=16,
                        initial_schema_json=sv.to_json(),
                        delta_output=delta_rollup or replica
-                       or replica_incremental or view,
+                       or replica_incremental or view or sec_index,
                        changed_cells_updates=changed_cells,
                        per_cell_conflicts=changed_cells,
                        chaos_fraction=chaos,
@@ -2093,6 +2094,35 @@ def _replay_events_through_engine(
         out = read_view(vdir, group_col="event_type").to_pandas()
         return (out.sort_values("event_type").reset_index(drop=True)
                 [["event_type", "n_rows", "sum_fp"]])
+    if sec_index:
+        # secondary index (rayrep/secindex.py): TWO incremental refreshes
+        # (the first capped at epoch 1) so retractions — a key's
+        # event_type changing across the refresh boundary, deletes
+        # removing entries — are inside the oracle-hashed path; then
+        # serve "rows WHERE event_type='click'" entirely via the index
+        # probe (reads exactly the ONE q file hash('click') names) +
+        # pinned-routing point lookups. Never a lake scan.
+        from rayrep.lookup import lookup, lookup_plan
+        from rayrep.secindex import index_lookup, update_index
+
+        idir = os.path.join(d, "index")
+        update_index(os.path.join(lake, "delta"), idir, column="event_type",
+                     num_index_partitions=8, up_to_epoch=1, lake_dir=lake)
+        res_i = update_index(os.path.join(lake, "delta"), idir,
+                             column="event_type", num_index_partitions=8,
+                             lake_dir=lake)
+        assert res_i["epoch"] == 3, res_i
+        ent = index_lookup(idir, ["click"])
+        keys = list(zip(ent.column("conv_id").to_pylist(),
+                        (int(t) for t in ent.column("turn_idx").to_pylist())))
+        assert keys, "index probe returned nothing"
+        plan = lookup_plan(lake, keys)
+        assert 0 < len(plan) <= cfg.num_partitions
+        out = lookup(lake, keys).to_pandas()
+        out["user_id"] = out["conv_id"].astype("int64")
+        return (out[["event_id", "ts", "user_id", "event_type", "value",
+                     "props"]]
+                .sort_values("user_id").reset_index(drop=True))
     if replica_incremental:
         # maintained consumer (sinks.update_replica): TWO refreshes — the
         # first capped at epoch 1, the second applying only the rest past
@@ -2743,6 +2773,20 @@ def cdc_log_trim(sf_dir: str) -> pd.DataFrame:
     to any lake already committed past the floor."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          trim_after_barrier=True)
+
+
+def cdc_secondary_index(sf_dir: str) -> pd.DataFrame:
+    """Secondary index serving a value-equality query, SQL-oracled
+    (rayrep/secindex.py — the Phoenix/Lily-indexer pattern over the
+    reference's change stream): the event_type → (conv_id, turn_idx)
+    index is maintained INCREMENTALLY from the daily-delta stream (two
+    refreshes; retractions from updates/deletes cross the boundary),
+    then "rows WHERE event_type='click'" is served by probing the one
+    hash('click') index partition and point-looking-up the matched keys
+    via the pinned routing — never a lake scan.  Oracle = the
+    deletes-LWW SQL under the same predicate."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         sec_index=True)
 
 
 def cdc_log_compaction(sf_dir: str) -> pd.DataFrame:
@@ -3891,6 +3935,7 @@ def queries() -> dict:
         "cdc_replica_incremental": cdc_replica_incremental,
         "cdc_incremental_view": cdc_incremental_view,
         "cdc_log_trim": cdc_log_trim,
+        "cdc_secondary_index": cdc_secondary_index,
         "cdc_log_compaction": cdc_log_compaction,
         "cdc_log_compaction_resume": cdc_log_compaction_resume,
         "cdc_log_compaction_evolution": cdc_log_compaction_evolution,
@@ -3924,6 +3969,12 @@ def oracle_sql() -> dict:
         "WHERE rn = 1 AND NOT is_del",
         "WHERE rn = 1 AND NOT is_del AND user_id % 53 = 5")
     assert "user_id % 53" in d["cdc_point_lookup"]
+    # secondary index: the same deletes-LWW state under the indexed-value
+    # predicate — index probe + point lookups must equal filter(full scan)
+    d["cdc_secondary_index"] = d["cdc_replay_deletes"].replace(
+        "WHERE rn = 1 AND NOT is_del",
+        "WHERE rn = 1 AND NOT is_del AND event_type = 'click'")
+    assert "event_type = 'click'" in d["cdc_secondary_index"]
     d["cdc_replica_incremental"] = d["cdc_replay_deletes"]  # watermarked refreshes
     # Maintained aggregate view: GROUP BY over the same deletes-LWW final
     # state the replica queries pin, with int64 fixed-point sums (FLOOR
