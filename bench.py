@@ -218,6 +218,10 @@ SUITE_V2 = [
     "cdc_partition_repair",
     # session-10 additions
     "cdc_bulk_load",
+    # session-11 additions
+    "cdc_log_compaction",
+    "cdc_secondary_index",
+    "cdc_dead_letter",
 ]
 
 

@@ -45,6 +45,8 @@ class Augmenter:
         salt_turn_keys: bool = False,
         validate_events: bool = False,
         history_json: str = "",
+        dead_letter_dir: str = "",
+        dlq_epoch: int = -1,
     ):
         self.target = SchemaVersion.from_json(target_schema_json)
         # Version history for stepwise (version-exact) payload evolution:
@@ -66,6 +68,13 @@ class Augmenter:
         # undefined grouping corrupt a partition (reference analog:
         # fail-fast + supervisor restart, CHANGES.txt:66-69)
         self.validate_events = validate_events
+        # dead-letter mode: divert malformed rows instead of refusing the
+        # epoch (rayrep/config.py dead_letter) — the dir is per-epoch so
+        # the driver can clear-and-rewrite uncommitted epochs exactly-once
+        self.dead_letter_dir = dead_letter_dir
+        self.dlq_epoch = dlq_epoch
+        if dead_letter_dir:
+            self.validate_events = True
         self.table_filter_regex = table_filter_regex or None
         # txn_id is pure lineage — nothing downstream computes on it, so by
         # default it is consumed here instead of shipped through the sort
@@ -108,7 +117,12 @@ class Augmenter:
             for col in ("turn_idx", "ts", "seq"):
                 bad = pc.or_(bad, pc.is_null(batch[col]))
             n_bad = pc.sum(bad).as_py() or 0
-            if n_bad:
+            if n_bad and self.dead_letter_dir:
+                self._quarantine(batch.filter(bad))
+                batch = batch.filter(pc.invert(bad))
+                if batch.num_rows == 0:
+                    return self._empty()
+            elif n_bad:
                 seqs = batch.filter(bad).column("seq").to_pylist()[:5]
                 raise ValueError(
                     f"{n_bad} malformed data event(s) in batch: null "
@@ -179,6 +193,25 @@ class Augmenter:
     # throughput-neutral on this hardware — the encode/decode CPU cancels
     # the byte savings. The applier still decodes defensively
     # (apply.decode_transport) so dict-encoded inputs are accepted.
+
+    def _quarantine(self, bad: pa.Table) -> None:
+        """Write the malformed rows — ORIGINAL bytes, pre-evolution, for
+        forensics and manual repair — into the epoch's dead-letter dir.
+        tmp+rename so a killed task leaves no partial file; uuid names
+        because batch boundaries aren't stable identifiers (the driver
+        clears an uncommitted epoch's dlq dir before re-running it, so
+        reruns can't duplicate)."""
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        d = os.path.join(self.dead_letter_dir, f"e{self.dlq_epoch:05d}")
+        os.makedirs(d, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.parquet"
+        tmp = os.path.join(d, f".{name}.tmp")
+        pq.write_table(bad, tmp)
+        os.replace(tmp, os.path.join(d, name))
 
     def _empty(self) -> pa.Table:
         fields = list(self.target.schema)

@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     r.add_argument("--chaos", type=float, default=0.0)
     r.add_argument("--salt-turns", action="store_true",
                    help="route by (conv_id, turn_idx) to spread hot conversations")
+    r.add_argument("--dead-letter", action="store_true",
+                   help="divert malformed events to LAKE/dlq/e{epoch}/ "
+                        "instead of refusing the epoch (poison-message "
+                        "quarantine; implies event validation)")
     r.add_argument("--dedup-ingest", action="store_true",
                    help="drop INSERTs whose content was already ingested "
                         "(first-writer-wins per content; pinned in LakeMeta)")
@@ -483,6 +487,7 @@ def main(argv=None) -> int:
                 dry_run=args.dry_run,
                 delta_output=not args.no_delta,
                 chaos_fraction=args.chaos,
+                dead_letter=args.dead_letter,
                 salt_turn_keys=args.salt_turns,
                 dedup_ingest=args.dedup_ingest,
                 dedup_content_col=args.dedup_content_col,

@@ -31,6 +31,16 @@ class EngineConfig:
     # than let undefined grouping corrupt a partition. Off by default:
     # trusted changelogs skip the extra null-scan.
     validate_events: bool = False
+    # Dead-letter quarantine (the poison-message answer every production
+    # CDC consumer grows; reference model is fail-fast + restart, which
+    # HALTS replication on one bad producer row): with dead_letter=True a
+    # malformed data event (null routing key / ts / seq) is DIVERTED to
+    # ``lake_dir/dlq/e{epoch}/`` — original bytes, pre-evolution, for
+    # forensics/repair — and the epoch replays on. Implies the
+    # validate_events null-scan. Exactly-once: a (re)played epoch's dlq
+    # dir is cleared before augmenting (only uncommitted epochs ever
+    # re-run), so the quarantine matches the committed barrier exactly.
+    dead_letter: bool = False
     # Actor pool sizing for the applier stage (reference: HBase applier task
     # pool, CHANGES.txt:137) and the augmenter (CHANGES.txt:97-98).
     # The applier pool autoscales (1, N) so the groupby shuffle's tasks are

@@ -194,6 +194,8 @@ def _augment(
     salt_turn_keys: bool = False,
     validate_events: bool = False,
     history_json: str = "",
+    dead_letter_dir: str = "",
+    dlq_epoch: int = -1,
 ):
     """Attach the augmenter stage. With ``concurrency=None`` it runs as
     stateless tasks (elastic, no idle CPU reservation — an idle actor pool
@@ -208,6 +210,8 @@ def _augment(
         salt_turn_keys=salt_turn_keys,
         validate_events=validate_events,
         history_json=history_json,
+        dead_letter_dir=dead_letter_dir,
+        dlq_epoch=dlq_epoch,
     )
     if concurrency is None:
         return ds.map_batches(
@@ -263,6 +267,10 @@ def _augment_task_fn(batch: pa.Table, kwargs: dict) -> pa.Table:
     key = tuple(sorted((k, str(v)) for k, v in kwargs.items()))
     aug = _AUG_CACHE.get(key)
     if aug is None:
+        if len(_AUG_CACHE) > 64:
+            # dlq_epoch varies per epoch in dead-letter mode — bound the
+            # cache so an endurance tail can't grow it without limit
+            _AUG_CACHE.clear()
         aug = Augmenter(**kwargs)
         _AUG_CACHE[key] = aug
     return aug(batch)
@@ -487,8 +495,22 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
             registry.history_json() if len(rnd) > 1 or repair else ""
         )
 
+        dlq_dir = ""
+        if cfg.dead_letter and not cfg.dry_run:
+            # exactly-once quarantine: only UNCOMMITTED epochs ever (re)run,
+            # so clearing each pending epoch's dlq dir before augmenting
+            # makes the quarantine a pure function of the committed barrier
+            dlq_dir = os.path.join(cfg.lake_dir, "dlq")
+            for e, _ in rnd:
+                ed = os.path.join(dlq_dir, f"e{e:05d}")
+                if os.path.isdir(ed):
+                    import shutil
+
+                    trash = ed + ".trash"
+                    os.replace(ed, trash)
+                    shutil.rmtree(trash)
         parts = []
-        for _, path in rnd:
+        for e, path in rnd:
             eds = rd.read_parquet(path)
             parts.append(
                 _augment(
@@ -502,6 +524,8 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
                     salt_turn_keys=cfg.salt_turn_keys,
                     validate_events=cfg.validate_events,
                     history_json=history_json,
+                    dead_letter_dir=dlq_dir,
+                    dlq_epoch=e,
                 )
             )
         ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
@@ -662,6 +686,16 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
             "wall_s": round(time.perf_counter() - t0, 4),
             "replication_delay_s": round(delay_s, 3),
         }
+        if dlq_dir:
+            # per-round quarantine count from file metadata (footer-only)
+            import pyarrow.parquet as _pq
+
+            q = 0
+            for e, _ in rnd:
+                for f in glob.glob(os.path.join(dlq_dir, f"e{e:05d}",
+                                                "part-*.parquet")):
+                    q += _pq.read_metadata(f).num_rows
+            entry["quarantined"] = q
         if cfg.dedup_ingest:
             from rayrep.ingest_dedup import deduped_for_epoch
 

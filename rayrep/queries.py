@@ -1769,7 +1769,7 @@ def _replay_events_through_engine(
     trim_after_barrier: bool = False, point_lookup_mod: int | None = None,
     via_envelopes: bool = False, clone_resume: bool = False,
     rollback_drill: bool = False, compact_log: str | None = None,
-    sec_index: bool = False,
+    sec_index: bool = False, dead_letter: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -1791,7 +1791,7 @@ def _replay_events_through_engine(
         mask_cells=changed_cells, ddl_action=ddl_action)
     d = tempfile.mkdtemp(prefix="rayrep_qe_", dir=_scratch_root())
     lake = os.path.join(d, "lake")
-    if tail_mode or trim_after_barrier or compact_log:
+    if tail_mode or trim_after_barrier or compact_log or dead_letter:
         # private changelog dir: tail mode publishes epochs progressively;
         # trim and compact-log MUTATE the log (epoch deletion / span swap)
         # and the fixture is shared across queries, so each gets a
@@ -1916,6 +1916,44 @@ def _replay_events_through_engine(
             # end to end, span receipt included
             rep_k = check_changelog(cl)
             assert rep_k["ok"], rep_k["errors"][:3]
+    n_poison = 0
+    if dead_letter:
+        # poison-message quarantine (rayrep/config.py dead_letter): copy
+        # the fixture, INJECT malformed rows (null routing key / ts /
+        # seq — the kinds a buggy producer actually emits) into every
+        # epoch, replay with the quarantine on.  The oracle is the plain
+        # deletes-LWW SQL: quarantined rows must be invisible to the
+        # converged table, and the dlq must hold exactly the injected
+        # rows (asserted below, after the replay).
+        for name in sorted(os.listdir(cl_src)):
+            if name.startswith("epoch-"):
+                staged = os.path.join(d, "stage-" + name)
+                _link_or_copy_tree(os.path.join(cl_src, name), staged)
+                os.replace(staged, os.path.join(cl, name))
+        for e in range(4):
+            bad = pa.table({
+                "seq": pa.nulls(3, pa.int64()),
+                "txn_id": pa.nulls(3, pa.int64()),
+                "op": pa.array(["U", "U", "U"]),
+                "schema_ver": pa.array([1, 1, 1], pa.int32()),
+                "conv_id": pa.array([None, "999999", None], pa.string()),
+                "turn_idx": pa.array([0, None, None], pa.int32()),
+                "event_id": pa.nulls(3, pa.int64()),
+                "event_type": pa.array(["poison"] * 3),
+                "value": pa.nulls(3, pa.float64()),
+                "props": pa.nulls(3, pa.string()),
+                "ts": pa.array([pd.Timestamp("2024-01-01"), None, None],
+                               pa.timestamp("us")),
+                "ddl": pa.nulls(3, pa.string()),
+            })
+            pq.write_table(bad, os.path.join(cl, f"epoch-{e:05d}",
+                                             "part-poison.parquet"))
+            n_poison += 3
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, dead_letter=True)
+        # resume boundary inside the quarantined path
+        replay(cfg, end_epoch=1)
     dead = None
     if lease_failover:
         # HA failover (rayrep/lease.py): writer A replays under a lease to
@@ -2157,6 +2195,14 @@ def _replay_events_through_engine(
         return (out[["event_id", "ts", "user_id", "event_type", "value",
                      "props"]]
                 .sort_values("user_id").reset_index(drop=True))
+    if dead_letter:
+        # the quarantine holds EXACTLY the injected poison — no more
+        # (valid rows never divert), no less (no silent drops), no
+        # duplicates across the resume boundary
+        from rayrep.sinks import read_dlq
+
+        q = read_dlq(lake)
+        assert q.num_rows == n_poison, (q.num_rows, n_poison)
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
     keep = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -2773,6 +2819,19 @@ def cdc_log_trim(sf_dir: str) -> pd.DataFrame:
     to any lake already committed past the floor."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          trim_after_barrier=True)
+
+
+def cdc_dead_letter(sf_dir: str) -> pd.DataFrame:
+    """Poison-message quarantine, SQL-oracled (EngineConfig.dead_letter):
+    malformed rows (null routing key / ts / seq) are injected into every
+    epoch of the deletes changelog; the replay diverts them to
+    ``lake/dlq/e{epoch}/`` and applies the rest, across a resume
+    boundary.  Oracle = the plain deletes-LWW SQL (poison must be
+    invisible to the converged table); the dlq is asserted to hold
+    exactly the injected rows — the reference's fail-fast model would
+    instead HALT replication on the first bad producer row."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         dead_letter=True)
 
 
 def cdc_secondary_index(sf_dir: str) -> pd.DataFrame:
@@ -3935,6 +3994,7 @@ def queries() -> dict:
         "cdc_replica_incremental": cdc_replica_incremental,
         "cdc_incremental_view": cdc_incremental_view,
         "cdc_log_trim": cdc_log_trim,
+        "cdc_dead_letter": cdc_dead_letter,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_log_compaction": cdc_log_compaction,
         "cdc_log_compaction_resume": cdc_log_compaction_resume,
@@ -3957,6 +4017,7 @@ def oracle_sql() -> dict:
     d["cdc_tail_evolution"] = d["cdc_replay_evolution"]    # DDL inside a tailed epoch
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_log_trim"] = d["cdc_replay_deletes"]            # binlog-expiry trim
+    d["cdc_dead_letter"] = d["cdc_replay_deletes"]         # poison quarantined
     d["cdc_log_compaction"] = d["cdc_replay_deletes"]      # Kafka-style compact
     d["cdc_log_compaction_resume"] = d["cdc_replay_deletes"]  # span mid-history
     d["cdc_log_compaction_evolution"] = d["cdc_replay_evolution"]  # + DDL span

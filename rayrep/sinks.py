@@ -246,3 +246,22 @@ def read_replica(replica_dir: str) -> rd.Dataset:
 
     return rd.read_parquet(files).map_batches(
         drop_tombstones, batch_format="pyarrow")
+
+
+def read_dlq(lake_dir: str, epoch: int | None = None) -> pa.Table:
+    """The dead-letter quarantine (``EngineConfig.dead_letter``): the
+    malformed events the replay diverted instead of applying — original
+    bytes, pre-evolution, grouped per epoch for targeted repair.  Small
+    by construction (a healthy producer quarantines ~nothing), so one
+    driver-side concat; ``epoch`` narrows to one epoch's rows."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    pat = (f"e{epoch:05d}" if epoch is not None else "e*")
+    files = sorted(_glob.glob(
+        os.path.join(lake_dir, "dlq", pat, "part-*.parquet")))
+    if not files:
+        return pa.table({"seq": pa.array([], pa.int64())})
+    return pa.concat_tables([_pq.read_table(f) for f in files],
+                            promote_options="permissive")

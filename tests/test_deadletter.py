@@ -1,0 +1,140 @@
+"""Dead-letter quarantine (EngineConfig.dead_letter): malformed events
+divert to ``lake/dlq/e{epoch}/`` instead of refusing the epoch; the
+replay converges on the valid subset and the quarantine holds exactly
+the poison — across resume and even rollback→re-replay boundaries
+(uncommitted epochs clear-and-rewrite their dlq dirs).
+"""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from rayrep.config import EngineConfig
+from rayrep.gen import GenSpec, generate_changelog, write_changelog
+from rayrep.pipeline import final_table_pandas, replay
+from rayrep.sinks import read_dlq
+
+from .oracle import replay_oracle
+from .test_replay import assert_frames_equal
+
+SPEC = GenSpec(seed=81, n_conversations=50, max_turns=5, n_events=900,
+               n_epochs=4, delete_frac=0.1)
+
+
+def _poison_row_table(n: int = 3) -> pa.Table:
+    """Rows a buggy producer actually emits: null conv_id, null turn_idx,
+    null everything — all with null seq (they never entered the binlog's
+    dense sequence)."""
+    return pa.table({
+        "seq": pa.nulls(n, pa.int64()),
+        "txn_id": pa.nulls(n, pa.int64()),
+        "op": pa.array(["U"] * n),
+        "schema_ver": pa.array([1] * n, pa.int32()),
+        "conv_id": pa.array([None, "cXXX", None][:n], pa.string()),
+        "turn_idx": pa.array([0, None, None][:n], pa.int32()),
+        "role": pa.nulls(n, pa.string()),
+        "text": pa.array(["poison"] * n),
+        "tool": pa.nulls(n, pa.string()),
+        "ts": pa.array([pd.Timestamp("2024-01-01"), None, None][:n],
+                       pa.timestamp("us")),
+        "ddl": pa.nulls(n, pa.string()),
+    })
+
+
+@pytest.fixture()
+def poisoned_cl(tmp_path):
+    cl = str(tmp_path / "cl")
+    write_changelog(cl, SPEC)
+    n = 0
+    for e in range(SPEC.n_epochs):
+        t = _poison_row_table()
+        # pre-DDL epochs physically omit `tool`; match the file convention
+        files = sorted(os.listdir(os.path.join(cl, f"epoch-{e:05d}")))
+        sch = pq.read_schema(os.path.join(cl, f"epoch-{e:05d}", files[0]))
+        if "tool" not in sch.names:
+            t = t.drop_columns(["tool"])
+        pq.write_table(t, os.path.join(cl, f"epoch-{e:05d}",
+                                       "part-poison.parquet"))
+        n += t.num_rows
+    return cl, n
+
+
+def _mklake(cl, tmp_path, name="lake", **kw):
+    lake = str(tmp_path / name)
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=4,
+                       applier_concurrency=2, dead_letter=True, **kw)
+    return cfg, lake
+
+
+def test_quarantine_and_converge(poisoned_cl, tmp_path):
+    """Poison diverts, valid rows converge to the clean-log oracle, the
+    dlq holds exactly the injected rows, per-epoch metrics count them."""
+    cl, n_poison = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path)
+    out = replay(cfg)
+    assert sum(e["quarantined"] for e in out["epochs"]) == n_poison
+    q = read_dlq(lake)
+    assert q.num_rows == n_poison
+    assert set(q.column("text").to_pylist()) == {"poison"}
+    oracle_df, _ = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    # per-epoch narrowing
+    assert read_dlq(lake, epoch=0).num_rows == n_poison // SPEC.n_epochs
+
+
+def test_resume_boundary_no_duplicates(poisoned_cl, tmp_path):
+    cl, n_poison = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path)
+    replay(cfg, end_epoch=1)
+    assert read_dlq(lake).num_rows == n_poison // 2
+    replay(cfg)
+    assert read_dlq(lake).num_rows == n_poison
+    oracle_df, _ = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+
+
+def test_rollback_rereplay_clears_and_rewrites(poisoned_cl, tmp_path):
+    """After rollback to barrier 1, the re-replayed epochs 2-3 CLEAR and
+    rewrite their dlq dirs — the quarantine count is unchanged and the
+    table still converges (exactly-once for the dlq side output)."""
+    from rayrep.rollback import rollback_lake
+
+    cl, n_poison = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path)
+    replay(cfg)
+    assert read_dlq(lake).num_rows == n_poison
+    rollback_lake(lake, to_epoch=1)
+    replay(cfg)
+    assert read_dlq(lake).num_rows == n_poison  # no duplicates, no loss
+    oracle_df, _ = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+
+
+def test_without_dead_letter_refuses(poisoned_cl, tmp_path):
+    cl, _ = poisoned_cl
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=4,
+                       applier_concurrency=2, validate_events=True)
+    with pytest.raises(Exception, match="malformed"):
+        replay(cfg)
+
+
+def test_dry_run_writes_nothing(poisoned_cl, tmp_path):
+    cl, _ = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path, dry_run=True)
+    replay(cfg)
+    assert not os.path.isdir(os.path.join(lake, "dlq"))
+
+
+def test_cli_dead_letter(poisoned_cl, tmp_path):
+    from rayrep.cli import main
+
+    cl, n_poison = poisoned_cl
+    lake = str(tmp_path / "lake")
+    rc = main(["replay", cl, lake, "--partitions", "4", "--appliers", "2",
+               "--dead-letter", "--num-cpus", "4"])
+    assert rc == 0
+    assert read_dlq(lake).num_rows == n_poison
