@@ -75,6 +75,12 @@ def main(argv=None) -> int:
                         "session (renewed on every poll)")
     w.add_argument("--lease-takeover", action="store_true")
     w.add_argument("--lease-ttl", type=float, default=60.0)
+    w.add_argument("--compact-log-every", type=int, default=None,
+                   help="Kafka-style-compact the changelog whenever this "
+                        "many committed plain epochs sit below the barrier")
+    w.add_argument("--compact-lake-every", type=int, default=None,
+                   help="major-compact the lake's state chains every N "
+                        "newly applied epochs")
     w.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
     t = sub.add_parser("snapshot", help="point-in-time export (snapshotter analog)")
@@ -545,7 +551,9 @@ def main(argv=None) -> int:
                 lease_ttl_s=args.lease_ttl,
             )
             res = tail(cfg, poll_interval_s=args.poll,
-                       idle_timeout_s=args.idle_timeout or None)
+                       idle_timeout_s=args.idle_timeout or None,
+                       compact_log_every=args.compact_log_every,
+                       compact_lake_every=args.compact_lake_every)
             print(json.dumps(res))
         elif args.cmd == "snapshot":
             from rayrep.timetravel import snapshot_to_parquet

@@ -164,6 +164,32 @@ def _file_footer_stats(files: list[str]) -> dict:
     return info
 
 
+def _ddl_already_reflected(cur: SchemaVersion, ddl_json: str) -> bool:
+    """True when ``cur``'s PHYSICAL schema already shows this DDL's
+    effect: add of a column that exists (same type), drop of a column
+    that's absent, rename whose destination exists and source doesn't,
+    alter to the type the column already has."""
+    import json as _json
+
+    from rayrep.schema import type_from_name
+
+    d = _json.loads(ddl_json)
+    a, names = d["action"], cur.schema.names
+    if a == "add_column":
+        i = cur.schema.get_field_index(d.get("name", ""))
+        return i >= 0 and cur.schema.field(i).type == type_from_name(
+            d.get("type", "string"))
+    if a == "drop_column":
+        return d.get("name") not in names
+    if a == "rename_column":
+        return d.get("to") in names and d.get("from") not in names
+    if a == "alter_type":
+        i = cur.schema.get_field_index(d.get("name", ""))
+        return i >= 0 and cur.schema.field(i).type == type_from_name(
+            d["type"])
+    return False
+
+
 def _build_history(files: list[str], ddl_tbl: pa.Table | None) -> tuple[
         dict[int, SchemaVersion], SchemaVersion]:
     """Reconstruct the schema-version chain the replay registry would
@@ -207,7 +233,17 @@ def _build_history(files: list[str], ddl_tbl: pa.Table | None) -> tuple[
                 # version numbering but contributes nothing to payload
                 # evolution here
                 continue
-            nxt = apply_ddl(cur, dj)
+            if _ddl_already_reflected(cur, dj):
+                # the inferred base PHYSICALLY reflects this DDL already —
+                # legitimate when a producer slices one final-schema table
+                # into epochs (pre-DDL files carry the evolved columns as
+                # nulls, stamped with the old version). The version number
+                # still advances (numbering = cumulative DDL count); the
+                # payload transform is a no-op.
+                nxt = SchemaVersion(cur.version + 1, cur.schema,
+                                    dict(cur.renames))
+            else:
+                nxt = apply_ddl(cur, dj)
             if sv is not None and int(sv) != nxt.version:
                 raise CompactedLogError(
                     f"DDL event at seq {seq} is stamped schema_ver={sv} "

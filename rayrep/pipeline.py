@@ -746,6 +746,8 @@ def tail(
     poll_interval_s: float = 2.0,
     idle_timeout_s: float | None = 30.0,
     max_epochs: int | None = None,
+    compact_log_every: int | None = None,
+    compact_lake_every: int | None = None,
 ) -> ReplayResult:
     """Continuous CDC tail — the replicator's long-running mode: poll the
     changelog directory for newly published epochs and apply them as they
@@ -766,11 +768,24 @@ def tail(
     and released only on clean exit. A fenced-out tailer (a successor
     took over) raises ``LeaseLostError`` at its next poll instead of
     double-writing — the ZK session-expiry shutdown analog
-    (README.md:17-20)."""
+    (README.md:17-20).
+
+    Self-maintenance (the "tail forever" completion — a long-running
+    replicator whose LOG and STATE both stay bounded without an external
+    cron): ``compact_log_every=K`` runs Kafka-style log compaction
+    (rayrep/logcompact.py) whenever ≥K committed plain epochs sit below
+    the barrier — the span covers [first, barrier-1], the active epoch
+    and anything uncommitted stay untouched, and the lake-barrier check
+    makes it safe under this very tailer.  ``compact_lake_every=K``
+    major-compacts the lake's state chains every K newly applied epochs.
+    Both run inside the lease session, between polls — the single-writer
+    contract covers maintenance exactly like applies."""
     applied = 0
+    applied_since_lake_compact = 0
     last_new = time.monotonic()
     all_epochs: list = []
     last: ReplayResult | None = None
+    maintenance = {"log_compactions": 0, "lake_compactions": 0}
     lease = None
     if cfg.writer_lease and not cfg.dry_run:
         from rayrep import lease as _lease_mod
@@ -797,9 +812,31 @@ def tail(
         n = len(res["epochs"])
         if n:
             applied += n
+            applied_since_lake_compact += n
             last_new = time.monotonic()
             all_epochs.extend(res["epochs"])
             last = res
+        if n and compact_log_every:
+            from rayrep.logcompact import compact_changelog, span_meta
+
+            em_t = EpochManifest.load(cfg.lake_dir)
+            plain_below = [e for e, p in discover_epochs(cfg.changelog_dir)
+                           if span_meta(p) is None and e < em_t.last_epoch]
+            if len(plain_below) >= compact_log_every:
+                compact_changelog(
+                    cfg.changelog_dir,
+                    through_epoch=em_t.last_epoch - 1,
+                    lake_dir=cfg.lake_dir,
+                    mode="cells" if cfg.changed_cells_updates else "row",
+                )
+                maintenance["log_compactions"] += 1
+        if n and compact_lake_every \
+                and applied_since_lake_compact >= compact_lake_every:
+            from rayrep.compact import compact_lake
+
+            compact_lake(cfg.lake_dir)
+            maintenance["lake_compactions"] += 1
+            applied_since_lake_compact = 0
         if max_epochs is not None and applied >= max_epochs:
             break
         if idle_timeout_s is not None and time.monotonic() - last_new > idle_timeout_s:
@@ -809,6 +846,7 @@ def tail(
         last = replay(cfg, _lease=lease)
         all_epochs.extend(last["epochs"])
     last["epochs"] = all_epochs
+    last["maintenance"] = maintenance
     if lease is not None:
         lease.release()
     return last

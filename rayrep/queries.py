@@ -1770,6 +1770,7 @@ def _replay_events_through_engine(
     via_envelopes: bool = False, clone_resume: bool = False,
     rollback_drill: bool = False, compact_log: str | None = None,
     sec_index: bool = False, dead_letter: bool = False,
+    tail_compact: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -2030,7 +2031,16 @@ def _replay_events_through_engine(
                                    staged)
                 os.replace(staged, os.path.join(cl, f"epoch-{e:05d}"))
             res = _tail(cfg, poll_interval_s=0.05, idle_timeout_s=30.0,
-                        max_epochs=2)
+                        max_epochs=2,
+                        compact_log_every=2 if tail_compact else None)
+        if tail_compact:
+            # the tailer compacted its own log mid-session: a real span on
+            # disk, and the log still serves the continuing lake (the
+            # convergence below IS the oracle-hashed proof)
+            import glob as _glob
+
+            assert res["maintenance"]["log_compactions"] >= 1, res
+            assert _glob.glob(os.path.join(cl, "epoch-*-c*"))
     else:
         res = replay(cfg, end_epoch=end_epoch)
     if clone_resume:
@@ -2235,6 +2245,17 @@ def cdc_tail_mode(sf_dir: str) -> pd.DataFrame:
     the hash."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          tail_mode=True)
+
+
+def cdc_tail_compacting(sf_dir: str) -> pd.DataFrame:
+    """Self-maintaining tail, SQL-oracled: the progressive-publication
+    tail of ``cdc_tail_mode`` with ``compact_log_every=2`` — mid-session
+    the tailer Kafka-compacts the epochs below its own barrier (asserted:
+    a real span lands on disk) and keeps applying the live stream.  The
+    converged table must still equal the deletes LWW oracle: maintenance
+    under the held lease is invisible to the replicated state."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         tail_mode=True, tail_compact=True)
 
 
 def cdc_tail_evolution(sf_dir: str) -> pd.DataFrame:
@@ -3994,6 +4015,7 @@ def queries() -> dict:
         "cdc_replica_incremental": cdc_replica_incremental,
         "cdc_incremental_view": cdc_incremental_view,
         "cdc_log_trim": cdc_log_trim,
+        "cdc_tail_compacting": cdc_tail_compacting,
         "cdc_dead_letter": cdc_dead_letter,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_log_compaction": cdc_log_compaction,
@@ -4014,6 +4036,7 @@ def oracle_sql() -> dict:
     d["cdc_replay_resume"] = d["cdc_replay_events"]        # kill/resume split
     d["cdc_lease_failover"] = d["cdc_replay_deletes"]      # leased HA failover
     d["cdc_tail_mode"] = d["cdc_replay_deletes"]           # progressive publish
+    d["cdc_tail_compacting"] = d["cdc_replay_deletes"]     # tail + self-compact
     d["cdc_tail_evolution"] = d["cdc_replay_evolution"]    # DDL inside a tailed epoch
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_log_trim"] = d["cdc_replay_deletes"]            # binlog-expiry trim

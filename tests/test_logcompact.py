@@ -239,3 +239,51 @@ def test_cli_compact_log(cl, tmp_path):
     replay(cfg)
     oracle_df, _ = replay_oracle(generate_changelog(SPEC))
     assert_frames_equal(final_table_pandas(lake), oracle_df)
+
+
+def test_self_maintaining_tail(tmp_path):
+    """tail(compact_log_every=2, compact_lake_every=2): a producer thread
+    publishes epochs while the tailer applies them AND compacts the log
+    behind its own barrier and the lake's chains — the long-running
+    replicator whose log and state both stay bounded.  Convergence to the
+    sequential oracle + a real span on disk + a compacted chain."""
+    import threading
+    import time as _t
+
+    from rayrep.gen import generate_changelog, publish_epoch
+    from rayrep.pipeline import final_table_pandas as _ftp
+    from rayrep.pipeline import tail
+
+    spec = GenSpec(seed=73, n_conversations=50, max_turns=5, n_events=1200,
+                   n_epochs=1, delete_frac=0.1)
+    full = generate_changelog(spec)
+    n = full.num_rows
+    bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+    d, lake = str(tmp_path / "cl"), str(tmp_path / "lake")
+    os.makedirs(d)
+    publish_epoch(d, 0, full.slice(0, bounds[1]))
+
+    def producer():
+        for e in (1, 2, 3):
+            _t.sleep(1.2)
+            publish_epoch(d, e,
+                          full.slice(bounds[e], bounds[e + 1] - bounds[e]))
+
+    th = threading.Thread(target=producer)
+    th.start()
+    cfg = EngineConfig(changelog_dir=d, lake_dir=lake, num_partitions=4,
+                       applier_concurrency=2)
+    res = tail(cfg, poll_interval_s=0.4, idle_timeout_s=5.0,
+               compact_log_every=2, compact_lake_every=2)
+    th.join()
+    assert res["maintenance"]["log_compactions"] >= 1, res["maintenance"]
+    assert res["maintenance"]["lake_compactions"] >= 1, res["maintenance"]
+    assert glob.glob(os.path.join(d, "epoch-*-c*")), "no span on disk"
+    from .oracle import replay_oracle as _ro
+    oracle_df, _ = _ro(full)
+    assert_frames_equal(_ftp(lake), oracle_df)
+    # the compacted log still serves a FRESH consumer
+    lake2 = str(tmp_path / "lake2")
+    replay(EngineConfig(changelog_dir=d, lake_dir=lake2, num_partitions=4,
+                        applier_concurrency=2))
+    assert_frames_equal(_ftp(lake2), oracle_df)
