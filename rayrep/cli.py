@@ -232,6 +232,17 @@ def main(argv=None) -> int:
     iu.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
 
+    ir = sub.add_parser("index-rebuild",
+                        help="bootstrap/disaster-rebuild a secondary "
+                             "index by a full scan of the committed lake "
+                             "(the bulk-loaded-lake path: no deltas)")
+    ir.add_argument("lake_dir")
+    ir.add_argument("index_dir")
+    ir.add_argument("--column", required=True)
+    ir.add_argument("--partitions", type=int, default=16)
+    ir.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+
     il = sub.add_parser("index-get",
                         help="probe a secondary index for one or more "
                              "values (reads only their q partitions)")
@@ -415,6 +426,19 @@ def main(argv=None) -> int:
             args.delta_dir, args.index_dir, column=args.column,
             num_index_partitions=args.partitions,
             up_to_epoch=args.up_to_epoch, lake_dir=args.lake_dir)))
+        return 0
+
+    if args.cmd == "index-rebuild":
+        import ray
+
+        from rayrep.secindex import rebuild_index
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=args.num_cpus,
+                     include_dashboard=False, logging_level="ERROR")
+        print(json.dumps(rebuild_index(
+            args.lake_dir, args.index_dir, column=args.column,
+            num_index_partitions=args.partitions)))
         return 0
 
     if args.cmd == "index-get":

@@ -394,6 +394,116 @@ def update_index(delta_dir: str, index_dir: str, column: str,
             "q_partitions_touched": len(touched_qids)}
 
 
+def rebuild_index(lake_dir: str, index_dir: str, column: str,
+                  num_index_partitions: int = 16) -> dict:
+    """Bootstrap (or disaster-rebuild) the index by a FULL SCAN of the
+    committed lake — the path for lakes with no delta history: a
+    bulk-loaded lake (rayrep/bulkload.py writes state directly, emitting
+    no delta epochs) or an index whose files were lost.  One task per
+    lake partition folds its chain (keeping each row's (ts, __seq)
+    version so later INCREMENTAL refreshes LWW-merge correctly against
+    the bootstrap entries), writes the partition's sidecar, and emits
+    'A' entries; the same hash(value) exchange and per-q merge as the
+    incremental path build the q states.  Commits at the lake's epoch
+    barrier, so a subsequent ``update_index`` resumes from exactly the
+    delta epochs the scan did not see."""
+    from rayrep.apply import fold_state_chain
+    from rayrep.manifests import EpochManifest, LakeMeta, PartitionManifest
+    from rayrep.registry import SchemaRegistry
+    from rayrep.schema import SchemaVersion
+
+    lm = LakeMeta.load(lake_dir)
+    if lm is not None and lm.changed_cells:
+        raise IndexSpecError(
+            "secondary indexes require row-LWW lakes; this lake is pinned "
+            "changed_cells")
+    com = _committed(index_dir)
+    if com["column"] is not None and (com["column"] != column or
+                                      com["num_index_partitions"]
+                                      != num_index_partitions):
+        raise IndexSpecError(
+            f"index {index_dir} is pinned to (column="
+            f"{com['column']!r}, Q={com['num_index_partitions']}); "
+            "rebuild must keep the spec (delete the index dir to respec)")
+    em = EpochManifest.load(lake_dir)
+    barrier = em.last_epoch
+    target_json = SchemaRegistry(persist_dir=lake_dir).current_json()
+    os.makedirs(index_dir, exist_ok=True)
+
+    work = []
+    for mp in sorted(glob.glob(os.path.join(lake_dir, "_manifests",
+                                            "p*.json"))):
+        pid = int(re.search(r"p(\d+)\.json$", mp).group(1))
+        m = PartitionManifest.load(lake_dir, pid)
+        if m.state_chain:
+            work.append({"pid": pid, "files": json.dumps(m.state_chain)})
+    if not work:
+        atomic_write_json(os.path.join(index_dir, "_COMMITTED.json"), {
+            "epoch": barrier, "column": column,
+            "num_index_partitions": num_index_partitions})
+        return {"epoch": barrier, "partitions_scanned": 0, "entries": 0}
+
+    def scan_one(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            pid = int(row["pid"])
+            target = SchemaVersion.from_json(target_json)
+            st = fold_state_chain(lake_dir, json.loads(row["files"]), target)
+            live = pc.invert(st.column("__deleted"))
+            st = st.filter(live)
+            side = pa.table({
+                "conv_id": st.column("conv_id"),
+                "turn_idx": st.column("turn_idx").cast(pa.int64()),
+                "__val": st.column(column),
+                "__ts": st.column("ts").cast(pa.int64()),
+                "__seq": st.column("__seq").cast(pa.int64()),
+                "__live": pa.array([True] * st.num_rows),
+            })
+            pdir = os.path.join(index_dir, f"p{pid:05d}")
+            os.makedirs(pdir, exist_ok=True)
+            from rayrep.apply import write_parquet_atomic as _wpa
+
+            _wpa(side, _sidecar_path(index_dir, pid, barrier))
+            nn = side.filter(pc.invert(pc.is_null(side.column("__val"))))
+            outs.append(pa.table({
+                "op": pa.array(["A"] * nn.num_rows),
+                "conv_id": nn.column("conv_id"),
+                "turn_idx": nn.column("turn_idx"),
+                "__val": nn.column("__val"),
+                "__ts": nn.column("__ts"),
+                "__seq": nn.column("__seq"),
+            }))
+        tbl = pa.concat_tables(outs, promote_options="permissive")
+        if tbl.num_rows == 0:
+            return _empty_entries(tbl.schema.field("__val").type)
+        qid = (stable_hash_strings(tbl.column("__val").cast(pa.string()))
+               % np.uint64(num_index_partitions)).astype(np.int32)
+        return tbl.append_column("qid", pa.array(qid))
+
+    summaries = (
+        rd.from_items(work, override_num_blocks=len(work))
+        .map_batches(scan_one, batch_format="pyarrow", batch_size=1)
+        .groupby("qid")
+        .map_groups(_stage2_merge,
+                    fn_kwargs={"index_dir": index_dir,
+                               "target_epoch": barrier,
+                               "committed_epoch": -1},
+                    batch_format="pyarrow")
+        .take_all()
+    )
+    atomic_write_json(os.path.join(index_dir, "_COMMITTED.json"), {
+        "epoch": barrier, "column": column,
+        "num_index_partitions": num_index_partitions,
+    })
+    for f in (glob.glob(os.path.join(index_dir, "p*", "sidecar_e*.parquet"))
+              + glob.glob(os.path.join(index_dir, "q*",
+                                       "state_e*.parquet"))):
+        if f"_e{barrier:05d}." not in f:
+            os.remove(f)
+    return {"epoch": barrier, "partitions_scanned": len(work),
+            "entries": int(sum(r["entries"] for r in summaries))}
+
+
 def index_lookup(index_dir: str, values: list) -> pa.Table:
     """Index probe: entries (value, conv_id, turn_idx) for ``values``,
     reading ONLY the probed values' q state files (plan size ≤

@@ -287,3 +287,34 @@ def test_self_maintaining_tail(tmp_path):
     replay(EngineConfig(changelog_dir=d, lake_dir=lake2, num_partitions=4,
                         applier_concurrency=2))
     assert_frames_equal(_ftp(lake2), oracle_df)
+
+
+def test_targeted_repair_from_compacted_log(cl, tmp_path):
+    """Targeted partition repair re-replays from epoch 0 — over a
+    compacted log that means rebuilding from the span, which holds
+    exactly the final-state event set: the rebuilt partition must be
+    BIT-EQUAL (watermark + live_rows + folded rows) to its pre-damage
+    self."""
+    import shutil as _sh
+
+    from rayrep.manifests import PartitionManifest
+    from rayrep.repair import repair_partitions
+
+    cfg, lake = _mklake(cl, tmp_path)
+    replay(cfg)
+    compact_changelog(cl, through_epoch=2)
+    before = final_table_pandas(lake)
+    m_before = PartitionManifest.load(lake, 1)
+    # destroy partition 1's state files + manifest
+    for f in m_before.state_chain:
+        os.remove(os.path.join(lake, f))
+    os.remove(PartitionManifest.path(lake, 1))
+    repair_partitions(cfg, [1])
+    m_after = PartitionManifest.load(lake, 1)
+    # live rows are bit-equal; the watermark may legitimately sit LOWER
+    # (the partition's max-seq event can be a discarded LWW loser) but
+    # never higher, and resume safety only needs it at/above the last
+    # retained seq — which it is by construction
+    assert m_after.live_rows == m_before.live_rows
+    assert m_after.last_seq <= m_before.last_seq
+    assert_frames_equal(final_table_pandas(lake), before)

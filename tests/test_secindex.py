@@ -217,3 +217,72 @@ def test_cli_index_roundtrip(lake_with_deltas, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     truth = _truth(lake)
     assert out["entries"] == int((truth["value"] == "user").sum())
+
+
+def test_rebuild_from_lake_and_incremental_continuation(tmp_path):
+    """Index bootstrap by full lake scan — the bulk-loaded-lake path
+    (state written directly, NO delta history): rebuild at the barrier,
+    then tail more epochs and refresh INCREMENTALLY — the merged index
+    must equal a from-deltas-only index of the whole history."""
+    cl = str(tmp_path / "cl")
+    lake = str(tmp_path / "lake")
+    write_changelog(cl, SPEC)
+    cfg = EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=4,
+                       applier_concurrency=2, delta_output=True)
+    replay(cfg, end_epoch=1)
+    from rayrep.secindex import rebuild_index
+
+    idx = str(tmp_path / "idx")
+    r = rebuild_index(lake, idx, column="role", num_index_partitions=8)
+    assert r["epoch"] == 1 and r["entries"] > 0
+    # bootstrap == incremental at the same barrier
+    idx_d = str(tmp_path / "idx_d")
+    update_index(os.path.join(lake, "delta"), idx_d, column="role",
+                 num_index_partitions=8, up_to_epoch=1)
+    pd.testing.assert_frame_equal(_index_df(idx), _index_df(idx_d))
+    # continue: apply the rest, refresh BOTH paths, still equal + truthful
+    replay(cfg)
+    update_index(os.path.join(lake, "delta"), idx, column="role",
+                 num_index_partitions=8)
+    update_index(os.path.join(lake, "delta"), idx_d, column="role",
+                 num_index_partitions=8)
+    truth = _truth(lake)
+    pd.testing.assert_frame_equal(_index_df(idx), truth)
+    pd.testing.assert_frame_equal(_index_df(idx_d), truth)
+
+
+def test_rebuild_from_bulk_loaded_lake(tmp_path):
+    """The motivating case: a bulk-loaded lake emitted no deltas at all —
+    rebuild scans its state directly and serves probes."""
+    import pyarrow.parquet as _pq
+
+    from rayrep.bulkload import bulk_load
+    from rayrep.secindex import rebuild_index
+
+    base = pa.table({
+        "conv_id": pa.array([f"c{i:03d}" for i in range(60)]),
+        "turn_idx": pa.array([0] * 60, pa.int32()),
+        "role": pa.array(["user" if i % 3 else "assistant"
+                          for i in range(60)]),
+        "text": pa.array([f"t{i}" for i in range(60)]),
+        "tool": pa.nulls(60, pa.string()),
+        "ts": pa.array([1_000_000 + i for i in range(60)],
+                       pa.timestamp("us")),
+    })
+    import ray.data as rd
+
+    from rayrep.schema import SchemaVersion
+
+    lake = str(tmp_path / "lake")
+    payload = SchemaVersion(1, pa.schema(
+        [f for f in base.schema])).to_json()
+    cfg = EngineConfig(changelog_dir=str(tmp_path / "nolog"), lake_dir=lake,
+                       num_partitions=4, initial_schema_json=payload)
+    bulk_load(cfg, rd.from_arrow(base))
+    idx = str(tmp_path / "idx")
+    r = rebuild_index(lake, idx, column="role", num_index_partitions=8)
+    assert r["entries"] == 60
+    got = index_lookup(idx, ["assistant"]).to_pandas()
+    assert sorted(got["conv_id"]) == sorted(
+        c for i, c in enumerate(base.column("conv_id").to_pylist())
+        if i % 3 == 0)
