@@ -100,7 +100,15 @@ def _stats_batch(batch: pa.Table) -> pa.Table:
         epoch_of[i] = int(m.group(1)) if m else -1
     ep = epoch_of[codes]
 
+    seq_nulls = np.asarray(pa.compute.is_null(batch.column("seq")))
     seq = batch.column("seq").to_numpy(zero_copy_only=False)
+    if seq_nulls.any():
+        # a null seq is itself a contract violation (reported per epoch
+        # below) — exclude it from the min/max/hash arithmetic instead of
+        # crashing the audit on NaN
+        seq = np.where(seq_nulls, np.int64(0), seq).astype(np.int64)
+    else:
+        seq = seq.astype(np.int64, copy=False)
     op = batch.column("op").to_numpy(zero_copy_only=False).astype("U4")
     is_ddl = op == "DDL"
     bad_op = _OPS[np.clip(np.searchsorted(_OPS, op), 0, len(_OPS) - 1)] != op
@@ -113,7 +121,8 @@ def _stats_batch(batch: pa.Table) -> pa.Table:
     starts = np.flatnonzero(np.r_[True, ep_s[1:] != ep_s[:-1]])
     ends = np.r_[starts[1:], len(ep_s)]
     rows = {"epoch": [], "n": [], "min_seq": [], "max_seq": [],
-            "hashsum": [], "bad_op": [], "null_key": [], "n_ddl": []}
+            "hashsum": [], "bad_op": [], "null_key": [], "n_ddl": [],
+            "null_seq": []}
     for s, e in zip(starts, ends):
         sl = slice(s, e)
         seg_mask = order[sl]
@@ -125,6 +134,7 @@ def _stats_batch(batch: pa.Table) -> pa.Table:
         rows["bad_op"].append(int(bad_op[seg_mask].sum()))
         rows["null_key"].append(int(null_key[seg_mask].sum()))
         rows["n_ddl"].append(int(is_ddl[seg_mask].sum()))
+        rows["null_seq"].append(int(seq_nulls[seg_mask].sum()))
     return pa.table({k: pa.array(v, pa.int64()) for k, v in rows.items()})
 
 
@@ -183,6 +193,7 @@ def check_changelog(changelog_dir: str, expect_start_epoch: int | None = None,
     agg = partials.groupby("epoch").agg(
         n=("n", "sum"), min_seq=("min_seq", "min"), max_seq=("max_seq", "max"),
         bad_op=("bad_op", "sum"), null_key=("null_key", "sum"),
+        null_seq=("null_seq", "sum"),
         n_ddl=("n_ddl", "sum"),
         hashsum=("hashsum", lambda s: int(np.int64(
             np.sum(s.to_numpy().astype(np.uint64), dtype=np.uint64)))),
@@ -248,6 +259,11 @@ def check_changelog(changelog_dir: str, expect_start_epoch: int | None = None,
             chain_hi = hi
         if r.bad_op:
             errors.append(f"epoch {e}: {int(r.bad_op)} rows with op outside I/U/D/DDL")
+        if r.null_seq:
+            errors.append(
+                f"epoch {e}: {int(r.null_seq)} rows with NULL seq (never "
+                "entered the dense sequence; quarantine via "
+                "dead_letter=True or fix the producer)")
         if r.null_key:
             errors.append(
                 f"epoch {e}: {int(r.null_key)} non-DDL rows with null "

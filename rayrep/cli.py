@@ -250,6 +250,13 @@ def main(argv=None) -> int:
     il.add_argument("--value", action="append", required=True,
                     dest="values", help="indexed value (repeatable)")
 
+    dq = sub.add_parser("dlq-requeue",
+                        help="republish repaired dead-letter rows as a "
+                             "proper epoch appended to the changelog "
+                             "(rows must be fixed on disk first)")
+    dq.add_argument("lake_dir")
+    dq.add_argument("changelog_dir")
+
     er = sub.add_parser("erase",
                         help="targeted erasure (GDPR): reads hide the "
                              "keys at once; `purge` makes it physical")
@@ -447,6 +454,12 @@ def main(argv=None) -> int:
         t = index_lookup(args.index_dir, args.values)
         print(json.dumps({"entries": t.num_rows,
                           "rows": t.to_pylist()[:1000]}, default=str))
+        return 0
+
+    if args.cmd == "dlq-requeue":
+        from rayrep.sinks import requeue_dlq
+
+        print(json.dumps(requeue_dlq(args.lake_dir, args.changelog_dir)))
         return 0
 
     if args.cmd == "erase":

@@ -1770,7 +1770,7 @@ def _replay_events_through_engine(
     via_envelopes: bool = False, clone_resume: bool = False,
     rollback_drill: bool = False, compact_log: str | None = None,
     sec_index: bool = False, dead_letter: bool = False,
-    tail_compact: bool = False,
+    tail_compact: bool = False, dlq_requeue: bool = False,
 ) -> pd.DataFrame:
     """A changelog derived deterministically from the driver's events
     table (`event_id % 7 == 0` = D when ``with_deletes``, payload nulled
@@ -2213,6 +2213,33 @@ def _replay_events_through_engine(
 
         q = read_dlq(lake)
         assert q.num_rows == n_poison, (q.num_rows, n_poison)
+        if dlq_requeue:
+            # close the loop: repair the quarantined rows (existing key,
+            # ANCIENT ts — guaranteed LWW losers, so the full-history
+            # oracle is unchanged) and republish them as a proper epoch;
+            # the resumed replay must apply the epoch and reject every
+            # row as a conflict, and the active dlq must drain.
+            from rayrep.sinks import requeue_dlq
+
+            uid0 = str(int(pq.read_table(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["user_id"]).column("user_id")[0].as_py()))
+
+            def fix(t: pa.Table) -> pa.Table:
+                n = t.num_rows
+                t = t.set_column(t.column_names.index("conv_id"),
+                                 "conv_id", pa.array([uid0] * n))
+                t = t.set_column(t.column_names.index("turn_idx"),
+                                 "turn_idx", pa.array([0] * n, pa.int32()))
+                return t.set_column(
+                    t.column_names.index("ts"), "ts",
+                    pa.array([1] * n, pa.timestamp("us")))
+
+            res_q = requeue_dlq(lake, cl, fix_fn=fix)
+            assert res_q["requeued"] == n_poison, res_q
+            out_r = replay(cfg)
+            assert sum(e["conflict"] for e in out_r["epochs"]) == n_poison
+            assert read_dlq(lake).num_rows == 0
     out = final_table(lake).to_pandas()
     out["user_id"] = out["conv_id"].astype("int64")
     keep = ["event_id", "ts", "user_id", "event_type", "value", "props"]
@@ -2853,6 +2880,21 @@ def cdc_dead_letter(sf_dir: str) -> pd.DataFrame:
     instead HALT replication on the first bad producer row."""
     return _replay_events_through_engine(sf_dir, with_deletes=True,
                                          dead_letter=True)
+
+
+def cdc_dlq_requeue(sf_dir: str) -> pd.DataFrame:
+    """The full poison-message LOOP, SQL-oracled: inject malformed rows
+    → quarantine them during replay (``cdc_dead_letter``'s path) →
+    REPAIR them (``sinks.requeue_dlq`` with an operator fix_fn: existing
+    key, ancient ts) → republish as a proper epoch with fresh dense seqs
+    chaining from the log's high-water mark → resume applies the epoch
+    through the standard path (every repaired row loses LWW as asserted
+    conflicts) and the active dlq drains.  Oracle = the plain
+    deletes-LWW SQL: the whole round trip must be invisible to the
+    converged table."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         dead_letter=True,
+                                         dlq_requeue=True)
 
 
 def cdc_secondary_index(sf_dir: str) -> pd.DataFrame:
@@ -4017,6 +4059,7 @@ def queries() -> dict:
         "cdc_log_trim": cdc_log_trim,
         "cdc_tail_compacting": cdc_tail_compacting,
         "cdc_dead_letter": cdc_dead_letter,
+        "cdc_dlq_requeue": cdc_dlq_requeue,
         "cdc_secondary_index": cdc_secondary_index,
         "cdc_log_compaction": cdc_log_compaction,
         "cdc_log_compaction_resume": cdc_log_compaction_resume,
@@ -4041,6 +4084,7 @@ def oracle_sql() -> dict:
     d["cdc_repartition"] = d["cdc_replay_deletes"]         # mid-stream rescale
     d["cdc_log_trim"] = d["cdc_replay_deletes"]            # binlog-expiry trim
     d["cdc_dead_letter"] = d["cdc_replay_deletes"]         # poison quarantined
+    d["cdc_dlq_requeue"] = d["cdc_replay_deletes"]         # quarantine round-trip
     d["cdc_log_compaction"] = d["cdc_replay_deletes"]      # Kafka-style compact
     d["cdc_log_compaction_resume"] = d["cdc_replay_deletes"]  # span mid-history
     d["cdc_log_compaction_evolution"] = d["cdc_replay_evolution"]  # + DDL span

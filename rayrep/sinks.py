@@ -265,3 +265,93 @@ def read_dlq(lake_dir: str, epoch: int | None = None) -> pa.Table:
         return pa.table({"seq": pa.array([], pa.int64())})
     return pa.concat_tables([_pq.read_table(f) for f in files],
                             promote_options="permissive")
+
+
+class DlqRequeueError(ValueError):
+    """Requeued rows are still malformed after ``fix_fn`` — refusing to
+    publish an epoch the replay would immediately re-quarantine (or,
+    without dead-letter mode, refuse)."""
+
+
+def requeue_dlq(lake_dir: str, changelog_dir: str, fix_fn=None) -> dict:
+    """Close the poison-message loop: repair the quarantined rows
+    (``fix_fn: pa.Table -> pa.Table`` — operator-supplied; identity when
+    the rows were fixed on disk) and republish them as a PROPER epoch
+    appended to the changelog, with fresh dense seqs chaining from the
+    log's high-water mark — so check-log still passes and the ordinary
+    replay/tail applies them exactly-once through the standard path.
+
+    Crash ordering is state-idempotent: the epoch publishes atomically
+    FIRST (stage + rename), then the consumed dlq part files move to
+    ``dlq/_requeued/e{epoch}/``.  A crash between the two leaves the rows
+    both in the log and in the active dlq; re-running requeue publishes
+    them again under NEW seqs — the duplicate rows carry identical
+    (ts, payload), so LWW converges to the same state (counters differ,
+    the table cannot).
+    """
+    import glob as _glob
+    import shutil as _shutil
+
+    import numpy as np
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from rayrep.logcompact import _file_footer_stats, span_meta
+    from rayrep.pipeline import discover_epochs
+
+    files = sorted(_glob.glob(
+        os.path.join(lake_dir, "dlq", "e*", "part-*.parquet")))
+    if not files:
+        return {"requeued": 0, "epoch": None}
+    t = pa.concat_tables([_pq.read_table(f) for f in files],
+                         promote_options="permissive")
+    if fix_fn is not None:
+        t = fix_fn(t)
+    bad = _pc.is_null(t.column("conv_id"))
+    for col in ("turn_idx", "ts"):
+        bad = _pc.or_(bad, _pc.is_null(t.column(col)))
+    n_bad = _pc.sum(bad).as_py() or 0
+    if n_bad:
+        raise DlqRequeueError(
+            f"{n_bad} of {t.num_rows} quarantined row(s) still carry a "
+            "null conv_id/turn_idx/ts after fix_fn — repair them or drop "
+            "them from the dlq before requeueing")
+
+    eps = discover_epochs(changelog_dir)
+    if not eps:
+        raise FileNotFoundError(f"no epochs in {changelog_dir}")
+    last_e, last_p = eps[-1]
+    sm = span_meta(last_p)
+    if sm is not None and sm.get("seq_hwm") is not None:
+        hwm = int(sm["seq_hwm"])
+    else:
+        st = _file_footer_stats(
+            [last_p] if last_p.endswith(".parquet") else sorted(
+                _glob.glob(os.path.join(last_p, "*.parquet"))))
+        if st["seq_hi"] is None:
+            raise DlqRequeueError(
+                f"cannot determine the log's seq high-water mark from "
+                f"{last_p} (no seq statistics)")
+        hwm = int(st["seq_hi"])
+    n = t.num_rows
+    seqs = pa.array(np.arange(hwm + 1, hwm + 1 + n, dtype=np.int64))
+    t = t.set_column(t.column_names.index("seq"), "seq", seqs)
+
+    new_epoch = last_e + 1
+    stage = os.path.join(changelog_dir, f"._requeue-{new_epoch:05d}.tmp")
+    if os.path.isdir(stage):
+        _shutil.rmtree(stage)
+    os.makedirs(stage)
+    _pq.write_table(t, os.path.join(stage, "part-00000.parquet"))
+    os.replace(stage, os.path.join(changelog_dir, f"epoch-{new_epoch:05d}"))
+
+    done = os.path.join(lake_dir, "dlq", "_requeued", f"e{new_epoch:05d}")
+    os.makedirs(done, exist_ok=True)
+    for i, f in enumerate(files):
+        os.replace(f, os.path.join(done, f"{i:04d}-" + os.path.basename(f)))
+    # drop now-empty active epoch dirs (cosmetic)
+    for d in _glob.glob(os.path.join(lake_dir, "dlq", "e*")):
+        if os.path.isdir(d) and not os.listdir(d):
+            os.rmdir(d)
+    return {"requeued": n, "epoch": new_epoch,
+            "seq_range": [int(hwm + 1), int(hwm + n)]}

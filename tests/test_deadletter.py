@@ -138,3 +138,86 @@ def test_cli_dead_letter(poisoned_cl, tmp_path):
                "--dead-letter", "--num-cpus", "4"])
     assert rc == 0
     assert read_dlq(lake).num_rows == n_poison
+
+
+def _fix_make_winner(start_key=9000):
+    """fix_fn: give each quarantined row a FRESH key and a modern ts —
+    the requeued rows become LWW winners (new rows in the table)."""
+    def fix(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        t = t.set_column(t.column_names.index("conv_id"), "conv_id",
+                         pa.array([f"z{start_key + i}" for i in range(n)]))
+        t = t.set_column(t.column_names.index("turn_idx"), "turn_idx",
+                         pa.array([0] * n, pa.int32()))
+        return t.set_column(
+            t.column_names.index("ts"), "ts",
+            pa.array([pd.Timestamp("2024-06-01")] * n, pa.timestamp("us")))
+    return fix
+
+
+def test_requeue_roundtrip(poisoned_cl, tmp_path):
+    """Quarantine → repair → republish as a proper epoch → resume: the
+    repaired rows land in the table, the active dlq drains, and
+    check-log passes on the EXTENDED log (the new epoch chains from the
+    seq high-water mark)."""
+    from rayrep.checklog import check_changelog
+    from rayrep.sinks import requeue_dlq
+
+    cl, n_poison = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path)
+    replay(cfg)
+    res = requeue_dlq(lake, cl, fix_fn=_fix_make_winner())
+    assert res["requeued"] == n_poison
+    assert res["epoch"] == SPEC.n_epochs  # appended after the last epoch
+    out = replay(cfg)  # resume picks up the requeued epoch
+    assert sum(e["applied"] for e in out["epochs"]) == n_poison
+    assert read_dlq(lake).num_rows == 0
+    ft = final_table_pandas(lake)
+    assert (ft["conv_id"].str.startswith("z")).sum() == n_poison
+    # the poison STAYS in the log (quarantine diverts, it never rewrites
+    # history) so check-log flags epochs 0-3 with named null-seq errors —
+    # while the REQUEUED epoch itself is dense and chains from the hwm
+    rep = check_changelog(cl)
+    assert not rep["ok"]
+    assert any("NULL seq" in e for e in rep["errors"])
+    req = [r for r in rep["epochs"] if r["epoch"] == SPEC.n_epochs]
+    assert req and req[0]["dense"], req
+
+
+def test_requeue_unfixable_refused(poisoned_cl, tmp_path):
+    from rayrep.sinks import DlqRequeueError, requeue_dlq
+
+    cl, _ = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path)
+    replay(cfg)
+    with pytest.raises(DlqRequeueError, match="still carry"):
+        requeue_dlq(lake, cl)  # no fix: rows still malformed
+    # nothing published, dlq untouched
+    assert not os.path.isdir(os.path.join(cl, f"epoch-{SPEC.n_epochs:05d}"))
+    assert read_dlq(lake).num_rows > 0
+
+
+def test_requeue_crash_rerun_state_idempotent(poisoned_cl, tmp_path):
+    """Crash window: epoch published but dlq files not yet moved. The
+    re-run republishes under NEW seqs; duplicate rows carry identical
+    (ts, payload) so the converged table is unchanged."""
+    import shutil
+
+    from rayrep.sinks import requeue_dlq
+
+    cl, n_poison = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path)
+    replay(cfg)
+    dlq_backup = str(tmp_path / "dlq_backup")
+    shutil.copytree(os.path.join(lake, "dlq"), dlq_backup)
+    requeue_dlq(lake, cl, fix_fn=_fix_make_winner())
+    # simulate the crash: active dlq files come back
+    shutil.rmtree(os.path.join(lake, "dlq"))
+    shutil.copytree(dlq_backup, os.path.join(lake, "dlq"))
+    res2 = requeue_dlq(lake, cl, fix_fn=_fix_make_winner())
+    assert res2["epoch"] == SPEC.n_epochs + 1  # a second epoch
+    replay(cfg)
+    ft = final_table_pandas(lake)
+    # duplicates collapsed by LWW: exactly n_poison z-keys, once each
+    z = ft[ft["conv_id"].str.startswith("z")]
+    assert len(z) == n_poison and z["conv_id"].is_unique
