@@ -249,6 +249,8 @@ def main(argv=None) -> int:
     il.add_argument("index_dir")
     il.add_argument("--value", action="append", required=True,
                     dest="values", help="indexed value (repeatable)")
+    il.add_argument("--lake", default=None, dest="lake_dir",
+                    help="honor this lake's GDPR erasure list")
 
     dq = sub.add_parser("dlq-requeue",
                         help="republish repaired dead-letter rows as a "
@@ -451,7 +453,8 @@ def main(argv=None) -> int:
     if args.cmd == "index-get":
         from rayrep.secindex import index_lookup
 
-        t = index_lookup(args.index_dir, args.values)
+        t = index_lookup(args.index_dir, args.values,
+                         lake_dir=args.lake_dir)
         print(json.dumps({"entries": t.num_rows,
                           "rows": t.to_pylist()[:1000]}, default=str))
         return 0

@@ -471,6 +471,13 @@ def compact_changelog(
     files = _span_files([p for _, p in span])
     if not files:
         raise ValueError("span has no parquet files")
+    for fp in files[:1] + files[-1:]:
+        if "table" in pq.read_schema(fp).names:
+            raise CompactedLogError(
+                "multi-table changelog (a `table` column is present): "
+                "row compaction must retain latest-per-(table, key), and "
+                "schema evolution is per table — compact each table's "
+                "exported log instead (rayrep/multitable.py)")
     stats = _file_footer_stats(files)
     # a prior span's files hold only RETAINED seqs — its ORIGINAL seq
     # range (needed for epoch chaining in check-log) rides its meta

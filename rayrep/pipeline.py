@@ -470,6 +470,16 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
                 "changed_cells_updates=True — older partial-update "
                 "carriers are gone; recompact source logs with "
                 "mode='cells' for per-cell lakes")
+        if cfg.dedup_ingest and e >= start:
+            # content-claim order is HISTORY-dependent: a compacted-away
+            # event may have been the first claimant of its content, so
+            # replaying the span under dedup-on-ingest can admit rows the
+            # full history would have dropped (and vice versa)
+            raise CompactedLogError(
+                f"span [{sm['first_epoch']}, {e}] cannot replay with "
+                "dedup_ingest=True — compaction discarded events whose "
+                "content claims the dedup semantics depend on; keep "
+                "dedup-on-ingest logs uncompacted (trim-log bounds them)")
 
     pending = [
         (e, p)

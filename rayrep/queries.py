@@ -2160,7 +2160,7 @@ def _replay_events_through_engine(
                              column="event_type", num_index_partitions=8,
                              lake_dir=lake)
         assert res_i["epoch"] == 3, res_i
-        ent = index_lookup(idir, ["click"])
+        ent = index_lookup(idir, ["click"], lake_dir=lake)
         keys = list(zip(ent.column("conv_id").to_pylist(),
                         (int(t) for t in ent.column("turn_idx").to_pylist())))
         assert keys, "index probe returned nothing"

@@ -504,12 +504,17 @@ def rebuild_index(lake_dir: str, index_dir: str, column: str,
             "entries": int(sum(r["entries"] for r in summaries))}
 
 
-def index_lookup(index_dir: str, values: list) -> pa.Table:
+def index_lookup(index_dir: str, values: list,
+                 lake_dir: str | None = None) -> pa.Table:
     """Index probe: entries (value, conv_id, turn_idx) for ``values``,
     reading ONLY the probed values' q state files (plan size ≤
     len(distinct values); row-group stats prune within each file because
     state sorts by value).  Compose with ``rayrep.lookup.lookup`` to
-    fetch the full rows from the lake."""
+    fetch the full rows from the lake.
+
+    ``lake_dir``: honor that lake's GDPR erasure list — erased keys are
+    anti-filtered from the result AT ONCE (the same read-side contract
+    as ``final_table``); ``purge_index`` makes it physical."""
     com = _committed(index_dir)
     if com["epoch"] < 0:
         raise FileNotFoundError(f"{index_dir}: no committed index epoch")
@@ -528,16 +533,21 @@ def index_lookup(index_dir: str, values: list) -> pa.Table:
         keep = pc.is_in(t.column("__val").cast(pa.string()), value_set=probe)
         out.append(t.filter(keep))
     if not out:
-        return pa.table({"__val": pa.array([], pa.string()),
+        return pa.table({"value": pa.array([], pa.string()),
                          "conv_id": pa.array([], pa.string()),
                          "turn_idx": pa.array([], pa.int64())})
     res = pa.concat_tables(out, promote_options="permissive")
-    return res.rename_columns(["value", "conv_id", "turn_idx"])
+    res = res.rename_columns(["value", "conv_id", "turn_idx"])
+    if lake_dir is not None:
+        from rayrep.retention import _erase_filter, load_erased
+
+        res = _erase_filter(res, load_erased(lake_dir))
+    return res
 
 
-def read_index(index_dir: str) -> pa.Table:
+def read_index(index_dir: str, lake_dir: str | None = None) -> pa.Table:
     """The whole index (tests / small results): concat of all committed
-    q states."""
+    q states; ``lake_dir`` honors that lake's erasure list."""
     com = _committed(index_dir)
     outs = []
     for qdir in sorted(glob.glob(os.path.join(index_dir, "q*"))):
@@ -547,8 +557,37 @@ def read_index(index_dir: str) -> pa.Table:
             outs.append(pq.read_table(
                 p, columns=["__val", "conv_id", "turn_idx"]))
     if not outs:
-        return pa.table({"__val": pa.array([], pa.string()),
+        return pa.table({"value": pa.array([], pa.string()),
                          "conv_id": pa.array([], pa.string()),
                          "turn_idx": pa.array([], pa.int64())})
     t = pa.concat_tables(outs, promote_options="permissive")
-    return t.rename_columns(["value", "conv_id", "turn_idx"])
+    t = t.rename_columns(["value", "conv_id", "turn_idx"])
+    if lake_dir is not None:
+        from rayrep.retention import _erase_filter, load_erased
+
+        t = _erase_filter(t, load_erased(lake_dir))
+    return t
+
+
+def purge_index(index_dir: str, lake_dir: str) -> dict:
+    """Physical erasure pass for the index (the ``purge_lake``
+    counterpart): rewrite every committed q state and sidecar dropping
+    the lake's erased conv_ids.  In-place at the committed epoch
+    (write_parquet_atomic per file), idempotent, O(index files)."""
+    from rayrep.apply import write_parquet_atomic
+    from rayrep.retention import _erase_filter, load_erased
+
+    erased = load_erased(lake_dir)
+    com = _committed(index_dir)
+    dropped = 0
+    if not erased or com["epoch"] < 0:
+        return {"dropped": 0, "erased_keys": len(erased)}
+    for f in (glob.glob(os.path.join(index_dir, "q*", "state_e*.parquet"))
+              + glob.glob(os.path.join(index_dir, "p*",
+                                       "sidecar_e*.parquet"))):
+        t = pq.read_table(f)
+        kept = _erase_filter(t, erased)
+        if kept.num_rows != t.num_rows:
+            dropped += t.num_rows - kept.num_rows
+            write_parquet_atomic(kept, f)
+    return {"dropped": int(dropped), "erased_keys": len(erased)}

@@ -318,3 +318,32 @@ def test_targeted_repair_from_compacted_log(cl, tmp_path):
     assert m_after.live_rows == m_before.live_rows
     assert m_after.last_seq <= m_before.last_seq
     assert_frames_equal(final_table_pandas(lake), before)
+
+
+def test_dedup_ingest_replay_of_span_refused(cl, tmp_path):
+    """Content-claim order is history-dependent: a compacted-away event
+    may have been the first claimant, so dedup-on-ingest replay over a
+    span is unsound and must refuse."""
+    compact_changelog(cl, through_epoch=2)
+    cfg, _ = _mklake(cl, tmp_path, dedup_ingest=True)
+    with pytest.raises(CompactedLogError, match="dedup_ingest"):
+        replay(cfg)
+
+
+def test_multi_table_log_refused(tmp_path):
+    """A changelog carrying a `table` column must not row-compact across
+    tables that share (conv_id, turn_idx) keys."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cl = str(tmp_path / "cl")
+    write_changelog(cl, SPEC)
+    for e in range(SPEC.n_epochs):
+        d = os.path.join(cl, f"epoch-{e:05d}")
+        for f in sorted(os.listdir(d)):
+            p = os.path.join(d, f)
+            t = pq.read_table(p)
+            pq.write_table(t.append_column(
+                "table", pa.array(["t1"] * t.num_rows)), p)
+    with pytest.raises(CompactedLogError, match="multi-table"):
+        compact_changelog(cl, through_epoch=2)

@@ -286,3 +286,37 @@ def test_rebuild_from_bulk_loaded_lake(tmp_path):
     assert sorted(got["conv_id"]) == sorted(
         c for i, c in enumerate(base.column("conv_id").to_pylist())
         if i % 3 == 0)
+
+
+def test_erasure_respected_and_purgeable(lake_with_deltas, tmp_path):
+    """GDPR composition: the erasure list anti-filters index reads AT
+    ONCE (lake_dir param), and purge_index makes it physical — no state
+    or sidecar file carries the key afterwards; the index keeps
+    refreshing normally."""
+    from rayrep.retention import erase_keys
+    from rayrep.secindex import purge_index
+
+    cfg, lake = lake_with_deltas
+    replay(cfg)
+    idx = str(tmp_path / "idx")
+    delta = os.path.join(lake, "delta")
+    update_index(delta, idx, column="role", num_index_partitions=8)
+    full = read_index(idx).to_pandas()
+    victim = full["conv_id"].iloc[0]
+    erase_keys(lake, [victim])
+    # read-side: hidden at once when the lake is named
+    assert victim in set(read_index(idx)["conv_id"].to_pylist())
+    assert victim not in set(read_index(idx, lake_dir=lake)
+                             ["conv_id"].to_pylist())
+    got = index_lookup(idx, ["user"], lake_dir=lake).to_pandas()
+    assert victim not in set(got["conv_id"])
+    # physical: no file carries the key after purge
+    res = purge_index(idx, lake)
+    assert res["dropped"] >= 1
+    for f in glob.glob(os.path.join(idx, "*", "*.parquet")):
+        t = pq.read_table(f)
+        if "conv_id" in t.column_names:
+            assert victim not in set(t["conv_id"].to_pylist()), f
+    # purge is idempotent and the index still refreshes
+    assert purge_index(idx, lake)["dropped"] == 0
+    update_index(delta, idx, column="role", num_index_partitions=8)
