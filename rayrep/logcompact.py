@@ -297,6 +297,42 @@ def _empty_routed(final: SchemaVersion) -> pa.Table:
     return pa.schema(fields).empty_table()
 
 
+def retain_latest(tbl: pa.Table) -> pa.Table:
+    """Row-mode retention kernel: each (conv_id, turn_idx) key's
+    argmax-(ts, seq) event — the row the engine's LWW would end on.
+    Invariant (property-tested): for any split of an event stream,
+    ``replay(retain_latest(prefix) ∪ suffix) == replay(prefix ∪ suffix)``
+    on the final state — retention keeps exactly the prefix's converged
+    state image, and sequential-win continuation depends only on state."""
+    import pandas as pd
+
+    conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
+    codes, _ = pd.factorize(conv, sort=False)
+    kid = (codes.astype(np.int64) << 32) | np.where(
+        pc.is_null(tbl.column("turn_idx")).to_numpy(zero_copy_only=False),
+        np.int64(0),
+        tbl.column("turn_idx").to_numpy(
+            zero_copy_only=False).astype(np.int64))
+    ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    seqv = tbl.column("seq").to_numpy()
+    order = np.lexsort((seqv, ts, kid))
+    ks = kid[order]
+    last = np.ones(len(ks), dtype=bool)
+    last[:-1] = ks[1:] != ks[:-1]
+    return tbl.take(pa.array(order[last]))
+
+
+def retain_cells(tbl: pa.Table, payload_names: list[str]) -> pa.Table:
+    """Cells-mode retention kernel: the version-preserving per-cell
+    winner set (``rayrep.apply.prune_cells`` over the event rows)."""
+    from rayrep.apply import prune_cells
+
+    work = tbl.append_column("__seq", tbl.column("seq"))
+    work = work.append_column("__deleted", pc.equal(tbl.column("op"), "D"))
+    work = prune_cells(work, payload_names)
+    return work.drop_columns(["__seq", "__deleted"])
+
+
 def _reduce_group(group: pa.Table, kwargs: dict) -> pa.Table:
     """Reduce stage (one hash partition): retain the minimal replay-
     equivalent event set, write it as one part file of the staged span,
@@ -315,32 +351,9 @@ def _reduce_group(group: pa.Table, kwargs: dict) -> pa.Table:
     n_in = group.num_rows
     tbl = group.drop_columns(["part_id"])
     if mode == "cells":
-        from rayrep.apply import prune_cells
-
-        work = tbl.append_column("__seq", tbl.column("seq"))
-        work = work.append_column(
-            "__deleted", pc.equal(tbl.column("op"), "D"))
-        work = prune_cells(work, payload_names)
-        kept = work.drop_columns(["__seq", "__deleted"])
+        kept = retain_cells(tbl, payload_names)
     else:
-        conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
-        import pandas as pd
-
-        codes, _ = pd.factorize(conv, sort=False)
-        kid = (codes.astype(np.int64) << 32) | np.where(
-            pc.is_null(tbl.column("turn_idx")).to_numpy(
-                zero_copy_only=False),
-            np.int64(0),
-            tbl.column("turn_idx").to_numpy(
-                zero_copy_only=False).astype(np.int64))
-        ts = tbl.column("ts").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        seqv = tbl.column("seq").to_numpy()
-        order = np.lexsort((seqv, ts, kid))
-        ks = kid[order]
-        last = np.ones(len(ks), dtype=bool)
-        last[:-1] = ks[1:] != ks[:-1]
-        kept = tbl.take(pa.array(order[last]))
+        kept = retain_latest(tbl)
     kept = kept.sort_by("seq")
     # null `ddl` column: changelog file convention (and it keeps the
     # metadata-pruned DDL scan footer-only on the span)

@@ -493,3 +493,33 @@ def test_cells_chain_collapse_schedule_invariant(tmp_path_factory,
     pd.testing.assert_frame_equal(norm(one), norm(stepped))
     pd.testing.assert_frame_equal(norm(prune_cells(one, payload)),
                                   norm(prune_cells(stepped, payload)))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(event_st, min_size=1, max_size=30),
+       st.integers(0, 30), st.integers(0, 30))
+def test_log_compaction_prefix_invisible_to_replay(events, cut1, cut2):
+    """Kafka-style row compaction invariant (rayrep/logcompact.py):
+    ``replay(retain_latest(prefix) ∪ suffix) == replay(prefix ∪ suffix)``
+    on the FINAL STATE, for any split point and even nested compactions —
+    retention keeps exactly the prefix's converged image, and the
+    sequential-win continuation depends only on state."""
+    from rayrep.logcompact import retain_latest
+
+    tbl = build_changelog(events)
+    expect, _ = replay_oracle(tbl)
+
+    def compact_at(t: pa.Table, cut: int) -> pa.Table:
+        cut = min(cut, t.num_rows)
+        prefix, suffix = t.slice(0, cut), t.slice(cut)
+        if prefix.num_rows == 0:
+            return t
+        return pa.concat_tables([retain_latest(prefix), suffix])
+
+    once = compact_at(tbl, cut1)
+    got1, _ = replay_oracle(once)
+    pd.testing.assert_frame_equal(got1, expect)
+    # nested: recompact a (possibly different) prefix of the compacted log
+    twice = compact_at(once, cut2)
+    got2, _ = replay_oracle(twice)
+    pd.testing.assert_frame_equal(got2, expect)
