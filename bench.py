@@ -222,6 +222,8 @@ SUITE_V2 = [
     "cdc_log_compaction",
     "cdc_secondary_index",
     "cdc_dead_letter",
+    "cdc_tail_compacting",
+    "cdc_dlq_requeue",
 ]
 
 

@@ -107,16 +107,6 @@ def _key_ids_np(conv: np.ndarray, turn: np.ndarray) -> np.ndarray:
     return (codes.astype(np.int64) << 32) | turn.astype(np.int64)
 
 
-_ENTRY_FIELDS = [  # stage-1 → stage-2 exchange rows
-    ("op", pa.string()),        # 'A' assert | 'R' retract
-    ("conv_id", pa.string()),
-    ("turn_idx", pa.int64()),
-    ("__ts", pa.int64()),
-    ("__seq", pa.int64()),
-    ("qid", pa.int32()),
-]
-
-
 def _stage1_partition(pid: int, index_dir: str, files: list[str],
                       target_epoch: int, committed_epoch: int,
                       column: str, num_q: int) -> pa.Table:
