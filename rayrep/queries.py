@@ -1907,7 +1907,8 @@ def _replay_events_through_engine(
                 os.replace(staged, os.path.join(cl, name))
         if compact_log == "resume":
             replay(cfg, end_epoch=1)
-        res_k = compact_changelog(cl, through_epoch=2)
+        res_k = compact_changelog(cl, through_epoch=2,
+                                  mode="cells" if changed_cells else "row")
         assert res_k["n_retained"] < res_k["n_original"], res_k
         assert os.path.isdir(os.path.join(cl, "epoch-00000-c00002")), res_k
         if not with_ddl:
@@ -2950,6 +2951,18 @@ def cdc_log_compaction_evolution(sf_dir: str) -> pd.DataFrame:
     fixture path."""
     return _replay_events_through_engine(sf_dir, with_deletes=False,
                                          with_ddl=True,
+                                         compact_log="fresh")
+
+
+def cdc_log_compaction_cells(sf_dir: str) -> pd.DataFrame:
+    """CELLS-mode log compaction, SQL-oracled: the changed-cells fixture
+    (null = "unchanged") compacts with the per-cell winner-set retention
+    (``prune_cells`` — row-mode latest-per-key would lose older partial-
+    update carriers and is refused for per-cell replays), then a fresh
+    per-cell replay must converge to the same last-non-null-per-column
+    SQL as the uncompacted path."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         changed_cells=True,
                                          compact_log="fresh")
 
 
@@ -4064,6 +4077,7 @@ def queries() -> dict:
         "cdc_log_compaction": cdc_log_compaction,
         "cdc_log_compaction_resume": cdc_log_compaction_resume,
         "cdc_log_compaction_evolution": cdc_log_compaction_evolution,
+        "cdc_log_compaction_cells": cdc_log_compaction_cells,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_json_ingest": cdc_json_ingest,
         "cdc_json_ingest_evolution": cdc_json_ingest_evolution,
@@ -4088,6 +4102,7 @@ def oracle_sql() -> dict:
     d["cdc_log_compaction"] = d["cdc_replay_deletes"]      # Kafka-style compact
     d["cdc_log_compaction_resume"] = d["cdc_replay_deletes"]  # span mid-history
     d["cdc_log_compaction_evolution"] = d["cdc_replay_evolution"]  # + DDL span
+    d["cdc_log_compaction_cells"] = d["cdc_replay_changed_cells"]  # per-cell span
     d["cdc_json_ingest"] = d["cdc_replay_deletes"]         # envelope round-trip
     d["cdc_lake_clone"] = d["cdc_replay_deletes"]          # DR clone + resume
     d["cdc_json_ingest_evolution"] = d["cdc_replay_evolution"]  # + in-stream DDL
