@@ -194,12 +194,19 @@ class WriterLease:
         self.check()
         self.record.renewed_ts_us = int(time.time() * 1e6)
         _write_lease(self.lake_dir, self.record)
-        cur = read_lease(self.lake_dir)
-        if cur is None or cur.token > self.record.token:
-            raise LeaseLostError(
-                f"lake {self.lake_dir}: lease token {self.record.token} fenced "
-                f"by concurrent token {cur.token if cur else '<removed>'}"
-            )
+        # same token-order discipline as acquire: yield to a HIGHER token,
+        # reassert over a LOWER one that wrote after us
+        for _ in range(64):
+            cur = read_lease(self.lake_dir)
+            if cur is None or cur.token > self.record.token:
+                raise LeaseLostError(
+                    f"lake {self.lake_dir}: lease token {self.record.token} "
+                    f"fenced by concurrent token "
+                    f"{cur.token if cur else '<removed>'}"
+                )
+            if cur.token == self.record.token:
+                break
+            _write_lease(self.lake_dir, self.record)
 
     def release(self) -> None:
         """Clean hand-off: remove the lease iff still ours. A crashed
@@ -245,15 +252,23 @@ def acquire(
             renewed_ts_us=now_us, ttl_s=float(ttl_s),
         )
         _write_lease(lake_dir, rec)
-        # Last-writer-wins on lease.json: if a concurrent acquirer minted a
-        # higher token and wrote after us, we are already fenced — surface
-        # it here rather than at the first commit.
-        latest = read_lease(lake_dir)
-        if latest is None or latest.token > token:
-            raise LeaseHeldError(
-                f"lake {lake_dir}: lost acquisition race to token "
-                f"{latest.token if latest else '<removed>'}"
-            )
+        # lease.json is last-writer-wins by WALL order but the fencing
+        # contract is by TOKEN order: a concurrent HIGHER token fences us
+        # (raise), while a concurrent LOWER token that happened to write
+        # after us must not shadow us — reassert our record until the file
+        # shows our token or a higher one. The lower racer's own re-read
+        # then sees the higher token and raises, so this converges (only
+        # the max token ever rewrites).
+        for _ in range(64):
+            latest = read_lease(lake_dir)
+            if latest is None or latest.token > token:
+                raise LeaseHeldError(
+                    f"lake {lake_dir}: lost acquisition race to token "
+                    f"{latest.token if latest else '<removed>'}"
+                )
+            if latest.token == token:
+                break
+            _write_lease(lake_dir, rec)
         _gc_claims(lake_dir, token)
         return WriterLease(lake_dir, rec)
     raise LeaseHeldError(f"lake {lake_dir}: could not mint a lease token (claim contention)")
