@@ -197,19 +197,32 @@ class Augmenter:
     def _quarantine(self, bad: pa.Table) -> None:
         """Write the malformed rows — ORIGINAL bytes, pre-evolution, for
         forensics and manual repair — into the epoch's dead-letter dir.
-        tmp+rename so a killed task leaves no partial file; uuid names
-        because batch boundaries aren't stable identifiers (the driver
-        clears an uncommitted epoch's dlq dir before re-running it, so
-        reruns can't duplicate)."""
+
+        The filename is DETERMINISTIC in the quarantined rows' content
+        (sha1 of the batch's Arrow-IPC bytes — seq alone won't do, null
+        seq is itself a quarantine trigger), so a mid-round Ray task retry
+        (routine at design scale) re-writes the SAME file instead of
+        appending a uuid-named duplicate; tmp+rename (tmp name salted
+        per-attempt) keeps a killed writer from leaving a partial file
+        while concurrent retries can't clobber each other's tmp. The
+        driver additionally clears an uncommitted epoch's dlq dir before
+        re-running it, so cross-run re-executions can't duplicate either —
+        exactly-once for read_dlq counts and requeue_dlq."""
+        import hashlib
         import os
         import uuid
 
+        import pyarrow.ipc as pipc
         import pyarrow.parquet as pq
 
         d = os.path.join(self.dead_letter_dir, f"e{self.dlq_epoch:05d}")
         os.makedirs(d, exist_ok=True)
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        tmp = os.path.join(d, f".{name}.tmp")
+        sink = pa.BufferOutputStream()
+        with pipc.new_stream(sink, bad.schema) as w:
+            w.write_table(bad.combine_chunks())
+        digest = hashlib.sha1(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        name = f"part-{digest}-{len(bad)}.parquet"
+        tmp = os.path.join(d, f".{name}.{uuid.uuid4().hex[:8]}.tmp")
         pq.write_table(bad, tmp)
         os.replace(tmp, os.path.join(d, name))
 

@@ -255,7 +255,9 @@ def main(argv=None) -> int:
     dq = sub.add_parser("dlq-requeue",
                         help="republish repaired dead-letter rows as a "
                              "proper epoch appended to the changelog "
-                             "(rows must be fixed on disk first)")
+                             "(rows must be fixed on disk first; takes "
+                             "the writer lease — quiesce the producer, "
+                             "single-writer only)")
     dq.add_argument("lake_dir")
     dq.add_argument("changelog_dir")
 

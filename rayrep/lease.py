@@ -207,6 +207,12 @@ class WriterLease:
             if cur.token == self.record.token:
                 break
             _write_lease(self.lake_dir, self.record)
+        else:  # never confirmed our token on disk: do NOT claim success
+            raise LeaseLostError(
+                f"lake {self.lake_dir}: could not reassert token "
+                f"{self.record.token} after renew (pathological lower-token "
+                "churn); treating the lease as lost"
+            )
 
     def release(self) -> None:
         """Clean hand-off: remove the lease iff still ours. A crashed
@@ -269,6 +275,11 @@ def acquire(
             if latest.token == token:
                 break
             _write_lease(lake_dir, rec)
+        else:  # never confirmed our token on disk: do NOT return a lease
+            raise LeaseHeldError(
+                f"lake {lake_dir}: could not assert minted token {token} "
+                "(pathological lower-token churn); acquisition failed"
+            )
         _gc_claims(lake_dir, token)
         return WriterLease(lake_dir, rec)
     raise LeaseHeldError(f"lake {lake_dir}: could not mint a lease token (claim contention)")

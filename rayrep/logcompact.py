@@ -256,9 +256,16 @@ def _build_history(files: list[str], ddl_tbl: pa.Table | None) -> tuple[
 
 def _evolve_route_batch(batch: pa.Table, kwargs: dict) -> pa.Table:
     """Map stage: drop DDL rows, pre-evolve payload to the final schema
-    (stepwise, from the batch's stamped source version — batches never
-    span files, so max(schema_ver) identifies the file's physical
-    version), re-stamp, and route by hash(conv_id)."""
+    (stepwise, from each row's stamped source version), re-stamp, and
+    route by hash(conv_id).
+
+    Ray Data 2.49 never emits a batch mixing files at different physical
+    schema versions (probed up to 301-file spans straddling a rename
+    DDL), but that is a batching-internals detail, not a contract — so a
+    mixed batch is handled correctly by splitting per distinct
+    ``schema_ver`` and evolving each slice at its own stamped version,
+    instead of silently evolving the whole batch from max(schema_ver)
+    (which would drop renamed-column data for older rows)."""
     history = {v: SchemaVersion.from_json(j)
                for v, j in kwargs["history_json"].items()}
     final: SchemaVersion = history[kwargs["final_version"]]
@@ -267,6 +274,18 @@ def _evolve_route_batch(batch: pa.Table, kwargs: dict) -> pa.Table:
         batch = batch.filter(pc.not_equal(batch["op"], "DDL"))
     if batch.num_rows == 0:
         return _empty_routed(final)
+    svers = batch.column("schema_ver")
+    vmin, vmax = pc.min(svers).as_py(), pc.max(svers).as_py()
+    if vmin is not None and vmax is not None and vmin != vmax:
+        parts = [
+            _evolve_route_batch(batch.filter(pc.equal(svers, v)), kwargs)
+            for v in sorted(v for v in pc.unique(svers).to_pylist()
+                            if v is not None)
+        ]
+        if pc.any(pc.is_null(svers)).as_py():
+            parts.append(
+                _evolve_route_batch(batch.filter(pc.is_null(svers)), kwargs))
+        return pa.concat_tables(parts)
     meta = {c: (batch.column(c) if c in batch.column_names
                 else pa.nulls(batch.num_rows, pa.int64()))
             for c in ("seq", "txn_id", "op")}
@@ -276,6 +295,15 @@ def _evolve_route_batch(batch: pa.Table, kwargs: dict) -> pa.Table:
         [c for c in META_COLUMNS + ["part_id"] if c in batch.column_names])
     src = pc.max(batch.column("schema_ver")).as_py()
     if src is not None and int(src) < final.version:
+        if int(src) in history:
+            # a slice of a (schema-unified) mixed batch carries null
+            # padding for columns its version never had physically;
+            # restrict to the stamped version's own fields so a later
+            # rename step can't collide with a padded destination column
+            own = [f.name for f in history[int(src)].schema
+                   if f.name in payload.column_names]
+            if len(own) != payload.num_columns:
+                payload = payload.select(own)
         payload = evolve_table_from(payload, int(src), final, history)
     else:
         # already at the final version: conform column order only
@@ -306,13 +334,22 @@ def retain_latest(tbl: pa.Table) -> pa.Table:
     state image, and sequential-win continuation depends only on state."""
     import pandas as pd
 
+    n_bad = (pc.sum(pc.is_null(tbl.column("conv_id"))).as_py() or 0) + (
+        pc.sum(pc.is_null(tbl.column("turn_idx"))).as_py() or 0)
+    if n_bad:
+        # Mirror the augmenter's malformed-event refusal: folding a
+        # null-key row into (conv, turn 0) could displace that key's
+        # legitimate LWW winner during compaction. Route such logs
+        # through replay with dead_letter quarantine first.
+        raise CompactedLogError(
+            f"{n_bad} event(s) with null conv_id/turn_idx in the span; "
+            "refusing to compact — quarantine or repair the malformed "
+            "rows first (replay with dead_letter set)"
+        )
     conv = tbl.column("conv_id").to_numpy(zero_copy_only=False)
     codes, _ = pd.factorize(conv, sort=False)
-    kid = (codes.astype(np.int64) << 32) | np.where(
-        pc.is_null(tbl.column("turn_idx")).to_numpy(zero_copy_only=False),
-        np.int64(0),
-        tbl.column("turn_idx").to_numpy(
-            zero_copy_only=False).astype(np.int64))
+    kid = (codes.astype(np.int64) << 32) | tbl.column("turn_idx").to_numpy(
+        zero_copy_only=False).astype(np.int64)
     ts = tbl.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
     seqv = tbl.column("seq").to_numpy()
     order = np.lexsort((seqv, ts, kid))

@@ -273,13 +273,22 @@ class DlqRequeueError(ValueError):
     without dead-letter mode, refuse)."""
 
 
-def requeue_dlq(lake_dir: str, changelog_dir: str, fix_fn=None) -> dict:
+def requeue_dlq(lake_dir: str, changelog_dir: str, fix_fn=None,
+                lease_owner: str | None = None) -> dict:
     """Close the poison-message loop: repair the quarantined rows
     (``fix_fn: pa.Table -> pa.Table`` — operator-supplied; identity when
     the rows were fixed on disk) and republish them as a PROPER epoch
     appended to the changelog, with fresh dense seqs chaining from the
     log's high-water mark — so check-log still passes and the ordinary
     replay/tail applies them exactly-once through the standard path.
+
+    SINGLE-WRITER: the published epoch number and seq range come from the
+    log's current tail, so requeue must not race a live producer. It
+    takes the lake's writer lease (``rayrep.lease``) for the duration —
+    a live leased writer makes it fail fast with ``LeaseHeldError`` — and
+    re-verifies the tail epoch is unchanged immediately before the atomic
+    rename, refusing (``DlqRequeueError``) if a non-leased producer
+    appended concurrently. Run it only while the producer is quiesced.
 
     Crash ordering is state-idempotent: the epoch publishes atomically
     FIRST (stage + rename), then the consumed dlq part files move to
@@ -290,6 +299,24 @@ def requeue_dlq(lake_dir: str, changelog_dir: str, fix_fn=None) -> dict:
     the table cannot).
     """
     import glob as _glob
+
+    from rayrep.lease import acquire as _acquire_lease
+
+    files = sorted(_glob.glob(
+        os.path.join(lake_dir, "dlq", "e*", "part-*.parquet")))
+    if not files:
+        return {"requeued": 0, "epoch": None}
+    _wl = _acquire_lease(lake_dir, owner=lease_owner or "dlq-requeue",
+                         ttl_s=60.0)
+    try:
+        return _requeue_dlq_locked(lake_dir, changelog_dir, fix_fn, files)
+    finally:
+        _wl.release()
+
+
+def _requeue_dlq_locked(lake_dir: str, changelog_dir: str, fix_fn,
+                        files: list) -> dict:
+    import glob as _glob
     import shutil as _shutil
 
     import numpy as np
@@ -299,10 +326,6 @@ def requeue_dlq(lake_dir: str, changelog_dir: str, fix_fn=None) -> dict:
     from rayrep.logcompact import _file_footer_stats, span_meta
     from rayrep.pipeline import discover_epochs
 
-    files = sorted(_glob.glob(
-        os.path.join(lake_dir, "dlq", "e*", "part-*.parquet")))
-    if not files:
-        return {"requeued": 0, "epoch": None}
     t = pa.concat_tables([_pq.read_table(f) for f in files],
                          promote_options="permissive")
     if fix_fn is not None:
@@ -343,7 +366,19 @@ def requeue_dlq(lake_dir: str, changelog_dir: str, fix_fn=None) -> dict:
         _shutil.rmtree(stage)
     os.makedirs(stage)
     _pq.write_table(t, os.path.join(stage, "part-00000.parquet"))
-    os.replace(stage, os.path.join(changelog_dir, f"epoch-{new_epoch:05d}"))
+    # the lease fences leased writers; this re-check catches a NON-leased
+    # producer that appended while we staged — publishing anyway would
+    # mint an overlapping epoch/seq range and break check-log's dense-seq
+    # contract, so refuse and let the operator re-run after quiescing
+    cur_eps = discover_epochs(changelog_dir)
+    if not cur_eps or cur_eps[-1][0] != last_e:
+        _shutil.rmtree(stage, ignore_errors=True)
+        raise DlqRequeueError(
+            f"changelog tail advanced during requeue (epoch {last_e} -> "
+            f"{cur_eps[-1][0] if cur_eps else '<none>'}); a producer is "
+            "appending concurrently — quiesce it and re-run")
+    target = os.path.join(changelog_dir, f"epoch-{new_epoch:05d}")
+    os.replace(stage, target)
 
     done = os.path.join(lake_dir, "dlq", "_requeued", f"e{new_epoch:05d}")
     os.makedirs(done, exist_ok=True)
