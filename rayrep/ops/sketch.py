@@ -112,16 +112,19 @@ def _kmv_partial(batch: pa.Table, *, group_col: str, value_col: str,
                      "__kmv_hash": pa.array(h_s[sel], pa.uint64())})
 
 
-def _kmv_finalize(group: pd.DataFrame, *, group_col: str, k: int,
-                  out_col: str) -> pd.DataFrame:
-    hv = np.unique(group["__kmv_hash"].to_numpy())  # sorted ascending
+def _kmv_finalize(group: pa.Table, *, group_col: str, k: int,
+                  out_col: str) -> pa.Table:
+    hv = np.unique(
+        group.column("__kmv_hash").to_numpy(zero_copy_only=False)
+    )  # sorted ascending
     if len(hv) < k:
         est = float(len(hv))
     else:
         # (k-1) * 2^64 / h_k — two IEEE ops on exactly-converted inputs,
         # reproduced verbatim by the oracle's DOUBLE arithmetic.
         est = float(k - 1) * _TWO64 / float(hv[k - 1])
-    return pd.DataFrame({group_col: [group[group_col].iloc[0]], out_col: [est]})
+    return pa.table({group_col: group.column(group_col).slice(0, 1),
+                     out_col: pa.array([est], pa.float64())})
 
 
 def kmv_distinct(ds: rd.Dataset, *, group_col: str, value_col: str,
@@ -137,7 +140,7 @@ def kmv_distinct(ds: rd.Dataset, *, group_col: str, value_col: str,
     out = partial.groupby(group_col).map_groups(
         _kmv_finalize,
         fn_kwargs={"group_col": group_col, "k": k, "out_col": out_col},
-        batch_format="pandas",
+        batch_format="pyarrow",
     ).to_pandas()
     return out.sort_values(group_col).reset_index(drop=True)
 

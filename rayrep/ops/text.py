@@ -513,6 +513,23 @@ class Fingerprint:
         return batch.append_column("fingerprint", pa.array(mins.view(np.int64)))
 
 
+def _utf8_bytes(text: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (concatenated UTF-8 byte buffer, per-doc byte lengths)
+    straight from a string array's own offsets/data buffers — Arrow
+    strings ARE UTF-8, so no per-doc Python ``encode`` loop. Nulls read
+    as empty docs."""
+    if text.null_count:
+        text = pc.fill_null(text, "")
+    odt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    bufs = text.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        text.offset: text.offset + len(text) + 1]
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    lens = (off[1:] - off[:-1]).astype(np.int64)
+    return data[int(off[0]): int(off[-1])], lens
+
+
 def _gram_pairs(batch: pa.Table, *, k: int, id_col: str,
                 text_col: str, stride: int = 1,
                 hashed: bool = False) -> pa.Table:
@@ -533,17 +550,17 @@ def _gram_pairs(batch: pa.Table, *, k: int, id_col: str,
     text = batch.column(text_col)
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
-    texts = text.to_pylist()
-    bs = [(t or "").encode("utf-8", "ignore") for t in texts]
-    lens = np.array([len(b) for b in bs], dtype=np.int64)
-    buf = np.frombuffer(b"".join(bs), dtype=np.uint8)
+        if isinstance(text, pa.ChunkedArray):  # pyarrow<14 keeps the wrap
+            text = (text.chunk(0) if text.num_chunks
+                    else pa.array([], text.type))
+    buf, lens = _utf8_bytes(text)
     if not hashed and len(buf) and buf.max() >= 128:
         # byte==codepoint only holds for ASCII; the S->U gram view below
         # would otherwise die mid-kernel with an anonymous
         # UnicodeDecodeError. Name the offending doc instead (hashed=True
         # is the non-ASCII-safe mode: it never builds gram strings).
         first = int(np.flatnonzero(buf >= 128)[0])
-        starts0 = np.zeros(len(bs), dtype=np.int64)
+        starts0 = np.zeros(len(lens), dtype=np.int64)
         np.cumsum(lens[:-1], out=starts0[1:])
         bad_doc = batch.column(id_col)[
             int(np.searchsorted(starts0, first, side="right") - 1)].as_py()
@@ -558,7 +575,7 @@ def _gram_pairs(batch: pa.Table, *, k: int, id_col: str,
     if len(buf) < k:
         return empty
     win = np.lib.stride_tricks.sliding_window_view(buf, k)
-    starts = np.zeros(len(bs), dtype=np.int64)
+    starts = np.zeros(len(lens), dtype=np.int64)
     np.cumsum(lens[:-1], out=starts[1:])
     pos = np.arange(len(win), dtype=np.int64)
     doc_of = np.searchsorted(starts, pos, side="right") - 1

@@ -18,7 +18,14 @@ import ray.data as rd
 
 def _with_part(ds: rd.Dataset, key: str, num_partitions: int) -> rd.Dataset:
     def add(batch: pa.Table) -> pa.Table:
-        pid = (batch.column(key).to_numpy() % num_partitions).astype(np.int32)
+        col = batch.column(key)
+        if pa.types.is_integer(col.type):
+            pid = (col.to_numpy(zero_copy_only=False)
+                   % num_partitions).astype(np.int32)
+        else:  # string keys: the repo's stable hash (rayrep.hashing)
+            from rayrep.hashing import partition_ids
+
+            pid = partition_ids(col, num_partitions)
         return batch.append_column("part_id", pa.array(pid))
 
     return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
@@ -297,8 +304,13 @@ def asof_join(
     deduplicated to one per (key, ts) keeping the last occurrence.
 
     Implementation: tag side, union (ONE shuffle over the hash-partitioned
-    key), then ``pd.merge_asof`` per partition. At cluster scale the right
-    side per partition must fit a worker's heap — the usual as-of
+    key), then a fully vectorized Arrow/numpy kernel per partition: both
+    sides' keys dictionary-encode to shared integer codes, the right side
+    lexsorts into per-key segments, each segment's timestamps SHIFT by
+    ``segment_index * stride`` (stride > span, so segments cannot
+    collide), and every left row's backward match resolves with ONE
+    global ``np.searchsorted`` — no per-key Python, no pandas. At cluster
+    scale a partition must fit a worker's heap — the usual as-of
     assumption (quotes ≪ trades per shard).
     """
     value_cols = value_cols or []
@@ -334,10 +346,6 @@ def asof_join(
     )
     both = lt.union(rt)
 
-    # columns conform() null-filled into LEFT rows (right-only) — dropped
-    # explicitly per partition so every group emits the same schema even
-    # when a genuine left column is all-null within one partition
-    right_only = [n for n, _ in union_fields if n not in lcols]
     # the output schema is FIXED up front so every partition emits
     # identical blocks (an empty-left group must not change the schema)
     type_of = dict(union_fields)
@@ -350,32 +358,67 @@ def asof_join(
     )
 
     def per_part(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        l = df[df["__side"] == 0].drop(columns=["__side"] + right_only)
-        r = df[df["__side"] == 1][rt_cols]
-        # deterministic dedup: among equal (key, ts) the max-tiebreak row
-        # wins (matches the SQL oracle's row_number ... ORDER BY tiebreak DESC)
-        sort_cols = [key, ts_col] + ([right_tiebreak] if right_tiebreak else [])
-        r = (
-            r.sort_values(sort_cols, kind="stable")
-            .drop_duplicates([key, ts_col], keep="last")
-        )
-        if right_tiebreak:
-            r = r.drop(columns=[right_tiebreak])
-        if not len(l):
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if li.size == 0 or ri.size == 0:  # inner-asof: no side, no rows
             return out_schema.empty_table()
-        l = l.sort_values(ts_col, kind="stable")
-        # explicit match marker: inner-asof must keep matched rows whose
-        # VALUE happens to be NULL (a value-null test would drop them,
-        # diverging from SQL ASOF JOIN) and must drop unmatched rows even
-        # when value_cols is empty
-        r = r.assign(__m=np.int8(1)).sort_values(ts_col, kind="stable")
-        merged = pd.merge_asof(
-            l, r, on=ts_col, by=key, direction="backward", suffixes=("", suffix)
-        )
-        merged = merged[merged["__m"].notna()]
-        tbl = pa.Table.from_pandas(merged[out_names], preserve_index=False)
-        return tbl.cast(out_schema)
+        # shared integer key codes for both sides (strings or ints alike)
+        kcol = group.column(key).combine_chunks()
+        if isinstance(kcol, pa.ChunkedArray):
+            kcol = kcol.chunk(0) if kcol.num_chunks else pa.array([], kcol.type)
+        kc = kcol.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        tcol = group.column(ts_col)
+        tsv = (tcol.cast(pa.int64()) if pa.types.is_timestamp(tcol.type)
+               else tcol).to_numpy(zero_copy_only=False).astype(np.int64)
+        # deterministic right dedup: among equal (key, ts) the max-tiebreak
+        # row wins, original order breaking residual ties (matches the SQL
+        # oracle's row_number ... ORDER BY tiebreak DESC) — lexsort is
+        # stable, so the run's LAST row is the winner
+        if right_tiebreak:
+            tb = group.column(right_tiebreak).to_numpy(zero_copy_only=False)
+            order = ri[np.lexsort((tb[ri], tsv[ri], kc[ri]))]
+        else:
+            order = ri[np.lexsort((tsv[ri], kc[ri]))]
+        rk_s, rts_s = kc[order], tsv[order]
+        last = np.ones(len(order), dtype=bool)
+        last[:-1] = (rk_s[1:] != rk_s[:-1]) | (rts_s[1:] != rts_s[:-1])
+        rk, rts, ridx = rk_s[last], rts_s[last], order[last]
+        # per-key segments over the deduped, sorted right side
+        uniq_k, seg_start = np.unique(rk, return_index=True)
+        lk, lts = kc[li], tsv[li]
+        lseg = np.searchsorted(uniq_k, lk)
+        has = (lseg < len(uniq_k)) & (
+            uniq_k[np.minimum(lseg, len(uniq_k) - 1)] == lk)
+        tmin = tsv.min()
+        stride = int(tsv.max() - tmin) + 2
+        pos = np.full(len(li), -1, np.int64)
+        max_chunk = max(int((2 ** 62) // stride), 1)
+        for c0 in range(0, len(uniq_k), max_chunk):
+            c1 = min(c0 + max_chunk, len(uniq_k))
+            rmask = (rk >= uniq_k[c0]) & (rk <= uniq_k[c1 - 1])
+            seg_of_r = np.searchsorted(uniq_k, rk[rmask])
+            shifted_r = (seg_of_r - c0) * stride + (rts[rmask] - tmin)
+            lmask = has & (lseg >= c0) & (lseg < c1)
+            p = np.searchsorted(
+                shifted_r,
+                (lseg[lmask] - c0) * stride + (lts[lmask] - tmin),
+                side="right") - 1
+            # map back into the deduped-right index space; p == -1 or a
+            # previous segment's slot means "no right ts <= left ts"
+            base = np.flatnonzero(rmask)[0] if rmask.any() else 0
+            pos[lmask] = np.where(p >= 0, p + base, -1)
+        matched = has & (pos >= 0) & (pos >= seg_start[np.minimum(
+            lseg, len(uniq_k) - 1)])
+        if not matched.any():
+            return out_schema.empty_table()
+        lsel = pa.array(li[matched])
+        out = group.select(lcols).take(lsel)
+        chosen = pa.array(ridx[pos[matched]])
+        for vc in value_cols:
+            name = (vc + suffix) if vc in lcols else vc
+            out = out.append_column(name, group.column(vc).take(chosen))
+        return out.select(out_names).cast(out_schema)
 
     return _with_part(both, key, num_partitions).groupby("part_id").map_groups(
         per_part, batch_format="pyarrow"

@@ -863,3 +863,42 @@ def test_pii_redact_counts_and_masks():
         out.select(["doc_id", "redacted_text"]))
     assert again.column("n_emails").to_pylist() == [0, 0, 0]
     assert again.column("n_phones").to_pylist() == [0, 0, 0]
+
+
+def test_asof_join_arrow_kernel_edges():
+    """The Arrow searchsorted kernel must preserve the pandas-era edge
+    semantics: matched rows whose VALUE is null are KEPT (inner-asof is a
+    match test, not a value-null test), unmatched left rows drop even
+    with empty value_cols, equal-(key, ts) right rows dedup to the
+    max-tiebreak winner, and a left ts before every right ts for its key
+    is unmatched — across string keys and multiple partitions."""
+    from rayrep.ops.windows import asof_join
+
+    left = pd.DataFrame({
+        "k": ["a", "a", "b", "b", "c", "zz"],
+        "ts": pd.to_datetime([10, 25, 5, 30, 7, 50], unit="s"),
+        "lval": [1, 2, 3, 4, 5, 6],
+    })
+    right = pd.DataFrame({
+        # (a,20) appears twice: tiebreak 9 must win; c has only ts=8 (> 7)
+        "k": ["a", "a", "a", "b", "c"],
+        "ts": pd.to_datetime([20, 20, 2, 30, 8], unit="s"),
+        "v": [100.0, None, 300.0, None, 500.0],
+        "tb": [4, 9, 1, 1, 1],
+    })
+    lt = pa.Table.from_pandas(left).set_column(
+        1, "ts", pa.Table.from_pandas(left)["ts"].cast(pa.timestamp("us")))
+    rt = pa.Table.from_pandas(right).set_column(
+        1, "ts", pa.Table.from_pandas(right)["ts"].cast(pa.timestamp("us")))
+    out = asof_join(
+        rd.from_arrow(lt), rd.from_arrow(rt),
+        key="k", ts_col="ts", value_cols=["v"], right_tiebreak="tb",
+        num_partitions=3,
+        left_schema=lt.schema, right_schema=rt.schema,
+    ).to_pandas().sort_values("lval").reset_index(drop=True)
+    # a@10 -> right a@2 (300); a@25 -> a@20 winner tb=9 (null value KEPT);
+    # b@5 unmatched (earliest right b is 30); b@30 -> b@30 (null KEPT);
+    # c@7 unmatched; zz@50 unmatched (no right key)
+    assert out["lval"].tolist() == [1, 2, 4]
+    assert out["v"].tolist()[0] == 300.0
+    assert pd.isna(out["v"].tolist()[1]) and pd.isna(out["v"].tolist()[2])
