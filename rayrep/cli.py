@@ -252,6 +252,22 @@ def main(argv=None) -> int:
     il.add_argument("--lake", default=None, dest="lake_dir",
                     help="honor this lake's GDPR erasure list")
 
+    mt = sub.add_parser("metrics",
+                        help="read or follow the lake's continuous metrics "
+                             "stream (_manifests/metrics.jsonl: one line "
+                             "per epoch barrier + maintenance events)")
+    mt.add_argument("lake_dir")
+    mt.add_argument("--follow", action="store_true",
+                    help="tail -f the live stream (a running tail session)")
+    mt.add_argument("--idle-timeout", type=float, default=None,
+                    help="with --follow: stop after this many idle seconds")
+    mt.add_argument("--last", type=int, default=0,
+                    help="print only the last N records")
+    mt.add_argument("--kind", default="",
+                    help="filter by record kind (epoch, log_compaction, ...)")
+    mt.add_argument("--rotated", action="store_true",
+                    help="include the rotated previous window")
+
     dq = sub.add_parser("dlq-requeue",
                         help="republish repaired dead-letter rows as a "
                              "proper epoch appended to the changelog "
@@ -487,6 +503,23 @@ def main(argv=None) -> int:
         res = {"files_removed": compact_content_index(args.lake_dir),
                "deduped_total": cumulative_deduped(args.lake_dir)}
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "metrics":
+        from rayrep import metrics as metrics_mod
+
+        if args.follow:
+            for rec in metrics_mod.follow(
+                    args.lake_dir, idle_timeout_s=args.idle_timeout):
+                print(json.dumps(rec, sort_keys=True))
+        else:
+            recs = metrics_mod.read_stream(
+                args.lake_dir, kind=args.kind or None,
+                include_rotated=args.rotated)
+            if args.last:
+                recs = recs[-args.last:]
+            for rec in recs:
+                print(json.dumps(rec, sort_keys=True))
         return 0
 
     if args.cmd == "lease":

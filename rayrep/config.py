@@ -176,6 +176,11 @@ class EngineConfig:
     lease_owner: str = ""            # "" = hostname:pid
     dry_run: bool = False            # STDOUT/JSON debug sink (CHANGES.txt:43,143)
     collect_stats: bool = False      # capture ds.stats() per round into metrics.json
+    # Continuous metrics stream (rayrep/metrics.py): append one JSON line
+    # per epoch barrier (+ maintenance events) to _manifests/metrics.jsonl
+    # so a dashboard consumer can `rayrep metrics --follow` a live tail
+    # session (reference: continuous codahale reporting, CHANGES.txt:79-80)
+    metrics_stream: bool = True
     # Override the v1 payload schema (SchemaVersion JSON). Empty = the
     # canonical transcript schema. Lets the same engine replay any keyed
     # table that carries (conv_id, turn_idx, ts).

@@ -713,6 +713,17 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
         if stage_stats:
             entry["stage_stats"] = stage_stats
         per_epoch.append(entry)
+        if cfg.metrics_stream and not cfg.dry_run and not repair:
+            # stream view of the barrier the manifests just committed:
+            # per-epoch counters + the delay gauge + cumulative totals
+            from rayrep import metrics as _metrics
+
+            _metrics.emit(cfg.lake_dir, {
+                "kind": "epoch", **{k: v for k, v in entry.items()
+                                    if k != "stage_stats"},
+                "totals": totals,
+                "schema_version": registry.current_version(),
+            })
 
     metrics = {"totals": totals, "epochs": per_epoch, "schema_version": registry.current_version()}
     if cfg.dedup_ingest:
@@ -833,13 +844,24 @@ def tail(
             plain_below = [e for e, p in discover_epochs(cfg.changelog_dir)
                            if span_meta(p) is None and e < em_t.last_epoch]
             if len(plain_below) >= compact_log_every:
-                compact_changelog(
+                res_c = compact_changelog(
                     cfg.changelog_dir,
                     through_epoch=em_t.last_epoch - 1,
                     lake_dir=cfg.lake_dir,
                     mode="cells" if cfg.changed_cells_updates else "row",
                 )
                 maintenance["log_compactions"] += 1
+                if cfg.metrics_stream and not cfg.dry_run:
+                    from rayrep import metrics as _metrics
+
+                    _metrics.emit(cfg.lake_dir, {
+                        "kind": "log_compaction",
+                        "through_epoch": em_t.last_epoch - 1,
+                        "n_original": (res_c or {}).get("n_original"),
+                        "n_retained": (res_c or {}).get("n_retained"),
+                        "bytes_before": (res_c or {}).get("bytes_before"),
+                        "bytes_after": (res_c or {}).get("bytes_after"),
+                    })
         if n and compact_lake_every \
                 and applied_since_lake_compact >= compact_lake_every:
             from rayrep.compact import compact_lake
@@ -847,6 +869,10 @@ def tail(
             compact_lake(cfg.lake_dir)
             maintenance["lake_compactions"] += 1
             applied_since_lake_compact = 0
+            if cfg.metrics_stream and not cfg.dry_run:
+                from rayrep import metrics as _metrics
+
+                _metrics.emit(cfg.lake_dir, {"kind": "lake_compaction"})
         if max_epochs is not None and applied >= max_epochs:
             break
         if idle_timeout_s is not None and time.monotonic() - last_new > idle_timeout_s:

@@ -1761,7 +1761,7 @@ def _replay_events_through_engine(
     changed_cells: bool = False, end_epoch: int | None = None,
     delta_rollup: bool = False, chaos: float = 0.0,
     resume_split: bool = False, replica: bool = False,
-    ddl_action: str = "add_column", metrics: bool = False,
+    ddl_action: str = "add_column", metrics: bool | str = False,
     tail_mode: bool = False, repartition_to: int | None = None,
     erase_mod: int | None = None, purge_mid_ts: bool = False,
     replica_incremental: bool = False, snapshot_interval: int | None = None,
@@ -2119,10 +2119,19 @@ def _replay_events_through_engine(
         hi_us = pa.scalar(hi, pa.timestamp("us")).cast(pa.int64()).as_py()
         purge_lake(lake, before_ts_us=lo_us + 999 * (hi_us - lo_us) // 1000)
     if metrics:
+        if metrics == "stream":
+            # read the counters back from the CONTINUOUS metrics stream
+            # (rayrep/metrics.py) instead of the ReplayResult — same SQL
+            # oracle, so the emitter itself is hash-verified end to end
+            from rayrep.metrics import read_stream
+
+            rows = read_stream(lake, kind="epoch")
+        else:
+            rows = res["epochs"]
         return pd.DataFrame(
             [{"epoch": np.int64(e["epoch"]), "input_rows": e["input_rows"],
               "applied": e["applied"], "conflict": e["conflict"]}
-             for e in res["epochs"]]
+             for e in rows]
         ).sort_values("epoch").reset_index(drop=True)
     if delta_rollup:
         return _rollup_delta_dir(os.path.join(lake, "delta"))
@@ -2306,6 +2315,18 @@ def cdc_replay_metrics(sf_dir: str) -> pd.DataFrame:
     apply, or dropped conflict breaks the hash."""
     return _replay_events_through_engine(sf_dir, with_deletes=False,
                                          metrics=True)
+
+
+def cdc_metrics_stream(sf_dir: str) -> pd.DataFrame:
+    """The continuous metrics stream (rayrep/metrics.py — the codahale
+    time-series analog, CHANGES.txt:79-80) against SQL: the per-epoch
+    (input_rows, applied, conflict) lines the replay APPENDS to
+    ``_manifests/metrics.jsonl`` at each barrier must equal the
+    sequential-LWW win/lose counts DuckDB derives — the same oracle as
+    ``cdc_replay_metrics``, but read back through the stream file, so a
+    dropped/duplicated/torn emission breaks the hash."""
+    return _replay_events_through_engine(sf_dir, with_deletes=False,
+                                         metrics="stream")
 
 
 def cdc_bootstrap_tail(sf_dir: str) -> pd.DataFrame:
@@ -4092,6 +4113,7 @@ def queries() -> dict:
         "cdc_log_compaction_evolution": cdc_log_compaction_evolution,
         "cdc_json_ingest_evolution": cdc_json_ingest_evolution,
         "cdc_lake_clone": cdc_lake_clone,
+        "cdc_metrics_stream": cdc_metrics_stream,
     }
 
 
@@ -4114,6 +4136,7 @@ def oracle_sql() -> dict:
     d["cdc_log_compaction_evolution"] = d["cdc_replay_evolution"]  # + DDL span
     d["cdc_log_compaction_cells"] = d["cdc_replay_changed_cells"]  # per-cell span
     d["cdc_json_ingest"] = d["cdc_replay_deletes"]         # envelope round-trip
+    d["cdc_metrics_stream"] = d["cdc_replay_metrics"]      # stream readback
     d["cdc_lake_clone"] = d["cdc_replay_deletes"]          # DR clone + resume
     d["cdc_json_ingest_evolution"] = d["cdc_replay_evolution"]  # + in-stream DDL
     # point lookup: the same deletes-LWW state restricted to the looked-up
