@@ -183,6 +183,17 @@ def main(argv=None) -> int:
     ij.add_argument("--start-seq", type=int, default=0)
     ij.add_argument("--start-schema-ver", type=int, default=1)
     ij.add_argument("--files-per-epoch", type=int, default=1)
+    ij.add_argument("--follow", action="store_true",
+                    help="keep following the directory: ingest each newly "
+                         "flushed file as it appears (crash-safe resume "
+                         "via per-epoch source markers)")
+    ij.add_argument("--poll", type=float, default=1.0,
+                    help="with --follow: poll interval seconds")
+    ij.add_argument("--idle-timeout", type=float, default=10.0,
+                    help="with --follow: stop after this many seconds "
+                         "with no new files (negative = run forever)")
+    ij.add_argument("--max-files", type=int, default=None,
+                    help="with --follow: stop after N files")
 
     ej = sub.add_parser("export-json",
                         help="export an engine changelog as Debezium-style "
@@ -406,6 +417,17 @@ def main(argv=None) -> int:
         return 0
 
     if args.cmd == "ingest-json":
+        if args.follow:
+            from rayrep.ingest import ingest_cdc_json_tail
+
+            print(json.dumps(ingest_cdc_json_tail(
+                args.src_dir, args.changelog_dir,
+                poll_interval_s=args.poll,
+                idle_timeout_s=(None if args.idle_timeout is not None
+                                and args.idle_timeout < 0
+                                else args.idle_timeout),
+                max_files=args.max_files)))
+            return 0
         from rayrep.ingest import ingest_cdc_json
 
         print(json.dumps(ingest_cdc_json(

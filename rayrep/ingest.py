@@ -295,14 +295,22 @@ def export_envelopes(changelog_dir: str, out_dir: str,
 def ingest_cdc_json(src_dir: str, changelog_dir: str,
                     start_epoch: int = 0, start_seq: int = 0,
                     start_schema_ver: int = 1,
-                    files_per_epoch: int = 1) -> dict:
+                    files_per_epoch: int = 1,
+                    only_files: list[str] | None = None,
+                    prev_last_key: tuple | None = None,
+                    write_src_markers: bool = False) -> dict:
     """Ingest every ``*.json``/``*.jsonl`` file under ``src_dir`` (sorted
     by name = producer flush order), one engine epoch per file.
     Returns per-epoch stats plus the ``next_seq``/``next_schema_ver``
     cursor for the following ingest batch (continuous tailing of an
-    external stream = this function on a schedule)."""
-    names = sorted(f for f in os.listdir(src_dir)
-                   if f.endswith((".json", ".jsonl")))
+    external stream = ``ingest_cdc_json_tail``, which calls this with
+    ``only_files`` = the newly appeared names, ``prev_last_key`` = the
+    previous batch's last binlog position for the cross-batch order
+    check, and ``write_src_markers`` so each published epoch atomically
+    records its source file + post-file cursor for crash recovery)."""
+    names = (sorted(only_files) if only_files is not None
+             else sorted(f for f in os.listdir(src_dir)
+                         if f.endswith((".json", ".jsonl"))))
     if not names:
         raise IngestFormatError(f"{src_dir}: no .json/.jsonl envelope files")
     paths = [os.path.join(src_dir, f) for f in names]
@@ -318,6 +326,12 @@ def ingest_cdc_json(src_dir: str, changelog_dir: str,
     else:
         refs = [parse_envelope_file(p) for p in paths]
         metas = [_meta_of(p) for p in refs]
+    if prev_last_key is not None and metas and \
+            tuple(metas[0]["first_key"]) <= tuple(prev_last_key):
+        raise IngestOrderError(
+            f"{names[0]} starts at {metas[0]['first_key']} but the "
+            f"previously ingested stream ends at {tuple(prev_last_key)} — "
+            "a follower batch must continue the binlog order")
     for prev, cur, name in zip(metas, metas[1:], names[1:]):
         if cur["first_key"] <= prev["last_key"]:
             raise IngestOrderError(
@@ -343,6 +357,17 @@ def ingest_cdc_json(src_dir: str, changelog_dir: str,
     epochs = []
     for i, tmp in enumerate(tmps):  # publish IN ORDER: tailers never see a gap
         e = start_epoch + i
+        if write_src_markers:
+            # the rename below atomically commits data AND cursor: a
+            # restarted follower recovers from the max marker, so a crash
+            # between batches re-ingests nothing and skips nothing
+            with open(os.path.join(tmp, SRC_MARKER), "w") as f:
+                json.dump({
+                    "src": names[i],
+                    "last_key": list(metas[i]["last_key"]),
+                    "next_seq": int(seq_bases[i] + ns[i]),
+                    "next_schema_ver": int(ver_bases[i] + dd[i]),
+                }, f, sort_keys=True)
         os.rename(tmp, os.path.join(changelog_dir, f"epoch-{e:05d}"))
         epochs.append({"epoch": e, "rows": int(ns[i]),
                        "min_seq": int(seq_bases[i]),
@@ -351,3 +376,98 @@ def ingest_cdc_json(src_dir: str, changelog_dir: str,
     return {"epochs": epochs, "rows": int(ns.sum()), "ddl": int(dd.sum()),
             "next_seq": int(start_seq + ns.sum()),
             "next_schema_ver": int(start_schema_ver + dd.sum())}
+
+
+SRC_MARKER = "_ingest_src.json"
+
+
+def _recover_ingest_cursor(changelog_dir: str) -> dict:
+    """Resume point for a restarted follower, derived from the atomically
+    published epochs themselves (the marker rides the epoch rename, so it
+    can never disagree with the data)."""
+    import glob as _glob
+    import re as _re
+
+    best = None
+    best_epoch = -1
+    for p in _glob.glob(os.path.join(changelog_dir, "epoch-*", SRC_MARKER)):
+        m = _re.search(r"epoch-(\d+)", os.path.dirname(p))
+        e = int(m.group(1))
+        if e > best_epoch:
+            best_epoch = e
+            with open(p) as f:
+                best = json.load(f)
+    if best is None:
+        return {"last_file": "", "last_key": None, "next_epoch": 0,
+                "next_seq": 0, "next_schema_ver": 1}
+    return {"last_file": best["src"],
+            "last_key": tuple(best["last_key"]),
+            "next_epoch": best_epoch + 1,
+            "next_seq": int(best["next_seq"]),
+            "next_schema_ver": int(best["next_schema_ver"])}
+
+
+def ingest_cdc_json_tail(src_dir: str, changelog_dir: str,
+                         poll_interval_s: float = 1.0,
+                         idle_timeout_s: float | None = 10.0,
+                         max_files: int | None = None) -> dict:
+    """Follow a GROWING envelope directory — the ``tail`` counterpart for
+    the Debezium path: a live producer keeps flushing JSONL files (names
+    in flush order) and this loop ingests each new file as an engine
+    epoch the moment it appears, without batch re-invocation. Producers
+    must publish files atomically (write elsewhere + rename in).
+
+    Crash-safe by construction: each epoch's directory carries a marker
+    with its source filename and the post-file (seq, schema_ver, binlog
+    position) cursor, committed by the same rename that publishes the
+    data — a restarted follower resumes exactly after the last published
+    file. Cross-batch binlog-order violations raise ``IngestOrderError``
+    just like in-batch ones.
+
+    Stops after ``idle_timeout_s`` with no new files (None = run
+    forever) or once ``max_files`` have been ingested. Returns totals
+    plus the final cursor."""
+    import time as _time
+
+    os.makedirs(changelog_dir, exist_ok=True)
+    cur = _recover_ingest_cursor(changelog_dir)
+    total_rows = total_ddl = total_files = 0
+    batches = 0
+    last_new = _time.monotonic()
+    while True:
+        try:
+            fresh = sorted(
+                f for f in os.listdir(src_dir)
+                if f.endswith((".json", ".jsonl")) and f > cur["last_file"])
+        except FileNotFoundError:
+            fresh = []  # follower started before the producer's first flush
+        if max_files is not None:
+            fresh = fresh[: max(0, max_files - total_files)]
+        if fresh:
+            res = ingest_cdc_json(
+                src_dir, changelog_dir,
+                start_epoch=cur["next_epoch"], start_seq=cur["next_seq"],
+                start_schema_ver=cur["next_schema_ver"],
+                only_files=fresh, prev_last_key=cur["last_key"],
+                write_src_markers=True)
+            total_rows += res["rows"]
+            total_ddl += res["ddl"]
+            total_files += len(fresh)
+            batches += 1
+            cur = {"last_file": fresh[-1],
+                   "last_key": None,  # refreshed from the marker below
+                   "next_epoch": res["epochs"][-1]["epoch"] + 1,
+                   "next_seq": res["next_seq"],
+                   "next_schema_ver": res["next_schema_ver"]}
+            cur["last_key"] = _recover_ingest_cursor(changelog_dir)["last_key"]
+            last_new = _time.monotonic()
+        if max_files is not None and total_files >= max_files:
+            break
+        if (idle_timeout_s is not None
+                and _time.monotonic() - last_new > idle_timeout_s):
+            break
+        _time.sleep(poll_interval_s)
+    return {"files": total_files, "rows": total_rows, "ddl": total_ddl,
+            "batches": batches, "next_epoch": cur["next_epoch"],
+            "next_seq": cur["next_seq"],
+            "next_schema_ver": cur["next_schema_ver"]}

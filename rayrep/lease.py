@@ -34,6 +34,17 @@ which is safe because tokens are unique and totally ordered: whoever
 holds the *lower* token observes a foreign token at its next
 ``check()`` and stops, and the higher holder's next renew re-asserts.
 
+Storage assumption (named, and pluggable): the default
+:class:`FileLeaseStore` relies on POSIX semantics of the lake
+filesystem — ``os.replace`` is an atomic last-writer-wins publish and
+``os.link`` is an atomic test-and-set. That holds on local disks and on
+NFS with close-to-open consistency, but NOT on S3-style object stores,
+where "rename" is copy+delete and creates no mutual exclusion. For such
+backends implement :class:`LeaseStore` over a primitive that IS atomic
+there (S3 conditional PUT ``If-None-Match:*``, DynamoDB conditional
+writes, etcd/ZK) and pass it to :func:`acquire` — the token-ordering
+protocol above is storage-agnostic and unchanged.
+
 Limitations (documented, not hidden): fencing binds only writers that
 use the lease — a ``lease_token=0`` writer (the default, lease
 disabled) bypasses the manifest guard for compatibility with
@@ -164,12 +175,88 @@ def _gc_claims(lake_dir: str, keep_from_token: int) -> None:
                     pass
 
 
+class LeaseStore:
+    """Pluggable storage for the lease protocol (strategy interface).
+
+    Implementations need exactly two atomic primitives from their
+    backend: a last-writer-wins ``publish`` and a test-and-set
+    ``claim_token`` (create-if-absent). Everything else — token
+    ordering, TTL, fencing, reassert loops — lives in the protocol
+    functions and is backend-agnostic. The default is
+    :class:`FileLeaseStore` (POSIX rename + link); an object-store
+    deployment supplies e.g. a conditional-PUT implementation and
+    passes it to :func:`acquire`.
+    """
+
+    def read(self) -> LeaseRecord | None:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def publish(self, rec: LeaseRecord) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def claim_token(self, token: int, owner: str) -> bool:  # pragma: no cover
+        raise NotImplementedError
+
+    def max_claimed(self) -> int:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def gc_claims(self, keep_from_token: int) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def remove_if_token(self, token: int | None) -> bool:
+        """Best-effort cooperative removal (release / break). ``None``
+        removes unconditionally. Returns True iff something was removed."""
+        raise NotImplementedError  # pragma: no cover - interface
+
+    def describe(self) -> str:  # pragma: no cover - interface
+        raise NotImplementedError
+
+
+class FileLeaseStore(LeaseStore):
+    """The shared-filesystem default (see the module docstring for the
+    POSIX atomicity assumption this relies on)."""
+
+    def __init__(self, lake_dir: str):
+        self.lake_dir = lake_dir
+
+    def read(self) -> LeaseRecord | None:
+        return read_lease(self.lake_dir)
+
+    def publish(self, rec: LeaseRecord) -> None:
+        _write_lease(self.lake_dir, rec)
+
+    def claim_token(self, token: int, owner: str) -> bool:
+        return _claim_token(self.lake_dir, token, owner)
+
+    def max_claimed(self) -> int:
+        return _max_claimed(self.lake_dir)
+
+    def gc_claims(self, keep_from_token: int) -> None:
+        _gc_claims(self.lake_dir, keep_from_token)
+
+    def remove_if_token(self, token: int | None) -> bool:
+        if token is not None:
+            cur = read_lease(self.lake_dir)
+            if cur is None or cur.token != token:
+                return False
+        try:
+            os.unlink(lease_path(self.lake_dir))
+            return True
+        except FileNotFoundError:
+            return False
+
+    def describe(self) -> str:
+        return f"lake {self.lake_dir}"
+
+
 class WriterLease:
     """A held lease. Use :func:`acquire` to obtain one."""
 
-    def __init__(self, lake_dir: str, record: LeaseRecord):
+    def __init__(self, lake_dir: str, record: LeaseRecord,
+                 store: LeaseStore | None = None):
         self.lake_dir = lake_dir
         self.record = record
+        self.store = store if store is not None else FileLeaseStore(lake_dir)
 
     @property
     def token(self) -> int:
@@ -177,8 +264,8 @@ class WriterLease:
 
     # ------------------------------------------------------------- checks
     def check(self) -> None:
-        """Raise ``LeaseLostError`` if the on-disk lease is no longer ours."""
-        cur = read_lease(self.lake_dir)
+        """Raise ``LeaseLostError`` if the stored lease is no longer ours."""
+        cur = self.store.read()
         if cur is None or cur.token != self.record.token:
             raise LeaseLostError(
                 f"lake {self.lake_dir}: lease token {self.record.token} "
@@ -193,11 +280,11 @@ class WriterLease:
         on ``lease.json`` safe)."""
         self.check()
         self.record.renewed_ts_us = int(time.time() * 1e6)
-        _write_lease(self.lake_dir, self.record)
+        self.store.publish(self.record)
         # same token-order discipline as acquire: yield to a HIGHER token,
         # reassert over a LOWER one that wrote after us
         for _ in range(64):
-            cur = read_lease(self.lake_dir)
+            cur = self.store.read()
             if cur is None or cur.token > self.record.token:
                 raise LeaseLostError(
                     f"lake {self.lake_dir}: lease token {self.record.token} "
@@ -206,7 +293,7 @@ class WriterLease:
                 )
             if cur.token == self.record.token:
                 break
-            _write_lease(self.lake_dir, self.record)
+            self.store.publish(self.record)
         else:  # never confirmed our token on disk: do NOT claim success
             raise LeaseLostError(
                 f"lake {self.lake_dir}: could not reassert token "
@@ -217,12 +304,7 @@ class WriterLease:
     def release(self) -> None:
         """Clean hand-off: remove the lease iff still ours. A crashed
         writer never gets here — its lease goes stale and expires."""
-        cur = read_lease(self.lake_dir)
-        if cur is not None and cur.token == self.record.token:
-            try:
-                os.unlink(lease_path(self.lake_dir))
-            except FileNotFoundError:
-                pass
+        self.store.remove_if_token(self.record.token)
 
 
 def acquire(
@@ -230,6 +312,7 @@ def acquire(
     owner: str | None = None,
     ttl_s: float = 60.0,
     takeover: bool = False,
+    store: LeaseStore | None = None,
 ) -> WriterLease:
     """Acquire the single-writer lease for ``lake_dir``.
 
@@ -238,26 +321,31 @@ def acquire(
     - ``takeover=True`` → acquired with token+1 regardless of liveness
       (the elected-successor path; the old holder is fenced out at its
       next check/renew/commit).
+
+    ``store`` selects the coordination backend (default: the lake
+    filesystem via :class:`FileLeaseStore`; see the module docstring
+    for the atomicity primitives an object-store impl must provide).
     """
     owner = owner or default_owner()
-    os.makedirs(os.path.dirname(lease_path(lake_dir)), exist_ok=True)
+    store = store if store is not None else FileLeaseStore(lake_dir)
     for _ in range(16):  # bounded retry through claim races
-        cur = read_lease(lake_dir)
+        cur = store.read()
         if cur is not None and not cur.expired() and not takeover:
             raise LeaseHeldError(
                 f"lake {lake_dir}: writer lease held by {cur.owner} "
                 f"(token {cur.token}, renewed {cur.age_s():.1f}s ago, "
                 f"ttl {cur.ttl_s}s); pass takeover=True to fence it out"
             )
-        token = max(cur.token if cur is not None else 0, _max_claimed(lake_dir)) + 1
-        if not _claim_token(lake_dir, token, owner):
+        token = max(cur.token if cur is not None else 0,
+                    store.max_claimed()) + 1
+        if not store.claim_token(token, owner):
             continue  # lost the mint race for this token; re-read and retry
         now_us = int(time.time() * 1e6)
         rec = LeaseRecord(
             token=token, owner=owner, acquired_ts_us=now_us,
             renewed_ts_us=now_us, ttl_s=float(ttl_s),
         )
-        _write_lease(lake_dir, rec)
+        store.publish(rec)
         # lease.json is last-writer-wins by WALL order but the fencing
         # contract is by TOKEN order: a concurrent HIGHER token fences us
         # (raise), while a concurrent LOWER token that happened to write
@@ -266,7 +354,7 @@ def acquire(
         # then sees the higher token and raises, so this converges (only
         # the max token ever rewrites).
         for _ in range(64):
-            latest = read_lease(lake_dir)
+            latest = store.read()
             if latest is None or latest.token > token:
                 raise LeaseHeldError(
                     f"lake {lake_dir}: lost acquisition race to token "
@@ -274,20 +362,20 @@ def acquire(
                 )
             if latest.token == token:
                 break
-            _write_lease(lake_dir, rec)
+            store.publish(rec)
         else:  # never confirmed our token on disk: do NOT return a lease
             raise LeaseHeldError(
                 f"lake {lake_dir}: could not assert minted token {token} "
                 "(pathological lower-token churn); acquisition failed"
             )
-        _gc_claims(lake_dir, token)
-        return WriterLease(lake_dir, rec)
+        store.gc_claims(token)
+        return WriterLease(lake_dir, rec, store=store)
     raise LeaseHeldError(f"lake {lake_dir}: could not mint a lease token (claim contention)")
 
 
-def status(lake_dir: str) -> dict:
+def status(lake_dir: str, store: LeaseStore | None = None) -> dict:
     """Operator view (CLI ``lease status``)."""
-    cur = read_lease(lake_dir)
+    cur = (store if store is not None else FileLeaseStore(lake_dir)).read()
     if cur is None:
         return {"held": False}
     return {
@@ -300,13 +388,10 @@ def status(lake_dir: str) -> dict:
     }
 
 
-def break_lease(lake_dir: str) -> bool:
-    """Operator override (CLI ``lease break``): drop the lease file.
+def break_lease(lake_dir: str, store: LeaseStore | None = None) -> bool:
+    """Operator override (CLI ``lease break``): drop the lease record.
     The previous holder, if alive, fails its next check. Prefer
     ``takeover=True`` on the successor — it fences via token order;
-    breaking merely clears the file."""
-    try:
-        os.unlink(lease_path(lake_dir))
-        return True
-    except FileNotFoundError:
-        return False
+    breaking merely clears the record."""
+    return (store if store is not None
+            else FileLeaseStore(lake_dir)).remove_if_token(None)

@@ -176,3 +176,82 @@ def test_cli_ingest_and_export(src, tmp_path, capsys):
     assert json.loads(capsys.readouterr().out)["rows"] == 1
     line = json.loads(open(os.path.join(env2, "flush-00000.jsonl")).read())
     assert line["op"] == "c" and line["after"]["conv_id"] == "c1"
+
+
+def test_follow_live_producer(tmp_path):
+    """The streaming Debezium path: a producer thread keeps flushing
+    envelope files (atomic rename publication) while ingest_cdc_json_tail
+    follows the directory — each file lands as an engine epoch as it
+    appears, a mid-stream restart resumes from the per-epoch source
+    markers without re-ingesting or skipping, and the final replay equals
+    the native-log oracle."""
+    import threading
+    import time as _t
+
+    from rayrep.gen import generate_changelog, write_changelog
+    from rayrep.ingest import ingest_cdc_json_tail
+
+    spec = GenSpec(seed=37, n_conversations=40, max_turns=5, n_events=800,
+                   n_epochs=4, zipf_a=1.1)
+    cl0 = str(tmp_path / "cl0")
+    write_changelog(cl0, spec)
+    env_all = str(tmp_path / "env_all")
+    export_envelopes(cl0, env_all)
+    names = sorted(os.listdir(env_all))
+    assert len(names) == 4
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def flush(name):
+        tmp = os.path.join(src, "." + name + ".tmp")
+        os.link(os.path.join(env_all, name), tmp)
+        os.rename(tmp, os.path.join(src, name))
+
+    # phase 1: two files exist; follower ingests them then stops at
+    # max_files — the simulated crash point
+    flush(names[0])
+    flush(names[1])
+    cl = str(tmp_path / "cl")
+    r1 = ingest_cdc_json_tail(src, cl, poll_interval_s=0.1,
+                              idle_timeout_s=3.0, max_files=2)
+    assert r1["files"] == 2 and r1["next_epoch"] == 2
+    # phase 2: a RESTARTED follower (fresh cursor recovery) picks up the
+    # rest as a live producer flushes them
+    def producer():
+        for n in names[2:]:
+            _t.sleep(0.5)
+            flush(n)
+
+    th = threading.Thread(target=producer)
+    th.start()
+    r2 = ingest_cdc_json_tail(src, cl, poll_interval_s=0.1,
+                              idle_timeout_s=3.0)
+    th.join()
+    assert r2["files"] == 2 and r2["next_epoch"] == 4
+    assert sorted(os.listdir(cl))[:4] == [f"epoch-{e:05d}" for e in range(4)]
+    lake = str(tmp_path / "lake")
+    replay(EngineConfig(changelog_dir=cl, lake_dir=lake, num_partitions=4,
+                        applier_concurrency=2))
+    oracle_df, _ = replay_oracle(generate_changelog(spec))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    # a third follower run over the quiet directory ingests nothing
+    r3 = ingest_cdc_json_tail(src, cl, poll_interval_s=0.1,
+                              idle_timeout_s=0.5)
+    assert r3["files"] == 0 and r3["next_epoch"] == 4
+
+
+def test_follow_refuses_cross_batch_order_violation(src, tmp_path):
+    """A producer that flushes a later-named file whose binlog position
+    regresses below the already-ingested frontier is refused, exactly
+    like an in-batch violation."""
+    from rayrep.ingest import ingest_cdc_json_tail
+
+    cl = str(tmp_path / "cl")
+    _write(src, "a.jsonl", [_env("c", "c1", 0, 100)])
+    r1 = ingest_cdc_json_tail(src, cl, poll_interval_s=0.1,
+                              idle_timeout_s=0.5)
+    assert r1["files"] == 1
+    _write(src, "b.jsonl", [_env("u", "c1", 0, 50, role="u", text="x")])
+    with pytest.raises(IngestOrderError):
+        ingest_cdc_json_tail(src, cl, poll_interval_s=0.1,
+                             idle_timeout_s=0.5)

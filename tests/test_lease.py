@@ -246,3 +246,86 @@ def test_replay_failover_matches_oracle(changelog_dir, tmp_lake):
         zombie.save(tmp_lake)
     oracle_df, oracle_ctr = replay_oracle(generate_changelog(SPEC))
     assert_frames_equal(final_table_pandas(tmp_lake), oracle_df)
+
+
+class _MemCASStore:
+    """In-memory mock of an object-store LeaseStore: `publish` is a plain
+    last-writer-wins put, `claim_token` a conditional create-if-absent
+    (the S3 If-None-Match / DynamoDB attribute_not_exists analog). No
+    filesystem involvement at all — proves the token-ordering protocol
+    is storage-agnostic."""
+
+    def __init__(self):
+        from rayrep.lease import LeaseStore  # interface sanity
+
+        self._lease = None
+        self._claims = {}
+        assert isinstance(self, object) and LeaseStore
+
+    def read(self):
+        return None if self._lease is None else type(self._lease)(
+            **{f: getattr(self._lease, f) for f in
+               ("token", "owner", "acquired_ts_us", "renewed_ts_us",
+                "ttl_s")})
+
+    def publish(self, rec):
+        self._lease = rec
+
+    def claim_token(self, token, owner):
+        if token in self._claims:
+            return False
+        self._claims[token] = owner
+        return True
+
+    def max_claimed(self):
+        return max(self._claims, default=0)
+
+    def gc_claims(self, keep_from_token):
+        for t in [t for t in self._claims if t < keep_from_token - 8]:
+            del self._claims[t]
+
+    def remove_if_token(self, token):
+        if self._lease is None:
+            return False
+        if token is not None and self._lease.token != token:
+            return False
+        self._lease = None
+        return True
+
+    def describe(self):
+        return "mem-cas"
+
+
+def test_cas_store_acquire_renew_fence(tmp_path):
+    """The full lease lifecycle over a CAS backend with no filesystem:
+    acquire -> renew -> takeover fences the old holder -> release."""
+    from rayrep import lease as lease_mod
+
+    store = _MemCASStore()
+    lake = str(tmp_path / "lake")  # never written by the store
+    a = lease_mod.acquire(lake, owner="w1", ttl_s=60, store=store)
+    assert a.token == 1 and store._lease.owner == "w1"
+    a.renew()  # refreshes TTL through the store
+    # a second writer without takeover is refused by the live lease
+    with pytest.raises(lease_mod.LeaseHeldError):
+        lease_mod.acquire(lake, owner="w2", ttl_s=60, store=store)
+    # elected successor fences w1 out
+    b = lease_mod.acquire(lake, owner="w2", ttl_s=60, takeover=True,
+                          store=store)
+    assert b.token == 2
+    with pytest.raises(lease_mod.LeaseLostError):
+        a.renew()
+    with pytest.raises(lease_mod.LeaseLostError):
+        a.check()
+    # w1's stale release is a no-op; w2's release clears the record
+    a.release()
+    assert store.read() is not None and store.read().token == 2
+    b.release()
+    assert store.read() is None
+    # token monotonicity survives the release (claims are the frontier)
+    c = lease_mod.acquire(lake, owner="w3", ttl_s=60, store=store)
+    assert c.token == 3
+    # nothing ever touched the filesystem
+    import os as _os
+
+    assert not _os.path.exists(lake)
