@@ -226,6 +226,10 @@ def main(argv=None) -> int:
     lc.add_argument("--mode", choices=["row", "cells"], default="row",
                     help="cells = per-cell retention for changed-cells "
                          "logs (CHANGES.txt:173)")
+    lc.add_argument("--drop-malformed", action="store_true",
+                    help="drop null-key events from the span (counted in "
+                         "_span.json) instead of refusing — use when the "
+                         "consuming lake runs dead-letter quarantine")
     lc.add_argument("--tasks", type=int, default=None)
     lc.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
@@ -460,7 +464,8 @@ def main(argv=None) -> int:
                      include_dashboard=False, logging_level="ERROR")
         print(json.dumps(compact_changelog(
             args.changelog_dir, through_epoch=args.through_epoch,
-            lake_dir=args.lake_dir, mode=args.mode, num_tasks=args.tasks)))
+            lake_dir=args.lake_dir, mode=args.mode, num_tasks=args.tasks,
+            drop_malformed=args.drop_malformed)))
         return 0
 
     if args.cmd == "index-update":

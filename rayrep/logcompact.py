@@ -380,13 +380,28 @@ def _reduce_group(group: pa.Table, kwargs: dict) -> pa.Table:
     stage_dir: str = kwargs["stage_dir"]
     payload_names: list[str] = kwargs["payload_names"]
     if group.num_rows == 0:
-        return _summary_row(-1, 0, 0, 0, 0)
+        return _summary_row(-1, 0, 0, 0, 0, 0)
     pid = int(group.column("part_id")[0].as_py())
     max_ts = pc.max(group.column("ts")).as_py()
     max_ts_us = int(pa.scalar(max_ts, pa.timestamp("us")).cast(
         pa.int64()).as_py()) if max_ts is not None else 0
     n_in = group.num_rows
     tbl = group.drop_columns(["part_id"])
+    n_dropped = 0
+    if kwargs.get("drop_malformed"):
+        # dead-letter interop: a lake replaying this log QUARANTINES
+        # null-key events, but the changelog retains them — dropping the
+        # same rows here (same predicate as the augmenter's quarantine)
+        # keeps the span replay-equivalent for that lake, and lets a
+        # poisoned log compact at all (retain_latest refuses otherwise)
+        bad = pc.is_null(tbl.column("conv_id"))
+        for c in ("turn_idx", "ts", "seq"):
+            bad = pc.or_(bad, pc.is_null(tbl.column(c)))
+        n_dropped = pc.sum(bad).as_py() or 0
+        if n_dropped:
+            tbl = tbl.filter(pc.invert(bad))
+            if tbl.num_rows == 0:
+                return _summary_row(pid, n_in, 0, 0, max_ts_us, n_dropped)
     if mode == "cells":
         kept = retain_cells(tbl, payload_names)
     else:
@@ -400,17 +415,18 @@ def _reduce_group(group: pa.Table, kwargs: dict) -> pa.Table:
     tmp = os.path.join(stage_dir, f".part-{pid:05d}.{uuid.uuid4().hex}.tmp")
     pq.write_table(kept, tmp)
     os.replace(tmp, os.path.join(stage_dir, f"part-{pid:05d}.parquet"))
-    return _summary_row(pid, n_in, kept.num_rows, hs, max_ts_us)
+    return _summary_row(pid, n_in, kept.num_rows, hs, max_ts_us, n_dropped)
 
 
 def _summary_row(pid: int, n_in: int, n_out: int, hashsum: int,
-                 max_ts_us: int) -> pa.Table:
+                 max_ts_us: int, n_dropped: int = 0) -> pa.Table:
     return pa.table({
         "part_id": pa.array([pid], pa.int32()),
         "n_in": pa.array([n_in], pa.int64()),
         "n_out": pa.array([n_out], pa.int64()),
         "hashsum": pa.array([hashsum], pa.int64()),
         "max_ts_us": pa.array([max_ts_us], pa.int64()),
+        "n_dropped": pa.array([n_dropped], pa.int64()),
     })
 
 
@@ -454,6 +470,7 @@ def compact_changelog(
     lake_dir: str | None = None,
     mode: str = "row",
     num_tasks: int | None = None,
+    drop_malformed: bool = False,
 ) -> dict:
     """Compact epochs ``[first, through_epoch]`` into one span directory.
 
@@ -582,6 +599,7 @@ def compact_changelog(
         .map_groups(
             _reduce_group,
             fn_kwargs={"kwargs": {"mode": mode, "stage_dir": stage,
+                                  "drop_malformed": drop_malformed,
                                   "payload_names": [f.name
                                                     for f in final.schema]}},
             batch_format="pyarrow",
@@ -594,6 +612,7 @@ def compact_changelog(
     # intended wraparound)
     hashsum = sum(r["hashsum"] % (1 << 64) for r in summaries) % (1 << 64)
     max_ts_us = max((r["max_ts_us"] for r in summaries), default=0)
+    n_dropped_malformed = sum(r.get("n_dropped", 0) for r in summaries)
 
     n_ddl = 0
     if ddl_tbl is not None and ddl_tbl.num_rows:
@@ -631,6 +650,7 @@ def compact_changelog(
                                 if hashsum >= (1 << 63) else hashsum),
         "max_ts_us": int(max_ts_us),
         "final_schema_version": int(final.version),
+        "n_dropped_malformed": int(n_dropped_malformed),
     }
     with open(os.path.join(stage, SPAN_META), "w") as f:
         json.dump(meta, f)

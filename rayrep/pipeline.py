@@ -849,6 +849,10 @@ def tail(
                     through_epoch=em_t.last_epoch - 1,
                     lake_dir=cfg.lake_dir,
                     mode="cells" if cfg.changed_cells_updates else "row",
+                    # dead-letter lakes quarantine null-key events but the
+                    # LOG retains them; drop the same rows from the span
+                    # (counted in _span.json) or compaction would refuse
+                    drop_malformed=cfg.dead_letter,
                 )
                 maintenance["log_compactions"] += 1
                 if cfg.metrics_stream and not cfg.dry_run:

@@ -221,3 +221,55 @@ def test_requeue_crash_rerun_state_idempotent(poisoned_cl, tmp_path):
     # duplicates collapsed by LWW: exactly n_poison z-keys, once each
     z = ft[ft["conv_id"].str.startswith("z")]
     assert len(z) == n_poison and z["conv_id"].is_unique
+
+
+def test_poisoned_log_compaction_interop(poisoned_cl, tmp_path):
+    """Dead-letter × compaction interop: a poisoned changelog refuses
+    plain compaction (null keys can't be LWW-retained), compacts cleanly
+    with drop_malformed=True (the dropped rows are exactly what a
+    dead-letter lake quarantines, counted in the span meta), and the
+    compacted log replays a FRESH dead-letter lake to the same table with
+    zero quarantined rows left."""
+    from rayrep.logcompact import compact_changelog, span_meta
+    from rayrep.manifests import CompactedLogError
+
+    cl, n_poison = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path)
+    replay(cfg)  # commit the barrier so the span check passes
+    expected = final_table_pandas(lake)
+    with pytest.raises(CompactedLogError, match="null conv_id/turn_idx"):
+        compact_changelog(cl, through_epoch=SPEC.n_epochs - 2,
+                          lake_dir=lake)
+    res = compact_changelog(cl, through_epoch=SPEC.n_epochs - 2,
+                            lake_dir=lake, drop_malformed=True)
+    n_span_poison = n_poison * (SPEC.n_epochs - 1) // SPEC.n_epochs
+    assert res["n_dropped_malformed"] == n_span_poison
+    import glob as _glob
+    span = next(p for p in _glob.glob(os.path.join(cl, "epoch-*-c*"))
+                if span_meta(p) is not None)
+    assert span_meta(span)["n_dropped_malformed"] == n_span_poison
+    # fresh replay of the compacted log: same table, nothing to quarantine
+    cfg2, lake2 = _mklake(cl, tmp_path, name="lake2")
+    out2 = replay(cfg2)
+    # only the uncompacted tail epoch still carries its poison
+    assert sum(e["quarantined"] for e in out2["epochs"]) == \
+        n_poison - n_span_poison
+    assert_frames_equal(final_table_pandas(lake2), expected)
+
+
+def test_dead_letter_tail_self_compacts(poisoned_cl, tmp_path):
+    """tail(dead_letter + compact_log_every) on a poisoned log: the tailer
+    quarantines, self-compacts with the malformed rows dropped, and
+    converges — the combination the drop_malformed plumbing exists for."""
+    from rayrep.pipeline import tail
+
+    cl, n_poison = poisoned_cl
+    cfg, lake = _mklake(cl, tmp_path)
+    res = tail(cfg, poll_interval_s=0.2, idle_timeout_s=2.0,
+               compact_log_every=2)
+    assert res["maintenance"]["log_compactions"] >= 1
+    assert sum(e["quarantined"] for e in res["epochs"]) == n_poison
+    clean_cfg, clean_lake = _mklake(cl, tmp_path, name="lake_ref")
+    replay(clean_cfg)
+    oracle_df, _ = replay_oracle(generate_changelog(SPEC))
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
