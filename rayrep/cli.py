@@ -267,6 +267,16 @@ def main(argv=None) -> int:
     il.add_argument("--lake", default=None, dest="lake_dir",
                     help="honor this lake's GDPR erasure list")
 
+    rb = sub.add_parser("rebind",
+                        help="source failover: translate the lake's "
+                             "checkpoint onto a REPLACEMENT changelog "
+                             "serving the same stream under different "
+                             "epoch boundaries (pGTID translation, "
+                             "CHANGES.txt:17-19); then resume replay/"
+                             "tail against the new log")
+    rb.add_argument("lake_dir")
+    rb.add_argument("new_changelog_dir")
+
     mt = sub.add_parser("metrics",
                         help="read or follow the lake's continuous metrics "
                              "stream (_manifests/metrics.jsonl: one line "
@@ -530,6 +540,13 @@ def main(argv=None) -> int:
         res = {"files_removed": compact_content_index(args.lake_dir),
                "deduped_total": cumulative_deduped(args.lake_dir)}
         print(json.dumps(res))
+        return 0
+
+    if args.cmd == "rebind":
+        from rayrep.failover import rebind_source
+
+        print(json.dumps(rebind_source(args.lake_dir,
+                                       args.new_changelog_dir)))
         return 0
 
     if args.cmd == "metrics":

@@ -1766,6 +1766,7 @@ def _replay_events_through_engine(
     erase_mod: int | None = None, purge_mid_ts: bool = False,
     replica_incremental: bool = False, snapshot_interval: int | None = None,
     view: bool = False, repair: bool = False, lease_failover: bool = False,
+    rebind_failover: bool = False,
     trim_after_barrier: bool = False, point_lookup_mod: int | None = None,
     via_envelopes: bool = False, clone_resume: bool = False,
     rollback_drill: bool = False, compact_log: str | None = None,
@@ -2042,6 +2043,37 @@ def _replay_events_through_engine(
 
             assert res["maintenance"]["log_compactions"] >= 1, res
             assert _glob.glob(os.path.join(cl, "epoch-*-c*"))
+    elif rebind_failover:
+        # source failover (rayrep/failover.py, pGTID translation,
+        # CHANGES.txt:17-19): the lake commits epochs 0-1 from source A,
+        # A dies, and a REPLACEMENT source serving the same stream under
+        # DIFFERENT epoch boundaries (7 instead of 4) takes over. The
+        # checkpoint translates onto B via the per-partition seq
+        # watermarks; resume on B must converge to the same LWW state —
+        # the failover is invisible to the oracle hash, with the anti-
+        # join absorbing B's re-read overlap.
+        import dataclasses
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        from rayrep.failover import rebind_source
+        from rayrep.gen import publish_epoch as _pub
+
+        replay(cfg, end_epoch=1)
+        files = sorted(_glob.glob(os.path.join(cl, "epoch-*", "*.parquet")))
+        full = pa.concat_tables([_pq.read_table(f) for f in files],
+                                promote_options="permissive").sort_by("seq")
+        clB = os.path.join(d, "clB")
+        nB, mB = full.num_rows, 7
+        for e in range(mB):
+            lo, hi = nB * e // mB, nB * (e + 1) // mB
+            _pub(clB, e, full.slice(lo, hi - lo))
+        rb = rebind_source(lake, clB)
+        assert 0 <= rb["new_barrier"] < mB, rb
+        cfg = dataclasses.replace(cfg, changelog_dir=clB)
+        res = replay(cfg)
+        assert res["epochs"] and res["epochs"][0]["epoch"] == rb["new_barrier"] + 1
     else:
         res = replay(cfg, end_epoch=end_epoch)
     if clone_resume:
@@ -2315,6 +2347,16 @@ def cdc_replay_metrics(sf_dir: str) -> pd.DataFrame:
     apply, or dropped conflict breaks the hash."""
     return _replay_events_through_engine(sf_dir, with_deletes=False,
                                          metrics=True)
+
+
+def cdc_source_failover(sf_dir: str) -> pd.DataFrame:
+    """Source-failover checkpoint translation (rayrep/failover.py): the
+    lake commits half the stream from source A, then rebinds onto a
+    promoted replica serving the SAME events under different epoch
+    boundaries and resumes there. Oracle = the plain deletes-LWW SQL —
+    the failover must be invisible to the final state."""
+    return _replay_events_through_engine(sf_dir, with_deletes=True,
+                                         rebind_failover=True)
 
 
 def cdc_metrics_stream(sf_dir: str) -> pd.DataFrame:
@@ -4114,6 +4156,7 @@ def queries() -> dict:
         "cdc_json_ingest_evolution": cdc_json_ingest_evolution,
         "cdc_lake_clone": cdc_lake_clone,
         "cdc_metrics_stream": cdc_metrics_stream,
+        "cdc_source_failover": cdc_source_failover,
     }
 
 
@@ -4137,6 +4180,7 @@ def oracle_sql() -> dict:
     d["cdc_log_compaction_cells"] = d["cdc_replay_changed_cells"]  # per-cell span
     d["cdc_json_ingest"] = d["cdc_replay_deletes"]         # envelope round-trip
     d["cdc_metrics_stream"] = d["cdc_replay_metrics"]      # stream readback
+    d["cdc_source_failover"] = d["cdc_replay_deletes"]     # pGTID rebind
     d["cdc_lake_clone"] = d["cdc_replay_deletes"]          # DR clone + resume
     d["cdc_json_ingest_evolution"] = d["cdc_replay_evolution"]  # + in-stream DDL
     # point lookup: the same deletes-LWW state restricted to the looked-up

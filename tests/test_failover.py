@@ -1,0 +1,119 @@
+"""Source-failover checkpoint translation (rayrep/failover.py): a lake
+mid-way through changelog A rebinds onto replacement changelog B — the
+same logical stream re-sharded into different epoch boundaries (a
+promoted replica's own file layout) — and a normal resume converges to
+the sequential oracle with no double-applies (pGTID translation,
+CHANGES.txt:17-19)."""
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from rayrep.config import EngineConfig
+from rayrep.failover import RebindError, rebind_source
+from rayrep.gen import GenSpec, generate_changelog, publish_epoch, write_changelog
+from rayrep.pipeline import final_table_pandas, replay
+
+from .oracle import replay_oracle
+from .test_replay import assert_frames_equal
+
+SPEC = GenSpec(seed=55, n_conversations=50, max_turns=5, n_events=1000,
+               n_epochs=4, delete_frac=0.1, zipf_a=1.1)
+
+
+def _reshard(full: pa.Table, out_dir: str, n_epochs: int) -> None:
+    """Publish the same event stream under DIFFERENT epoch boundaries."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = full.num_rows
+    bounds = [n * i // n_epochs for i in range(n_epochs + 1)]
+    for e in range(n_epochs):
+        publish_epoch(out_dir, e,
+                      full.slice(bounds[e], bounds[e + 1] - bounds[e]))
+
+
+def test_rebind_mid_stream_failover(tmp_path):
+    clA = str(tmp_path / "clA")
+    write_changelog(clA, SPEC)
+    full = generate_changelog(SPEC)
+    clB = str(tmp_path / "clB")
+    _reshard(full, clB, 7)  # replacement source: 7 epochs instead of 4
+
+    lake = str(tmp_path / "lake")
+    cfgA = EngineConfig(changelog_dir=clA, lake_dir=lake, num_partitions=4,
+                        applier_concurrency=2, delta_output=True)
+    replay(cfgA, end_epoch=1)  # old master dies mid-stream (epochs 0-1 in)
+
+    res = rebind_source(lake, clB)
+    assert res["safe_seq"] >= 0
+    assert 0 <= res["new_barrier"] < 7
+    assert res["archived_delta"] and os.path.isdir(res["archived_delta"])
+    assert not os.path.isdir(os.path.join(lake, "delta"))
+
+    cfgB = EngineConfig(changelog_dir=clB, lake_dir=lake, num_partitions=4,
+                        applier_concurrency=2, delta_output=True)
+    out = replay(cfgB)
+    assert out["epochs"], "resume applied nothing"
+    assert out["epochs"][0]["epoch"] == res["new_barrier"] + 1
+    # anti-join idempotence: re-read events skip, nothing double-applies
+    oracle_df, _ = replay_oracle(full)
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
+    # fully caught up on B: a further replay is a no-op
+    assert replay(cfgB)["epochs"] == []
+
+
+def test_rebind_whole_lake_committed(tmp_path):
+    """Failover AFTER full convergence: the translated barrier is B's last
+    epoch and resume is an immediate no-op."""
+    clA = str(tmp_path / "clA")
+    write_changelog(clA, SPEC)
+    full = generate_changelog(SPEC)
+    clB = str(tmp_path / "clB")
+    _reshard(full, clB, 3)
+
+    lake = str(tmp_path / "lake")
+    replay(EngineConfig(changelog_dir=clA, lake_dir=lake, num_partitions=4,
+                        applier_concurrency=2))
+    before = final_table_pandas(lake)
+    res = rebind_source(lake, clB)
+    # fully committed: the safe position is the stream head, so the
+    # translated barrier is B's LAST epoch and resume is a no-op
+    assert res["new_barrier"] == 2 and res["reread_epochs"] == []
+    out = replay(EngineConfig(changelog_dir=clB, lake_dir=lake,
+                              num_partitions=4, applier_concurrency=2))
+    assert out["epochs"] == []
+    assert_frames_equal(final_table_pandas(lake), before)
+
+
+def test_rebind_refuses_behind_log(tmp_path):
+    """A replacement log that ends BEFORE the lake's safe position is not
+    a continuation of its stream — refuse loudly."""
+    clA = str(tmp_path / "clA")
+    write_changelog(clA, SPEC)
+    full = generate_changelog(SPEC)
+    clB = str(tmp_path / "clB")
+    _reshard(full.slice(0, full.num_rows // 4), clB, 2)  # truncated replica
+
+    lake = str(tmp_path / "lake")
+    replay(EngineConfig(changelog_dir=clA, lake_dir=lake, num_partitions=4,
+                        applier_concurrency=2))
+    with pytest.raises(RebindError, match="BEHIND"):
+        rebind_source(lake, clB)
+
+
+def test_rebind_cli(tmp_path, capsys):
+    import json as _json
+
+    from rayrep.cli import main
+
+    clA = str(tmp_path / "clA")
+    write_changelog(clA, SPEC)
+    full = generate_changelog(SPEC)
+    clB = str(tmp_path / "clB")
+    _reshard(full, clB, 5)
+    lake = str(tmp_path / "lake")
+    replay(EngineConfig(changelog_dir=clA, lake_dir=lake, num_partitions=4,
+                        applier_concurrency=2, writer_lease=True))
+    assert main(["rebind", lake, clB]) == 0
+    res = _json.loads(capsys.readouterr().out.strip())
+    assert res["new_barrier"] == 4 and res["safe_seq"] > 0
