@@ -145,6 +145,12 @@ def run_replay(cl: str, n_events: int) -> dict:
                 # experiments set BENCH_PARTS at BOTH levels
                 num_partitions=int(os.environ.get("BENCH_PARTS", "32")),
                 epochs_per_round=int(os.environ.get("BENCH_EPR", "4")),
+                # "auto" (engine default) floors blocks-per-read at the
+                # core count; "none" keeps Ray's 200-block shred (the
+                # pre-round-5 behavior, for A/B against old ladders)
+                read_min_blocks=(lambda v: None if v == "none"
+                                 else v if v == "auto" else int(v))(
+                    os.environ.get("BENCH_READ_MIN_BLOCKS", "auto")),
                 pack_exchange=bench_pack(),
                 # lz4 | zstd | none (pack blobs, skip compression)
                 pack_codec=os.environ.get("BENCH_PACK_CODEC", "lz4"),

@@ -63,6 +63,14 @@ class EngineConfig:
     # what the degraded-VM states amplify. 64 MiB measured WORSE than the
     # default. None leaves the session's DataContext untouched.
     target_block_mb: int | None = 256
+    # Floor on blocks-per-read (Ray's read_op_min_num_blocks). Ray's
+    # default 200 shreds epoch files into ~2 MB blocks at bench scale and
+    # the per-block scheduling overhead dominates the exchange (measured:
+    # "auto" = cluster CPU count cut the 32-cpu headline 8.1 -> 6.6 s and
+    # the 8-cpu one 21.7 -> 14.6 s). At 100 TB reads produce abundant
+    # blocks naturally and the floor never binds. int to pin, "auto" to
+    # track the cluster's core count, None to keep Ray's default.
+    read_min_blocks: int | str | None = "auto"
     # "groupby": Ray-native sort-shuffle groupby (default). "staged":
     # filesystem-staged exchange (rayrep/exchange.py) — map-side shuffle
     # files through the lake's shared storage; measured to scale better on

