@@ -230,6 +230,9 @@ SUITE_V2 = [
     "cdc_dead_letter",
     "cdc_tail_compacting",
     "cdc_dlq_requeue",
+    # round-5 additions
+    "cdc_metrics_stream",
+    "cdc_source_failover",
 ]
 
 
