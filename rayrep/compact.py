@@ -31,7 +31,7 @@ def _partition_ids(lake_dir: str) -> list[int]:
 
 
 def compact_lake(lake_dir: str, distributed: bool = False,
-                 sort_keys: bool = True) -> dict:
+                 sort_keys: bool = True, force: bool = False) -> dict:
     """Major compaction: fold every partition's chain into one full state
     file (`state-eEEEEE-full.parquet`, epoch = the committed one) and point
     the manifest at it. Each partition's fold+rewrite+manifest-save is
@@ -65,7 +65,17 @@ def compact_lake(lake_dir: str, distributed: bool = False,
         # true cell versions (rayrep.apply.prune_cells)
         fold_fn = prune_state_chain_cells if cells else fold_state_chain
         m = PartitionManifest.load(lake_dir, part_id)
-        if len(m.state_chain) <= 1:
+        canonical = os.path.join(
+            f"part-{part_id:05d}", f"state-e{m.epoch:05d}-full.parquet")
+        if not m.state_chain:
+            return {"compacted": 0, "skipped": 1}
+        if len(m.state_chain) <= 1 and (not force
+                                        or m.state_chain == [canonical]):
+            # `force` rewrites even a single-file chain unless it already
+            # IS the canonical name for the committed epoch — used by
+            # source-failover rebind, where chain file names carry
+            # OLD-layout epoch coordinates that would collide with the
+            # renumbered resume's deterministic commit names
             return {"compacted": 0, "skipped": 1}
         folded = fold_fn(lake_dir, m.state_chain, target)
         if sort_keys and folded.num_rows:

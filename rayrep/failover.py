@@ -32,12 +32,15 @@ publishing its own file boundaries:
    footer ``seq`` ranges lie entirely at/below that position (footer
    metadata only — no data bytes are read).
 3. Every partition manifest is rewritten to the translated barrier
-   epoch (keeping its watermark, counters, state chain and lake rows
-   untouched); rollback ``history`` is reset — its epoch coordinates
-   referred to the old layout. An existing ``delta/`` stream is archived
-   to ``delta-prefailover-N/`` because its per-epoch file names are also
-   old-layout coordinates; downstream delta consumers must rebuild or
-   rebase (the incremental-replica cap logic cannot span a renumbering).
+   epoch (keeping its watermark, counters and lake rows untouched);
+   rollback ``history`` is reset and each state chain is force-compacted
+   into the canonical ``state-e{new_barrier}-full.parquet`` — chain file
+   names are old-layout epoch coordinates, and a renumbered resume's
+   deterministic commit names would otherwise silently overwrite them
+   (the one O(partition-state) rewrite a failover costs). An existing
+   ``delta/`` stream is archived to ``delta-prefailover-N/`` for the
+   same reason; downstream delta consumers must rebuild or rebase (the
+   incremental-replica cap logic cannot span a renumbering).
 
 After rebind, a normal ``replay``/``tail`` against the new changelog
 resumes from the translated barrier; re-read events at/below a
@@ -115,10 +118,39 @@ def rebind_source(lake_dir: str, new_changelog_dir: str) -> dict:
         archived = os.path.join(lake_dir, f"delta-prefailover-{n}")
         os.rename(ddir, archived)
 
+    # State-chain files are DETERMINISTICALLY named by epoch
+    # (state-eNNNNN[-full].parquet — retried commits overwrite, by
+    # design). Those epoch numbers are OLD-layout coordinates: a resumed
+    # commit for NEW epoch k would silently overwrite old epoch k's
+    # chain file and destroy applied rows (caught by the rebind fuzz).
+    # So: (1) rewrite every manifest to the translated barrier, (2)
+    # force-compact each chain into the canonical
+    # ``state-e{new_barrier}-full.parquet`` (fold machinery shared with
+    # major compaction — cells-aware, bloom sidecars refreshed), then
+    # (3) delete the old-numbering chain files the manifests no longer
+    # reference. One O(partition-state) rewrite per failover event,
+    # fan-out-able per partition.
+    old_files = {rel for m in manifests for rel in m.state_chain}
     for m in manifests:
         m.epoch = new_barrier
         m.history = []  # old-layout epoch coordinates
         m.save(lake_dir)
+    from rayrep.compact import compact_lake
+
+    compact_lake(lake_dir, force=True)
+    kept = {rel for pid in range(P)
+            for rel in PartitionManifest.load(lake_dir, pid).state_chain}
+    rewritten_chain_files = 0
+    for rel in old_files - kept:
+        try:
+            os.remove(os.path.join(lake_dir, rel))
+            rewritten_chain_files += 1
+        except FileNotFoundError:
+            pass
+        try:
+            os.remove(os.path.join(lake_dir, rel) + ".bloom")
+        except FileNotFoundError:
+            pass
     EpochManifest(last_epoch=new_barrier, totals=em.totals,
                   replication_delay_s=em.replication_delay_s,
                   num_partitions=P).save(lake_dir)
@@ -129,5 +161,6 @@ def rebind_source(lake_dir: str, new_changelog_dir: str) -> dict:
         "reread_epochs": [e for e, _lo, hi in ranges if e > new_barrier
                           and _lo <= safe_seq],
         "archived_delta": archived,
+        "rewritten_chain_files": rewritten_chain_files,
         "watermarks": {m.part_id: int(m.last_seq) for m in manifests},
     }

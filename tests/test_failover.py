@@ -117,3 +117,38 @@ def test_rebind_cli(tmp_path, capsys):
     assert main(["rebind", lake, clB]) == 0
     res = _json.loads(capsys.readouterr().out.strip())
     assert res["new_barrier"] == 4 and res["safe_seq"] > 0
+
+
+@pytest.mark.parametrize("seed", [7, 17, 27, 37])
+def test_rebind_fuzz_random_kill_and_reshard(tmp_path, seed):
+    """Randomized failover drill: kill at a random epoch, rebind onto a
+    random reshard (2..9 epochs, boundaries nothing like the original),
+    resume — the converged table must equal the sequential oracle of the
+    full stream, with salting/partition-count randomized too."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    spec = GenSpec(seed=int(rng.integers(1, 1 << 16)),
+                   n_conversations=int(rng.integers(20, 70)),
+                   max_turns=5,
+                   n_events=int(rng.integers(300, 1200)),
+                   n_epochs=4,
+                   delete_frac=float(rng.choice([0.0, 0.15])),
+                   zipf_a=float(rng.choice([0.0, 1.3])))
+    clA = str(tmp_path / "clA")
+    write_changelog(clA, spec)
+    full = generate_changelog(spec)
+    clB = str(tmp_path / "clB")
+    _reshard(full, clB, int(rng.integers(2, 10)))
+
+    lake = str(tmp_path / "lake")
+    P = int(rng.integers(2, 7))
+    salt = bool(rng.integers(0, 2))
+    replay(EngineConfig(changelog_dir=clA, lake_dir=lake, num_partitions=P,
+                        applier_concurrency=2, salt_turn_keys=salt),
+           end_epoch=int(rng.integers(0, 4)))
+    rebind_source(lake, clB)
+    replay(EngineConfig(changelog_dir=clB, lake_dir=lake, num_partitions=P,
+                        applier_concurrency=2, salt_turn_keys=salt))
+    oracle_df, _ = replay_oracle(full)
+    assert_frames_equal(final_table_pandas(lake), oracle_df)
