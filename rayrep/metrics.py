@@ -14,7 +14,11 @@ tails it like ``tail -f``.
 Write discipline: single-writer (the replay/tail process, under its
 writer lease when enabled), append + flush + fsync per line. A crash can
 tear at most the final line; readers skip any line not terminated by a
-newline. Rotation keeps a tail-forever session's stream bounded: when the
+newline. Delivery is AT-MOST-ONCE per barrier: the line is appended
+after the manifests commit, so a crash inside that window omits the
+epoch's line (a resumed replay does not re-run committed epochs). The
+manifests/metrics.json are the accounting source of truth; this stream
+is the observability feed. Rotation keeps a tail-forever session's stream bounded: when the
 live file would exceed ``rotate_max_bytes`` it renames to
 ``metrics.jsonl.1`` (replacing the previous one), so disk usage is capped
 at ~2x the window regardless of session length.
