@@ -18,7 +18,9 @@ newline. Delivery is AT-MOST-ONCE per barrier: the line is appended
 after the manifests commit, so a crash inside that window omits the
 epoch's line (a resumed replay does not re-run committed epochs). The
 manifests/metrics.json are the accounting source of truth; this stream
-is the observability feed. Rotation keeps a tail-forever session's stream bounded: when the
+is the observability feed.
+
+Rotation keeps a tail-forever session's stream bounded: when the
 live file would exceed ``rotate_max_bytes`` it renames to
 ``metrics.jsonl.1`` (replacing the previous one), so disk usage is capped
 at ~2x the window regardless of session length.
