@@ -159,7 +159,8 @@ def _oracle_frame(segments) -> "pd.DataFrame":
     return pd.DataFrame(rows, columns=names, dtype=object)
 
 
-@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 99])
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55, 66, 77, 88, 99,
+                                  106, 107, 108, 114, 122, 125, 147])
 def test_ddl_chain_fuzz_matches_oracle(tmp_path, seed):
     rng = np.random.default_rng(seed)
     segments = _build_chain(rng)
@@ -186,7 +187,41 @@ def test_ddl_chain_fuzz_matches_oracle(tmp_path, seed):
     # where version-stamp preservation gets stressed: a rewrite mid-chain
     # re-stamps at the THEN-current registry version, and later DDLs must
     # still evolve the rewritten file step-exact
-    action = str(rng.choice(["none", "compact", "repartition", "repair"]))
+    action = str(rng.choice(["none", "compact", "repartition", "repair",
+                             "compact_log", "rebind"]))
+    if action == "compact_log" and k >= 1:
+        # Kafka-style span over the committed DDL-straddling prefix:
+        # stresses the per-version mixed-batch evolution path (a span
+        # read can bundle files at different physical schema versions)
+        from rayrep.logcompact import compact_changelog
+
+        compact_changelog(cl, through_epoch=k - 1, lake_dir=cfg.lake_dir)
+    elif action == "rebind":
+        # source failover mid-DDL-chain: the SAME stream re-published
+        # under different epoch boundaries (each segment's rows split
+        # into random sub-epochs, preserving the "file schema = then-
+        # active schema" contract a real promoted replica keeps), then
+        # checkpoint translation; the resume must evolve re-read
+        # old-version rows step-exact against the already-advanced
+        # registry
+        import dataclasses
+
+        from rayrep.failover import rebind_source
+
+        clB = str(tmp_path / "clB")
+        os.makedirs(clB)
+        eB = 0
+        for payload_cols, types, seg_rows in segments:
+            n_sub = int(rng.integers(1, 4))
+            nseg = len(seg_rows)
+            bounds = sorted({nseg * i // n_sub for i in range(n_sub + 1)})
+            for lo, hi in zip(bounds, bounds[1:]):
+                pq.write_table(
+                    _segment_table(payload_cols, seg_rows[lo:hi], types),
+                    os.path.join(clB, f"epoch-{eB:05d}.parquet"))
+                eB += 1
+        rebind_source(cfg.lake_dir, clB)
+        cfg = dataclasses.replace(cfg, changelog_dir=clB)
     if action == "compact":
         from rayrep.compact import compact_lake
 
