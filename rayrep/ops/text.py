@@ -481,10 +481,16 @@ class Fingerprint:
         text = batch.column(self.text_col)
         if isinstance(text, pa.ChunkedArray):
             text = text.combine_chunks()
+            if isinstance(text, pa.ChunkedArray):
+                text = (text.chunk(0) if text.num_chunks
+                        else pa.array([], text.type))
         n = batch.num_rows
-        texts = text.to_pylist()
-        data = "\x00".join(t or "" for t in texts).encode("utf-8", "ignore")
-        arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+        # zero-copy: bytes + per-doc lengths straight from Arrow's own
+        # buffers (no per-doc encode); grams never cross doc boundaries
+        # because each doc's valid window is masked below, so no
+        # separator bytes are needed either
+        buf, lens = _utf8_bytes(text)
+        arr = buf.astype(np.uint64)
         if len(arr) < self.k:
             return batch.append_column("fingerprint", pa.array(np.zeros(n, np.int64)))
         with np.errstate(over="ignore"):
@@ -497,11 +503,9 @@ class Fingerprint:
                 w = np.uint64(w * self.B)
             g = (g ^ (g >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
             g = g ^ (g >> np.uint64(33))
-        lens = np.array([len((t or "").encode("utf-8", "ignore")) for t in texts],
-                        dtype=np.int64)
         starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1] + 1, out=starts[1:])
-        # mask grams that cross the \x00 doc separator, then segment-min
+        np.cumsum(lens[:-1], out=starts[1:])
+        # mask grams that cross a doc boundary, then segment-min
         valid_end = starts + np.maximum(lens - self.k + 1, 0)
         pos = np.arange(len(g), dtype=np.int64)
         doc_of = np.searchsorted(starts, pos, side="right") - 1
