@@ -152,3 +152,39 @@ def test_rebind_fuzz_random_kill_and_reshard(tmp_path, seed):
                         applier_concurrency=2, salt_turn_keys=salt))
     oracle_df, _ = replay_oracle(full)
     assert_frames_equal(final_table_pandas(lake), oracle_df)
+
+
+def test_rebind_changed_cells_lake(tmp_path):
+    """Rebind on a changed-cells lake: the force-compaction must use the
+    version-PRESERVING per-cell fold (each cell's winner keeps its own
+    ts/seq), so partial updates re-read or resumed from the replacement
+    log still resolve against true cell versions. Checked two ways:
+    row-level-conflict mode against the merging oracle, and per-cell
+    (HBase) mode against an UNINTERRUPTED per-cell replay of the same
+    stream — the failover must be invisible in both semantics (the
+    in-repo oracle implements the row-level rule; ts-inverted partials
+    legitimately differ between the two modes)."""
+    spec = GenSpec(seed=13, n_conversations=25, max_turns=4, n_events=800,
+                   n_epochs=4, changed_cells_frac=0.7)
+    clA = str(tmp_path / "clA")
+    write_changelog(clA, spec)
+    full = generate_changelog(spec)
+    clB = str(tmp_path / "clB")
+    _reshard(full, clB, 6)
+
+    for pcc in (False, True):
+        lake = str(tmp_path / f"lake{int(pcc)}")
+        kw = dict(num_partitions=4, applier_concurrency=2,
+                  changed_cells_updates=True, per_cell_conflicts=pcc)
+        replay(EngineConfig(changelog_dir=clA, lake_dir=lake, **kw),
+               end_epoch=1)
+        rebind_source(lake, clB)
+        replay(EngineConfig(changelog_dir=clB, lake_dir=lake, **kw))
+        got = final_table_pandas(lake)
+        if pcc:
+            ref_lake = str(tmp_path / "lake_ref")
+            replay(EngineConfig(changelog_dir=clA, lake_dir=ref_lake, **kw))
+            assert_frames_equal(got, final_table_pandas(ref_lake))
+        else:
+            oracle_df, _ = replay_oracle(full, changed_cells=True)
+            assert_frames_equal(got, oracle_df)
